@@ -1,0 +1,154 @@
+package graft.ext
+
+import graft.queries.Reference.{msumSql, Q}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** DuckDB-oracle-expressible slices of the extension operators (SURVEY.md
+  * §2.e). MinHash/SimHash/LSH variants are Spark-only (no DuckDB
+  * counterpart) and are covered by ScalaTest instead.
+  */
+object ExtQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // E1 exact dedup over a deliberately doubled documents corpus: keeper id +
+  // copy count per content hash. Same shape as Dedup.exact, with md5 as the
+  // hash because DuckDB's md5 == Spark's md5 (lowercase hex) for the oracle.
+  private val e01 = Q(
+    "e01_dedup_exact",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      d.unionAll(d)
+        .groupBy(md5(lower(trim(col("text")))).as("content_hash"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keeper_id"))
+    },
+    Some(
+      """SELECT md5(lower(trim(text))) AS content_hash,
+        |  min(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        |GROUP BY md5(lower(trim(text)))
+        |ORDER BY keeper_id""".stripMargin))
+
+  // E2 brute-force cosine top-k against the vec_id=0 embedding. Rounded to 4
+  // decimals and tie-broken by id so the top-k set hash-matches DuckDB's
+  // list_cosine_similarity.
+  private val e02 = Q(
+    "e02_cosine_topk",
+    (s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10),
+    Some(
+      """SELECT b.vec_id AS vec_id,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id = 0 AND b.vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin))
+
+  // E3 per-document token stats (counts only — the ratio columns are
+  // Spark-side floats with regex semantics DuckDB doesn't mirror 1:1;
+  // ScalaTest covers those).
+  private val e03 = Q(
+    "e03_token_stats",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          length(col("text")).as("n_chars_calc"),
+          size(TextStats.tokens(col("text"))).as("n_tokens"))
+        .orderBy(col("doc_id")),
+    Some(
+      """SELECT doc_id, lang, n_chars, length(text) AS n_chars_calc,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // E3b corpus word frequency, top-100 with total ordering.
+  private val e04 = Q(
+    "e04_word_freq",
+    (s, dir) =>
+      TextStats.wordFreq(t(s, dir, "documents"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(100),
+    Some(
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin))
+
+  // E4 JSON property extraction + group (events.props = {"k": N}).
+  private val e05 = Q(
+    "e05_json_extract",
+    (s, dir) =>
+      graft.queries.Reference.events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("event_type"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy(col("k")),
+    Some(
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  COUNT(*) AS n_events, COUNT(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY k ORDER BY k""".stripMargin))
+
+  // E5 tumbling-window aggregation (streaming-shaped; DuckDB mirror is
+  // date_trunc). Spark's window() start == date_trunc('hour') for aligned
+  // 1-hour tumbling windows.
+  private val e06 = Q(
+    "e06_hourly_window",
+    (s, dir) =>
+      graft.queries.Reference.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.queries.Reference.msum(col("value")).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type")),
+    Some(
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+         |  COUNT(*) AS n_events, ${msumSql("value")} AS sum_value
+         |FROM events
+         |GROUP BY date_trunc('hour', ts), event_type
+         |ORDER BY window_start, event_type""".stripMargin))
+
+  // E3c language-ID heuristic vs the labeled lang column: confusion counts.
+  // Spark-only regex/array semantics → rows-only oracle omitted? No: the
+  // aggregation is deterministic, but langId uses \p{IsHan} regex DuckDB
+  // can't mirror textually — declared without oracle (driver records a
+  // weaker rows-only check).
+  private val e07 = Q(
+    "e07_lang_id",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), TextStats.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred")),
+    None)
+
+  // E1c SimHash fingerprints — deterministic Spark-only computation
+  // (xxhash64-based; no DuckDB counterpart). Rows-only check.
+  private val e08 = Q(
+    "e08_simhash",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"),
+          TextStats.fingerprint(col("text")).as("rolling_fp"))
+        .orderBy(col("doc_id")),
+    None)
+
+  // E1d MinHash-LSH near-dup pair count over the doubled corpus — every doc
+  // must collide with its exact copy (jaccard distance 0). Spark-only.
+  private val e09 = Q(
+    "e09_minhash_neardup",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L))
+      Dedup.minhashNearDup(doubled, maxJaccardDistance = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09)
+}

@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.linalg.{Vectors => MLVectors}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (mandated extension E2,
+  * SURVEY.md §2.e): brute-force cosine top-k as the exact baseline, plus a
+  * random-projection LSH path for scale.
+  *
+  * Scale posture: brute-force against ONE query vector is a broadcast of the
+  * query + a single codegen'd scan with TakeOrderedAndProject (per-partition
+  * top-k heaps, no global sort) — this is exactly how you'd score 100 TB of
+  * embeddings against a probe on 1000 executors. For many-query / all-pairs
+  * workloads, use the LSH bucketing (equi-join on bucket, linear shuffle) or
+  * [[Dedup.embeddingNearDup]]'s hyperplane banding.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<double> columns — pure higher-order
+    * Catalyst functions (zip_with + aggregate), codegen-friendly, no UDF.
+    * Sequential left-to-right fold → deterministic across runs and engines.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k by cosine against the embedding of `queryId`.
+    * The single query row is broadcast; ties are broken by id so the result
+    * set is deterministic. Returns (id, cosine) ordered best-first.
+    */
+  def bruteForceTopK(
+      emb: DataFrame,
+      queryId: Long,
+      k: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val q = v.where(col(idCol) === queryId).select(col("v").as("q_v"))
+    v.where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), round(cosine(col("v"), col("q_v")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs exact top-k neighbors per vector (small/medium corpora):
+    * crossJoin + per-id window rank. Quadratic — kept as the correctness
+    * oracle for the approximate paths; do not run at 100 TB.
+    */
+  def allPairsTopK(emb: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("v_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("v_b"))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b"))
+    a.join(b, col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Approximate nearest neighbors via BucketedRandomProjectionLSH on
+    * L2-normalized vectors (cosine distance ≡ half the squared euclidean
+    * distance on the unit sphere, so euclidean-LSH buckets serve cosine).
+    * This is the scale path: bucketing makes candidate generation an
+    * equi-join; `approxNearestNeighbors` probes only matching buckets.
+    */
+  def lshTopK(
+      spark: SparkSession,
+      emb: DataFrame,
+      queryId: Long,
+      k: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      bucketLength: Double = 0.5,
+      numHashTables: Int = 4): DataFrame = {
+    val toUnitVec = udf { (xs: Seq[Double]) =>
+      val n = math.sqrt(xs.map(x => x * x).sum)
+      MLVectors.dense((if (n == 0) xs else xs.map(_ / n)).toArray)
+    }
+    val v = emb.select(col(idCol),
+      toUnitVec(col(vecCol).cast("array<double>")).as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("buckets")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42L)
+    val model = lsh.fit(v)
+    val key = v.where(col(idCol) === queryId).head().getAs[org.apache.spark.ml.linalg.Vector]("features")
+    model.approxNearestNeighbors(v.where(col(idCol) =!= queryId), key, k)
+      .select(col(idCol), (lit(1.0) - col("distCol") * col("distCol") / 2).as("cosine_approx"))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation (mandated extension
+  * E3, SURVEY.md §2.e): token counting, quality scoring, language-ID
+  * heuristics, and document fingerprinting. All pure codegen'd column
+  * expressions — per-row, zero shuffle, linear scans at any scale.
+  */
+object TextStats {
+
+  /** Whitespace tokens of the raw text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** BPE-ish subword count: word-piece regex (letter runs, digit runs,
+    * single punctuation marks) — the standard cheap proxy for tokenizer
+    * counts when the real BPE vocab isn't on the cluster.
+    */
+  def subwordCount(c: Column): Column =
+    size(filter(split(c, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
+      t => length(trim(t)) > 0))
+
+  /** Per-document stats frame: counts + ratios used by quality filters. */
+  def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    val toks = tokens(c)
+    docs
+      .withColumn("n_chars_calc", length(c))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_subwords", subwordCount(c))
+      .withColumn("avg_token_len",
+        when(size(toks) > 0,
+          aggregate(toks, lit(0), (a, t) => a + length(t)).cast("double") / size(toks))
+          .otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        when(length(c) > 0,
+          (length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))).cast("double")
+            / length(c)).otherwise(lit(0.0)))
+      .withColumn("upper_ratio",
+        when(length(c) > 0,
+          (length(c) - length(regexp_replace(c, "[A-Z]", ""))).cast("double")
+            / length(c)).otherwise(lit(0.0)))
+      .withColumn("digit_ratio",
+        when(length(c) > 0,
+          (length(c) - length(regexp_replace(c, "[0-9]", ""))).cast("double")
+            / length(c)).otherwise(lit(0.0)))
+  }
+
+  /** Tiny per-language stopword inventories for the n-gram/stopword
+    * language-ID heuristic (public fastText/langid-style shortcut: the
+    * language whose function words dominate wins).
+    */
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour", "que", "dans", "des"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "para", "que", "en", "por"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "人"))
+
+  /** Stopword-hit ratio for one language over the token array. */
+  def stopwordRatio(c: Column, lang: String = "en"): Column = {
+    val sw = stopwords(lang)
+    val toks = tokens(lower(c))
+    when(size(toks) > 0,
+      size(filter(toks, t => t.isin(sw: _*))).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Heuristic language-ID: argmax of per-language stopword evidence, with a
+    * CJK charset override (Han characters ⇒ zh regardless of stopwords).
+    * Returns a language code column ("en", "de", … or "und" for no signal).
+    */
+  def langId(c: Column): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map { l =>
+      struct(stopwordRatio(c, l).as("score"), lit(l).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(c.rlike("\\p{IsHan}"), lit("zh"))
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1] — the usual length / punctuation /
+    * stopword signals (Gopher/C4-style rules, public): mid-length docs with
+    * some function words and sane punctuation score high.
+    */
+  def qualityScore(c: Column): Column = {
+    val toks = tokens(c)
+    val lenScore = least(size(toks).cast("double") / 50.0, lit(1.0))
+    val swScore = least(stopwordRatio(c) * 5.0, lit(1.0))
+    val punct = when(length(c) > 0,
+      (length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))).cast("double") / length(c))
+      .otherwise(lit(0.0))
+    val punctScore = lit(1.0) - least(punct * 4.0, lit(1.0))
+    round((lenScore + swScore + punctScore) / 3.0, 6)
+  }
+
+  /** Polynomial rolling-hash fingerprint (Rabin–Karp over token hashes):
+    * h = Σ xxhash64(tok_i)·B^(n−1−i) mod 2^31, folded left-to-right as
+    * h = (h·B + tok) mod 2^31 — order-sensitive (unlike a bag-of-words
+    * hash), stable, and computed entirely in codegen'd Catalyst expressions.
+    * The accumulator is kept under 31 bits so `acc·B + h` never overflows a
+    * Long (ANSI mode, Spark 4 default, makes Long overflow an error).
+    */
+  def fingerprint(c: Column, base: Long = 1000003L): Column = {
+    require(base < (1L << 31), "base must stay below 2^31 to avoid overflow")
+    aggregate(
+      transform(tokens(lower(c)), t => xxhash64(t)),
+      lit(0L),
+      (acc, h) => pmod(acc * base + h, lit(1L << 31)))
+  }
+
+  /** Token frequency table over a corpus: explode + count. One shuffle on
+    * token; partial aggregation keeps it map-side-combined at scale.
+    */
+  def wordFreq(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(tokens(lower(col(textCol)))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+}
