@@ -1,0 +1,71 @@
+package graft.examples
+
+import graft.catalog.Ddl
+import graft.ext.{Dedup, TextStats}
+import graft.forecast.TrendSeasonForecaster
+import graft.ingest.{IngestJob, SchemaInference}
+import graft.queries.Reference
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end demo of the library surface — the Spark-native equivalent of
+  * the reference's Main_File.py ETL spine + notebook analysis session:
+  * CSV ingest → catalog DDL → SQL query → daily aggregation → forecast →
+  * dedup report. Run with:
+  *   sbt "runMain graft.examples.Pipeline /root/testdata/sf0.001"
+  */
+object Pipeline {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-pipeline-demo")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 1. ingest: CSV dir -> Parquet with sanitized names + inferred schema
+    val work = java.nio.file.Files.createTempDirectory("graft_demo").toString
+    val csvDir = s"$work/csv"; new java.io.File(csvDir).mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$csvDir/Plant Data-2024!.csv"),
+      "site id,capacity (MW),commissioned\n1,10.5,2020-01-01\n2,2000000000,2021-07-15\n")
+    val schemas = IngestJob.csvDirToParquet(spark, csvDir, s"$work/parquet")
+    println(s"[demo] ingested tables: ${schemas.keys.mkString(",")}")
+
+    // 2. schema inference heuristics -> DDL text
+    val ingested = spark.read.parquet(s"$work/parquet/${schemas.keys.head}")
+    println("[demo] " + SchemaInference.createTableStatement(ingested, "demo_db", "plants"))
+
+    // 3. catalog: register testdata dir + SQL through the session catalog
+    Ddl.recreateDatabase(spark, "demo_db")
+    Ddl.registerDir(spark, "demo_db", sfDir)
+    val top = spark.sql(
+      """SELECT l_returnflag, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM demo_db.lineitem GROUP BY l_returnflag ORDER BY revenue DESC""".stripMargin)
+    println("[demo] revenue by returnflag:")
+    top.collect().foreach(r => println(s"[demo]   ${r.getString(0)} -> ${r.get(1)}"))
+
+    // 4. forecast: daily series from events -> fit -> 90-day horizon
+    val daily = Reference.all.find(_.name == "q15_daily_series").get.run(spark, sfDir)
+    val model = TrendSeasonForecaster.fit(daily)
+    val future = model.makeFutureFrame(spark, daily.count().toInt, periods = 90)
+    val scored = model.transform(future)
+    val fitted = model.transform(daily)
+    println(f"[demo] forecast: in-sample MAPE=${TrendSeasonForecaster.mape(fitted)}%.4f, " +
+      s"horizon rows=${scored.count()}")
+
+    // 5. dedup + text stats over documents
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val doubled = docs.unionAll(docs)
+    val kept = Dedup.exactRows(doubled).count()
+    val quality = TextStats.stats(docs)
+      .agg(org.apache.spark.sql.functions.avg("n_tokens")).head().getDouble(0)
+    println(s"[demo] dedup: ${doubled.count()} docs -> $kept unique; avg tokens/doc=$quality")
+
+    Ddl.dropDatabaseCascade(spark, "demo_db")
+    spark.stop()
+    println("[demo] OK")
+  }
+}

@@ -36,10 +36,19 @@ object Dedup {
       .groupBy(contentHash(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** Exact dedup, returning the surviving rows (keeper per group). */
+  /** Exact dedup, returning the surviving rows: the min-id row per
+    * normalized-content group. Single-pass window (one shuffle on the
+    * content hash, no self-join — a semi-join back onto the input would
+    * both double the scan and trip Catalyst's self-join attribute
+    * ambiguity). Also correct under the reference's 2×-load artifact where
+    * the SAME id appears twice (row_number keeps exactly one).
+    */
   def exactRows(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val keepers = exact(docs, textCol, idCol).select(col("keeper_id").as(idCol))
-    docs.join(keepers, Seq(idCol), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(contentHash(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
   }
 
   /** Word-level shingles (n-grams) of the normalized text. */

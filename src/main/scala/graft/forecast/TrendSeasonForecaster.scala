@@ -1,0 +1,213 @@
+package graft.forecast
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Additive trend + Fourier-seasonality forecaster with uncertainty
+  * intervals and a MAPE harness (SURVEY.md §2.d F1–F4) — the capability of
+  * the reference's Prophet stage (ipynb cells 13-18), re-implemented from
+  * the published model (Taylor & Letham, "Forecasting at Scale", 2017):
+  *
+  *   y(t) = g(t) + s(t) + ε,  g linear, s(t) = Σ_k a_k cos(2πkt/P) +
+  *   b_k sin(2πkt/P) for P ∈ {365.25, 7}
+  *
+  * fit by ordinary least squares. Acceptance mirrors the reference's own
+  * evaluation: a MAPE bound on a held-out split (0.02 on its data, PDF p.4),
+  * not coefficient equality with Stan's MAP estimates (SURVEY.md §7 risk 3).
+  *
+  * Scale posture: the input series is an already-aggregated daily frame
+  * (thousands of rows even for decades of data), so the OLS solve is a
+  * driver-side O(n·p²) normal-equations pass — the distributed work is the
+  * upstream aggregation (see q15_daily_series). Prediction is pushed back
+  * into Spark as pure column arithmetic with the β vector inlined as
+  * literals: codegen'd, executor-parallel, no UDF.
+  */
+object TrendSeasonForecaster {
+
+  final case class Config(
+      yearlyOrder: Int = 3,
+      weeklyOrder: Int = 3,
+      intervalWidth: Double = 0.95)
+
+  /** Fitted model: β over [1, t, yearly sin/cos…, weekly sin/cos…] with t in
+    * days since `t0` (epoch days), plus residual quantiles for intervals.
+    */
+  final case class Model(
+      config: Config,
+      t0: Long,
+      beta: Array[Double],
+      residLo: Double,
+      residHi: Double) {
+
+    private def designRow(tDays: Double): Array[Double] =
+      Model.designRow(config, tDays)
+
+    def predictAt(epochDay: Long): Double = {
+      val x = designRow((epochDay - t0).toDouble)
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i) * beta(i); i += 1 }
+      s
+    }
+
+    /** Trend-only component (Prophet's `trend` output column). */
+    def trendAt(epochDay: Long): Double =
+      beta(0) + beta(1) * (epochDay - t0).toDouble
+
+    /** Spark-side prediction: adds `trend`, `yhat`, `yhat_lower`,
+      * `yhat_upper` to a frame with a date column `dsCol` — β inlined as
+      * literals, evaluated per-row in codegen (F3).
+      */
+    def transform(df: DataFrame, dsCol: String = "ds"): DataFrame = {
+      val t = datediff(col(dsCol), lit(java.time.LocalDate.ofEpochDay(t0).toString)).cast("double")
+      var yhat: Column = lit(beta(0)) + lit(beta(1)) * t
+      var i = 2
+      for (k <- 1 to config.yearlyOrder) {
+        val w = 2.0 * math.Pi * k / 365.25
+        yhat = yhat + lit(beta(i)) * cos(t * w); i += 1
+        yhat = yhat + lit(beta(i)) * sin(t * w); i += 1
+      }
+      for (k <- 1 to config.weeklyOrder) {
+        val w = 2.0 * math.Pi * k / 7.0
+        yhat = yhat + lit(beta(i)) * cos(t * w); i += 1
+        yhat = yhat + lit(beta(i)) * sin(t * w); i += 1
+      }
+      df.withColumn("trend", lit(beta(0)) + lit(beta(1)) * t)
+        .withColumn("yhat", yhat)
+        .withColumn("yhat_lower", yhat + lit(residLo))
+        .withColumn("yhat_upper", yhat + lit(residHi))
+    }
+
+    /** `make_future_dataframe(periods, freq='D')` counterpart (F2):
+      * history ∪ future daily ds rows, generated distributed via
+      * spark.range → date_add.
+      */
+    def makeFutureFrame(spark: SparkSession, historyDays: Int, periods: Int): DataFrame = {
+      val start = java.time.LocalDate.ofEpochDay(t0).toString
+      spark.range(0, historyDays.toLong + periods)
+        .select(date_add(lit(start).cast("date"), col("id").cast("int")).as("ds"))
+    }
+  }
+
+  object Model {
+    private[forecast] def designRow(config: Config, tDays: Double): Array[Double] = {
+      val p = 2 + 2 * config.yearlyOrder + 2 * config.weeklyOrder
+      val x = new Array[Double](p)
+      x(0) = 1.0; x(1) = tDays
+      var i = 2
+      for (k <- 1 to config.yearlyOrder) {
+        val w = 2.0 * math.Pi * k * tDays / 365.25
+        x(i) = math.cos(w); x(i + 1) = math.sin(w); i += 2
+      }
+      for (k <- 1 to config.weeklyOrder) {
+        val w = 2.0 * math.Pi * k * tDays / 7.0
+        x(i) = math.cos(w); x(i + 1) = math.sin(w); i += 2
+      }
+      x
+    }
+  }
+
+  /** F1: fit on a (ds date, y double) frame. Collects the aggregated series
+    * (small by construction) and solves the normal equations.
+    */
+  def fit(df: DataFrame, config: Config = Config(),
+      dsCol: String = "ds", yCol: String = "y"): Model = {
+    val rows = df.select(
+        datediff(col(dsCol), lit("1970-01-01").cast("date")).cast("long").as("t"),
+        col(yCol).cast("double").as("y"))
+      .na.drop()
+      .orderBy(col("t"))
+      .collect()
+    require(rows.length >= 3, s"need >=3 points, got ${rows.length}")
+    val t0 = rows.head.getLong(0)
+    val ts = rows.map(r => (r.getLong(0) - t0).toDouble)
+    val ys = rows.map(_.getDouble(1))
+
+    val p = 2 + 2 * config.yearlyOrder + 2 * config.weeklyOrder
+    val xtx = Array.ofDim[Double](p, p)
+    val xty = new Array[Double](p)
+    var n = 0
+    while (n < ts.length) {
+      val x = Model.designRow(config, ts(n))
+      var i = 0
+      while (i < p) {
+        xty(i) += x(i) * ys(n)
+        var j = 0
+        while (j < p) { xtx(i)(j) += x(i) * x(j); j += 1 }
+        i += 1
+      }
+      n += 1
+    }
+    // ridge epsilon keeps the solve stable when the series is shorter than
+    // a full seasonal period (collinear Fourier columns)
+    var d = 0
+    while (d < p) { xtx(d)(d) += 1e-8; d += 1 }
+    val beta = solve(xtx, xty)
+
+    val resid = ts.indices.map { idx =>
+      val x = Model.designRow(config, ts(idx))
+      var s = 0.0; var i = 0
+      while (i < p) { s += x(i) * beta(i); i += 1 }
+      ys(idx) - s
+    }.sorted
+    val alpha = (1.0 - config.intervalWidth) / 2.0
+    def quantile(q: Double): Double =
+      resid(math.min(resid.length - 1, math.max(0, (q * (resid.length - 1)).round.toInt)))
+    Model(config, t0, beta, quantile(alpha), quantile(1.0 - alpha))
+  }
+
+  /** Gaussian elimination with partial pivoting (p ≤ ~20 → trivial cost). */
+  private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val p = b.length
+    val m = a.map(_.clone())
+    val y = b.clone()
+    var col0 = 0
+    while (col0 < p) {
+      var piv = col0
+      var r = col0 + 1
+      while (r < p) { if (math.abs(m(r)(col0)) > math.abs(m(piv)(col0))) piv = r; r += 1 }
+      val tmp = m(col0); m(col0) = m(piv); m(piv) = tmp
+      val ty = y(col0); y(col0) = y(piv); y(piv) = ty
+      require(math.abs(m(col0)(col0)) > 1e-12, "singular design matrix")
+      r = col0 + 1
+      while (r < p) {
+        val f = m(r)(col0) / m(col0)(col0)
+        var c = col0
+        while (c < p) { m(r)(c) -= f * m(col0)(c); c += 1 }
+        y(r) -= f * y(col0)
+        r += 1
+      }
+      col0 += 1
+    }
+    val beta = new Array[Double](p)
+    var i = p - 1
+    while (i >= 0) {
+      var s = y(i)
+      var j = i + 1
+      while (j < p) { s -= m(i)(j) * beta(j); j += 1 }
+      beta(i) = s / m(i)(i)
+      i -= 1
+    }
+    beta
+  }
+
+  /** F4: MAPE as a distributed aggregate — `avg(abs((y-yhat)/y))`, the
+    * reference's holdout metric (= 0.02 on its data).
+    */
+  def mape(df: DataFrame, yCol: String = "y", yhatCol: String = "yhat"): Double =
+    df.where(col(yCol) =!= 0)
+      .agg(avg(abs((col(yCol) - col(yhatCol)) / col(yCol))))
+      .head().getDouble(0)
+
+  /** P8: the reference's positional 83/17 train/test split (ipynb cell 13) —
+    * ordered row_number window vs the fraction cut.
+    */
+  def positionalSplit(df: DataFrame, frac: Double = 0.83,
+      orderCol: String = "ds"): (DataFrame, DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
+    val n = df.count()
+    val cut = (n * frac).toLong
+    val numbered = df.withColumn("__rn", row_number().over(w))
+    (numbered.where(col("__rn") <= cut).drop("__rn"),
+      numbered.where(col("__rn") > cut).drop("__rn"))
+  }
+}

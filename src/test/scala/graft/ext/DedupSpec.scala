@@ -1,0 +1,83 @@
+package graft.ext
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "The quick brown fox jumps over the lazy dog  "), // near-exact (case/ws)
+      (3L, "the quick brown fox jumps over the lazy cat"), // one token differs
+      (4L, "completely different text about spark engines and columnar io"),
+      (5L, "the quick brown fox jumps over the lazy dog")) // exact copy of 1
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups normalized-identical docs and keeps the min id") {
+    val got = Dedup.exact(docs).orderBy(col("keeper_id")).collect()
+    // 1,2,5 normalize identically -> one group with keeper 1, n=3
+    assert(got.length == 3)
+    val g = got.find(_.getLong(1) == 1L).get
+    assert(g.getLong(2) == 3L)
+    val rows = Dedup.exactRows(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows == Set(1L, 3L, 4L))
+  }
+
+  test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    val once = Dedup.exactRows(docs)
+    val twice = Dedup.exactRows(once)
+    assert(once.count() == twice.count())
+    assert(once.exceptAll(twice).count() == 0)
+  }
+
+  test("simhash: identical text -> identical hash; near text -> small hamming; far -> large") {
+    val h = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(5L))
+    assert(h(1L) == h(2L)) // normalization folds case/whitespace
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)),
+      s"near ${ham(h(1L), h(3L))} !< far ${ham(h(1L), h(4L))}")
+  }
+
+  test("simhashNearDup pairs exact copies at hamming 0") {
+    val pairs = Dedup.simhashNearDup(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not the unrelated doc") {
+    val pairs = Dedup.minhashNearDup(docs, numHashTables = 16, maxJaccardDistance = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L)), s"missing exact pair in $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc paired: $pairs")
+  }
+
+  test("ngram jaccard: exact copy scores 1.0, near copy high, unrelated absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 5L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.3 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embedding near-dup pairs identical vectors and skips distant ones") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Array(1.0f, 0.0f, 0.5f, 0.2f)), // identical
+      (3L, Array(0.99f, 0.01f, 0.5f, 0.2f)), // near
+      (4L, Array(-1.0f, 0.3f, -0.5f, 0.9f))) // far
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(emb, minCosine = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ext
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextStatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("stats computes token counts and ratios") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello, World! 42 times")).toDF("doc_id", "text")
+    val r = TextStats.stats(df).head()
+    def d(c: String) = r.getDouble(r.fieldIndex(c))
+    assert(r.getInt(r.fieldIndex("n_tokens")) == 4)
+    assert(r.getInt(r.fieldIndex("n_chars_calc")) == 22)
+    assert(d("punct_ratio") > 0 && d("punct_ratio") < 0.2)
+    assert(d("digit_ratio") > 0)
+    assert(d("upper_ratio") > 0)
+    assert(math.abs(d("avg_token_len") - 19.0 / 4) < 1e-9)
+  }
+
+  test("subwordCount splits words, digits and punctuation marks") {
+    import spark.implicits._
+    val df = Seq(("don't stop, 123 go!")).toDF("t")
+    // don ' t stop , 123 go ! -> 8 pieces
+    val got = df.select(TextStats.subwordCount(col("t"))).head().getInt(0)
+    assert(got == 8)
+  }
+
+  test("langId picks the language whose stopwords dominate; Han chars force zh") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat on the mat and it is warm"),
+      (2L, "der hund ist nicht in der küche und das ist gut"),
+      (3L, "le chat est dans la maison pour la nuit"),
+      (4L, "el perro es una mascota para la casa"),
+      (5L, "这 是 一个 测试 文档"),
+      (6L, "zzz qqq xxx")).toDF("id", "text")
+    val got = df.select(col("id"), TextStats.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en"); assert(got(2L) == "de"); assert(got(3L) == "fr")
+    assert(got(4L) == "es"); assert(got(5L) == "zh"); assert(got(6L) == "und")
+  }
+
+  test("qualityScore favors clean prose over junk") {
+    import spark.implicits._
+    val df = Seq(
+      ("good", "the system is designed to keep the data flowing and it works for all of the cases we care about in practice"),
+      ("junk", "!!! ??? ### $$$ %%% &&& ***")).toDF("k", "text")
+    val got = df.select(col("k"), TextStats.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("good") > 0.8, s"good=${got("good")}")
+    assert(got("junk") < 0.4, s"junk=${got("junk")}")
+  }
+
+  test("fingerprint is order-sensitive and stable") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
+      .toDF("id", "text")
+    val got = df.select(col("id"), TextStats.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(3L))
+    assert(got(1L) != got(2L)) // bag-of-words hash would collide here
+  }
+
+  test("wordFreq counts tokens across the corpus") {
+    import spark.implicits._
+    val df = Seq(("a b a"), ("b a")).toDF("text")
+    val got = TextStats.wordFreq(df).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3, "b" -> 2))
+  }
+}
