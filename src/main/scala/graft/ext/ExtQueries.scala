@@ -121,7 +121,9 @@ object ExtQueries {
     "e07_lang_id",
     (s, dir) =>
       t(s, dir, "documents")
-        .select(col("lang"), TextStats.langId(col("text")).as("lang_pred"))
+        .withColumn("votes", TextStats.langVotes(col("text")))
+        .select(col("lang"),
+          TextStats.langIdFromVotes(col("votes"), col("text")).as("lang_pred"))
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("lang_pred")),
@@ -138,14 +140,18 @@ object ExtQueries {
         .orderBy(col("doc_id")),
     None)
 
-  // E1d MinHash-LSH near-dup pair count over the doubled corpus — every doc
-  // must collide with its exact copy (jaccard distance 0). Spark-only.
+  // E1d MinHash-LSH near-dup pairs over the doubled corpus — every doc must
+  // collide with its offset exact copy (jaccard 1.0). Spark-only. Uses the
+  // native codegen'd MinHash (Dedup.minhashNearDupNative); the spark.ml
+  // MinHashLSH variant is equivalent but ~20× slower (ml.Vector
+  // materialization + non-codegen distance UDF) — kept for API parity and
+  // covered by DedupSpec.
   private val e09 = Q(
     "e09_minhash_neardup",
     (s, dir) => {
       val d = t(s, dir, "documents")
       val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L))
-      Dedup.minhashNearDup(doubled, maxJaccardDistance = 0.3)
+      Dedup.minhashNearDupNative(doubled, minJaccard = 0.7)
         .orderBy(col("id_a"), col("id_b"))
     },
     None)

@@ -70,13 +70,37 @@ object TextStats {
   /** Heuristic language-ID: argmax of per-language stopword evidence, with a
     * CJK charset override (Han characters ⇒ zh regardless of stopwords).
     * Returns a language code column ("en", "de", … or "und" for no signal).
+    *
+    * Single tokenization + ONE aggregate pass over the tokens, tallying all
+    * languages at once (a per-language `stopwordRatio` would re-tokenize and
+    * re-scan the text N× — measurably slower at corpus scale).
     */
-  def langId(c: Column): Column = {
-    val scored = stopwords.keys.toSeq.sorted.map { l =>
-      struct(stopwordRatio(c, l).as("score"), lit(l).as("lang"))
+  def langId(c: Column): Column = langIdFromVotes(langVotes(c), c)
+
+  /** The expensive half of [[langId]]: per-language stopword vote counts in
+    * ONE aggregate pass over the tokens. Bind this to a column (withColumn)
+    * before calling [[langIdFromVotes]] when scoring a corpus — the argmax
+    * references the votes array several times, and a bound attribute makes
+    * those references free instead of re-running the aggregate per language.
+    */
+  def langVotes(c: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    aggregate(
+      tokens(lower(c)),
+      array_repeat(lit(0), langs.length),
+      (acc, t) =>
+        zip_with(acc, array(langs.map(l =>
+          when(t.isin(stopwords(l): _*), 1).otherwise(0)): _*), (a, v) => a + v))
+  }
+
+  /** Argmax over [[langVotes]] output (+ Han-charset override). */
+  def langIdFromVotes(votes: Column, text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = langs.zipWithIndex.map { case (l, i) =>
+      struct(element_at(votes, i + 1).as("score"), lit(l).as("lang"))
     }
     val best = array_max(array(scored: _*))
-    when(c.rlike("\\p{IsHan}"), lit("zh"))
+    when(text.rlike("\\p{IsHan}"), lit("zh"))
       .when(best.getField("score") > 0, best.getField("lang"))
       .otherwise(lit("und"))
   }

@@ -59,6 +59,14 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc paired: $pairs")
   }
 
+  test("native minhash LSH finds exact/near duplicates with verified jaccard") {
+    val pairs = Dedup.minhashNearDupNative(docs, minJaccard = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((1L, 5L)).contains(1.0), s"missing exact pair in $pairs")
+    assert(pairs.get((1L, 2L)).contains(1.0)) // normalization folds case/ws
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc paired: $pairs")
+  }
+
   test("ngram jaccard: exact copy scores 1.0, near copy high, unrelated absent") {
     val pairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
