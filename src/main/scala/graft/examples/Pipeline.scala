@@ -64,6 +64,32 @@ object Pipeline {
       .agg(org.apache.spark.sql.functions.avg("n_tokens")).head().getDouble(0)
     println(s"[demo] dedup: ${doubled.count()} docs -> $kept unique; avg tokens/doc=$quality")
 
+    // 6. similarity search: exact vs IVF probe over real embeddings
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exact = graft.ext.Similarity.bruteForceTopK(emb, 0L, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val ivf = graft.ext.Similarity.ivfTopK(emb, 0L, 5, nClusters = 8, nProbes = 4)
+      .collect().map(_.getLong(0)).toSeq
+    println(s"[demo] ann: exact top-5=$exact ivf top-5=$ivf " +
+      s"recall=${ivf.toSet.intersect(exact.toSet).size}/5")
+
+    // 7. streaming: same window op as batch, through readStream
+    val streamDir = java.nio.file.Files.createTempDirectory("demo_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = graft.streaming.EventStream.readEventStream(spark, streamDir.toString)
+    val windows = graft.streaming.EventStream.runToMemory(
+      graft.streaming.EventStream.tumbling(stream, "1 hour", "2 hours"), "demo_windows")
+    println(s"[demo] streaming: ${windows.count()} closed hourly windows emitted")
+
+    // 8. JDBC sink/source round-trip (embedded Derby)
+    val derby = java.nio.file.Files.createTempDirectory("demo_derby")
+    val url = s"jdbc:derby:$derby/db;create=true"
+    graft.sources.Jdbc.writeReplace(top, url, "revenue_by_flag")
+    val back = graft.sources.Jdbc.read(spark, url, "revenue_by_flag").count()
+    println(s"[demo] jdbc: round-tripped $back rows through Derby")
+
     Ddl.dropDatabaseCascade(spark, "demo_db")
     spark.stop()
     println("[demo] OK")

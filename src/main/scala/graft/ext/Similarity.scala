@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.linalg.{Vectors => MLVectors}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -61,6 +62,47 @@ object Similarity {
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  /** IVF (inverted-file) approximate nearest neighbors: k-means partitions
+    * the corpus into `nClusters` cells; a query probes only the `nProbes`
+    * cells whose centroids are closest, then scores exact cosine inside
+    * them. The classic FAISS-style IVF-Flat layout expressed in Spark: the
+    * cell assignment is a a partition-pruning predicate (`prediction IN
+    * probes`), so at 100 TB a query touches nProbes/nClusters of the data —
+    * write the corpus partitioned by cell to make that pruning physical.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      queryId: Long,
+      k: Int,
+      nClusters: Int = 16,
+      nProbes: Int = 4,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val toUnitVec = udf { (xs: Seq[Double]) =>
+      val n = math.sqrt(xs.map(x => x * x).sum)
+      MLVectors.dense((if (n == 0) xs else xs.map(_ / n)).toArray)
+    }
+    val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"),
+      toUnitVec(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nClusters).setSeed(42L)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(v)
+    val assigned = model.transform(v)
+    val qRow = assigned.where(col(idCol) === queryId)
+      .select(col("features"), col("v")).head()
+    val qFeat = qRow.getAs[org.apache.spark.ml.linalg.Vector]("features")
+    val probes = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => i -> math.sqrt(MLVectors.sqdist(c, qFeat)) }
+      .sortBy(_._2).take(nProbes).map(_._1)
+    val q = assigned.where(col(idCol) === queryId).select(col("v").as("q_v"))
+    assigned
+      .where(col("cell").isin(probes.toIndexedSeq: _*) && col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), round(cosine(col("v"), col("q_v")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
   }
 
   /** Approximate nearest neighbors via BucketedRandomProjectionLSH on

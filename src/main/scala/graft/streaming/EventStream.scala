@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming form of the event-stream operators (SURVEY.md §2.e
+  * E5, §7 risk 6): the batch pipeline in graft.ext.Jsonish upgrades to
+  * `readStream` + watermark without semantic change — same `window()` /
+  * `session_window()` groupings, same aggregates.
+  *
+  * Scale posture: watermarks bound state (late data beyond the horizon is
+  * dropped, state for closed windows is evicted); the windowed aggregation
+  * shuffles once on (window, key) with partial aggregation; custom session
+  * state via flatMapGroupsWithState is partitioned by user key — the
+  * standard 1000-executor streaming topology.
+  */
+object EventStream {
+
+  /** The events table schema as a stream source contract. `ts` arrives as
+    * Long nanos (TIMESTAMP(NANOS) parquet read under nanosAsLong) and is
+    * normalized to a µs TimestampType column, exactly like the batch loader.
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-stream source over a directory of event parquet files. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling-window counts/sums with a watermark: the streaming twin of
+    * Jsonish.tumbling. Append-mode-compatible (watermark closes windows).
+    */
+  def tumbling(events: DataFrame, width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Gap-based session windows under a watermark — `session_window` merges
+    * overlapping per-key windows as events arrive.
+    */
+  def sessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  // ---- custom state: flatMapGroupsWithState sessionization ----
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(start: Long, lastSeen: Long, n: Long, sum: Double)
+
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Custom stateful sessionization: closes a user's session when the gap
+    * between consecutive events exceeds `gapMillis`, emitting one summary
+    * row per closed session. The state object is O(1) per key — at scale,
+    * state store size is #active users, not #events.
+    */
+  def sessionizeStateful(events: Dataset[Event], gapMillis: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evts: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = evts.toSeq.sortBy(_.ts.getTime)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastSeen > gapMillis =>
+                out += SessionOut(userId, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.lastSeen), s.n, s.sum)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case Some(s) =>
+                cur = Some(s.copy(lastSeen = t, n = s.n + 1, sum = s.sum + e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Run a streaming frame to completion against the files currently in the
+    * source directory, collecting results via the memory sink — the local
+    * smoke-loop (spark_guide: memory format + processAllAvailable).
+    */
+  def runToMemory(df: DataFrame, queryName: String,
+      mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(queryName)
+  }
+}

@@ -39,6 +39,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(row0.getLong(1) == 1L)
   }
 
+  test("ivfTopK recalls the exact top-k on the real embeddings table") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(real, queryId = 0L, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.ivfTopK(real, queryId = 0L, k = 5,
+        nClusters = 8, nProbes = 4)
+      .collect().map(_.getLong(0)).toSet
+    // probing half the cells should recall most of the true top-5
+    assert(approx.intersect(exact).size >= 3,
+      s"IVF recall too low: $approx vs exact $exact")
+  }
+
   test("lshTopK approximates the exact top-k on clustered vectors") {
     val got = Similarity.lshTopK(spark, emb, queryId = 0L, k = 2, numHashTables = 8)
       .collect().map(_.getLong(0)).toSet

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.ext.Jsonish
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** File-stream sources need a directory; testdata ships one file. */
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming tumbling windows match the batch twin on the same files") {
+    val stream = EventStream.readEventStream(spark, streamDir)
+    val got = EventStream.runToMemory(
+      EventStream.tumbling(stream, "1 hour", "2 hours"), "stream_tumbling")
+      .select("window_start", "event_type", "n_events")
+    val batch = Jsonish.tumbling(
+      graft.queries.Reference.events(spark, sfDir), "1 hour")
+      .select("window_start", "event_type", "n_events")
+    // append-mode emits only watermark-closed windows: every emitted row
+    // must match the batch result exactly, and most windows must emit
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() == 0, "stream emitted a row batch doesn't have")
+    assert(got.count() >= batch.count() - 25, s"too few closed windows: ${got.count()} vs ${batch.count()}")
+  }
+
+  test("streaming session windows produce per-user sessions") {
+    val stream = EventStream.readEventStream(spark, streamDir)
+    val got = EventStream.runToMemory(
+      EventStream.sessions(stream, "30 minutes", "2 hours"), "stream_sessions")
+    assert(got.count() > 0)
+    // session invariant: end >= start, events >= 1
+    assert(got.where(col("session_end") < col("session_start")).count() == 0)
+    assert(got.where(col("n_events") < 1).count() == 0)
+  }
+
+  test("stateful sessionization closes sessions on the gap and sums values") {
+    import spark.implicits._
+    val events = Seq(
+      EventStream.Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7, "c", 1.0),
+      EventStream.Event(2, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 7, "c", 2.0),
+      EventStream.Event(3, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 7, "c", 4.0),
+      EventStream.Event(4, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 8, "c", 8.0))
+      .toDS()
+    // batch Dataset drives the same flatMapGroupsWithState function
+    val out = EventStream.sessionizeStateful(events, gapMillis = 30 * 60 * 1000)
+      .collect()
+    // user 7: session [10:00,10:10] closed by the 12:00 event; the 12:00
+    // session and user 8's stay open in state (append mode emits closed only)
+    assert(out.length == 1)
+    val s = out.head
+    assert(s.user_id == 7 && s.n_events == 2 && s.sum_value == 3.0)
+    assert(s.session_start == java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(s.session_end == java.sql.Timestamp.valueOf("2024-01-01 10:10:00"))
+  }
+}
