@@ -130,12 +130,15 @@ object ExtQueries {
     None)
 
   // E1c SimHash fingerprints — deterministic Spark-only computation
-  // (xxhash64-based; no DuckDB counterpart). Rows-only check.
+  // (xxhash64-based; no DuckDB counterpart). Rows-only check. Uses the
+  // native codegen'd SimHash64 expression (bit-identical to the HOF form
+  // Dedup.simhash — pinned in DedupSpec — but one JVM loop per row).
   private val e08 = Q(
     "e08_simhash",
     (s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"),
+        .select(col("doc_id"),
+          graft.functions.SimHash.simhash64(col("text")).as("simhash"),
           TextStats.fingerprint(col("text")).as("rolling_fp"))
         .orderBy(col("doc_id")),
     None)

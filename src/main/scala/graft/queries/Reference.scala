@@ -307,5 +307,83 @@ object Reference {
       s"""SELECT CAST(ts AS DATE) AS ds, ${msumSql("value")} AS y, COUNT(*) AS n_events
          |FROM events GROUP BY CAST(ts AS DATE) ORDER BY ds""".stripMargin))
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q05, q07, q08, q09, q10, q12, q13, q14, q15)
+  // ----------------------------------------------- Q16: window functions
+  // Beyond the reference surface (SURVEY.md §2.e declares window/analytic
+  // functions absent there) — included for engine completeness. Running
+  // sums accumulate in fixed-point integer units: engines disagree on
+  // windowed double summation internals (incremental vs segment-tree), and
+  // integer sums are associative under both.
+  private val q16 = Q(
+    "q16_window",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"),
+          (sum(round(col("o_totalprice") * Scale, 0).cast("long"))
+            .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .cast("double") / Scale).as("running_spend"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some(
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS rn,
+        |  CAST(SUM(CAST(round(o_totalprice * 10000) AS BIGINT)) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000
+        |    AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin))
+
+  // ----------------------------------------------- Q17: ROLLUP grouping sets
+  // Also beyond the reference surface (declared absent) — subtotal + grand
+  // total rows; NULL ordering pinned explicitly (Spark defaults NULLS FIRST
+  // ascending, DuckDB NULLS LAST).
+  private val q17 = Q(
+    "q17_rollup",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(msum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${msumSql("l_quantity")} AS sum_qty, COUNT(*) AS n_rows
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin))
+
+  // ------------------------------------------- Q18: set operators INTERSECT/EXCEPT
+  // Also beyond the reference surface (declared absent): customers active in
+  // both 1995 and 1996 vs only 1995, tagged and unioned.
+  private val q18 = Q(
+    "q18_setops",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      def active(year: Int) = o
+        .where(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val both = active(1995).intersect(active(1996)).select(lit("both").as("tag"), col("o_custkey"))
+      val only95 = active(1995).except(active(1996)).select(lit("only_1995").as("tag"), col("o_custkey"))
+      both.unionAll(only95).orderBy(col("tag"), col("o_custkey"))
+    },
+    Some(
+      """SELECT 'both' AS tag, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+        |UNION ALL
+        |SELECT 'only_1995' AS tag, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+        |ORDER BY tag, o_custkey""".stripMargin))
+
+  val all: Seq[Q] =
+    Seq(q01, q02, q03, q05, q07, q08, q09, q10, q12, q13, q14, q15, q16, q17, q18)
 }

@@ -45,6 +45,20 @@ class DedupSpec extends AnyFunSuite {
       s"near ${ham(h(1L), h(3L))} !< far ${ham(h(1L), h(4L))}")
   }
 
+  test("native SimHash64 expression is bit-identical to the HOF formulation") {
+    val both = docs.select(
+      Dedup.simhash(col("text")).as("hof"),
+      graft.functions.SimHash.simhash64(col("text")).as("native"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"HOF ${r.getLong(0)} != native ${r.getLong(1)}"))
+    // also on real corpus text + edge cases
+    import spark.implicits._
+    val edge = Seq("", "   ", "one", "a  b\tc").toDF("text")
+    edge.select(Dedup.simhash(col("text")), graft.functions.SimHash.simhash64(col("text")))
+      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("simhashNearDup pairs exact copies at hamming 0") {
     val pairs = Dedup.simhashNearDup(docs, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
