@@ -90,6 +90,25 @@ object Pipeline {
     val back = graft.sources.Jdbc.read(spark, url, "revenue_by_flag").count()
     println(s"[demo] jdbc: round-tripped $back rows through Derby")
 
+    // 9. custom SQL function through the session (extensions registration)
+    graft.GraftExtensions.register(spark)
+    docs.limit(3).createOrReplaceTempView("demo_docs")
+    val hashes = spark.sql("SELECT doc_id, simhash64(text) AS h FROM demo_docs ORDER BY doc_id")
+    println(s"[demo] sql simhash64: ${hashes.collect().map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(" ")}")
+
+    // 10. bucketed layout: co-located join with no shuffle exchange
+    val oTab = spark.read.parquet(s"$sfDir/orders.parquet")
+    val lTab = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    graft.ops.Layout.writeBucketed(oTab, "demo_bt_orders", "o_orderkey", 8)
+    graft.ops.Layout.writeBucketed(lTab, "demo_bt_lineitem", "l_orderkey", 8)
+    val cojoin = spark.table("demo_bt_lineitem").hint("merge")
+      .join(spark.table("demo_bt_orders"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+    println(s"[demo] bucketed join shuffle-free=${graft.ops.Layout.hasNoShuffleExchange(cojoin)} rows=${cojoin.count()}")
+    spark.sql("DROP TABLE IF EXISTS demo_bt_orders")
+    spark.sql("DROP TABLE IF EXISTS demo_bt_lineitem")
+
     Ddl.dropDatabaseCascade(spark, "demo_db")
     spark.stop()
     println("[demo] OK")

@@ -138,14 +138,28 @@ object Dedup {
           sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*)).as("key"))
     }
     val banded = sh.select(col(idCol), col("sh"), explode(array(bandKeys: _*)).as("bk"))
-    val a = banded.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("bk"))
-    val b = banded.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("bk"))
-    val common = size(array_intersect(col("sh_a"), col("sh_b")))
-    a.join(b, Seq("bk"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    // Candidate pairing by grouping each band bucket and exploding ordered
+    // pairs inside it — computes shingles+signatures ONCE and shuffles once
+    // (a self-join would re-evaluate the whole upstream for each side: no
+    // common-subplan reuse across differently-named exchanges). Bucket
+    // membership is capped: a bucket of B members yields B² pairs, and a
+    // degenerate cluster (thousands of identical docs) must not explode —
+    // exact-dedup upstream first in real pipelines.
+    val maxBucket = 256
+    val buckets = banded
+      .groupBy(col("bk"))
+      .agg(slice(array_sort(collect_list(struct(col(idCol).as("id"), col("sh").as("sh")))),
+        1, maxBucket).as("members"))
+      .where(size(col("members")) > 1)
+    val pairs = buckets
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .where(col("a.id") < col("b.id"))
+    val common = size(array_intersect(col("a.sh"), col("b.sh")))
+    pairs
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (common.cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - common)).as("jaccard"))
+          (size(col("a.sh")) + size(col("b.sh")) - common)).as("jaccard"))
       .distinct()
       .where(col("jaccard") >= minJaccard)
   }

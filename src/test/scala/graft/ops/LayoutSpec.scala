@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("bucketed tables join WITHOUT a shuffle exchange") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+    spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+    // a previously-aborted run can leave the managed-table directory behind
+    // with no catalog entry; Spark then refuses the CREATE
+    Seq("bt_orders", "bt_lineitem").foreach { t =>
+      val d = new java.io.File(s"spark-warehouse/$t")
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(d)
+      }
+    }
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    Layout.writeBucketed(o, "bt_orders", "o_orderkey", 8)
+    Layout.writeBucketed(l, "bt_lineitem", "l_orderkey", 8)
+    val joined = spark.table("bt_lineitem")
+      .join(spark.table("bt_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    // force sort-merge (a tiny dimension would broadcast, which also needs
+    // no shuffle but wouldn't exercise bucket co-location): the bucketed
+    // SMJ must read both sides bucket-aligned with NO shuffle exchange
+    val joinOnly = spark.table("bt_lineitem").hint("merge")
+      .join(spark.table("bt_orders"), col("l_orderkey") === col("o_orderkey"))
+    assert(Layout.hasNoShuffleExchange(joinOnly),
+      s"bucketed join still shuffles:\n${joinOnly.queryExecution.executedPlan}")
+    // and it is still correct
+    val viaBuckets = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaBuckets == direct)
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+    spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+  }
+
+  test("partitioned write enables partition pruning") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    Layout.writePartitioned(l, s"$out/li", "l_returnflag")
+    val pruned = spark.read.parquet(s"$out/li").where(col("l_returnflag") === "R")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == l.where(col("l_returnflag") === "R").count())
+    // pruning shows as a partition filter, not a data filter
+    assert(plan.contains("PartitionFilters") || !plan.contains("l_returnflag = R"))
+  }
+
+  test("salted join matches the plain join result") {
+    import spark.implicits._
+    val big = (1 to 10000).map(i => (if (i % 3 == 0) 1L else i.toLong, i)).toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "cold"), (7L, "x")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).agg(count(lit(1)), sum("v")).head()
+    val salted = Layout.saltedJoin(big, small, "k", salt = 8)
+      .agg(count(lit(1)), sum("v")).head()
+    assert(plain == salted)
+  }
+
+  test("custom SQL function registration (simhash64 via extensions)") {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(("the quick brown fox")).toDF("text").createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql("SELECT simhash64(text) AS h FROM ext_docs").head().getLong(0)
+    val viaApi = spark.table("ext_docs")
+      .select(graft.functions.SimHash.simhash64(col("text"))).head().getLong(0)
+    assert(viaSql == viaApi)
+  }
+}
