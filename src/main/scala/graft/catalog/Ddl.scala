@@ -43,6 +43,15 @@ object Ddl {
   def saveAsTable(df: DataFrame, db: String, table: String): Unit =
     df.write.mode("overwrite").saveAsTable(s"`$db`.`$table`")
 
+  /** `get_table_shape` counterpart (ipynb cell 1: COUNT(*) rows-query +
+    * SELECT-*-LIMIT-1 column probe — Q2/Q11): (rows, cols). The column
+    * count comes from the catalog schema, not a probe row.
+    */
+  def tableShape(spark: SparkSession, table: String): (Long, Int) = {
+    val df = spark.table(table)
+    (df.count(), df.schema.length)
+  }
+
   /** Register every Parquet table under `sfDir` as an external table in
     * `db` — the end-to-end ETL spine of Main_File.py in one call.
     */

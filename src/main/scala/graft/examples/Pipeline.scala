@@ -41,6 +41,7 @@ object Pipeline {
     // 3. catalog: register testdata dir + SQL through the session catalog
     Ddl.recreateDatabase(spark, "demo_db")
     Ddl.registerDir(spark, "demo_db", sfDir)
+    println(s"[demo] lineitem shape=${Ddl.tableShape(spark, "demo_db.lineitem")}")
     val top = spark.sql(
       """SELECT l_returnflag, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM demo_db.lineitem GROUP BY l_returnflag ORDER BY revenue DESC""".stripMargin)

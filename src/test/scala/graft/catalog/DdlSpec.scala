@@ -17,6 +17,8 @@ class DdlSpec extends AnyFunSuite {
     // the reference's Presto role served by spark.sql
     val n = spark.sql(s"SELECT count(*) AS n FROM `$db`.`lineitem`").head().getLong(0)
     assert(n > 0)
+    // get_table_shape counterpart: (rows, cols)
+    assert(Ddl.tableShape(spark, s"`$db`.`lineitem`") == (n, 11))
     Ddl.dropDatabaseCascade(spark, db)
     assert(!spark.catalog.databaseExists(db))
   }
