@@ -65,6 +65,12 @@ object Pipeline {
       .agg(org.apache.spark.sql.functions.avg("n_tokens")).head().getDouble(0)
     println(s"[demo] dedup: ${doubled.count()} docs -> $kept unique; avg tokens/doc=$quality")
 
+    // 5b. near-dedup with transitive grouping + quality gate
+    val nearKept = Dedup.nearDedupRows(doubled, minJaccard = 0.7).count()
+    val q = TextStats.qualityFilter(docs)
+    val passRate = q.where(org.apache.spark.sql.functions.col("quality_pass")).count().toDouble / docs.count()
+    println(f"[demo] near-dedup: ${doubled.count()} -> $nearKept docs; quality pass rate=$passRate%.2f")
+
     // 6. similarity search: exact vs IVF probe over real embeddings
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val exact = graft.ext.Similarity.bruteForceTopK(emb, 0L, 5)

@@ -245,6 +245,42 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Transitive duplicate groups from a near-dup pair list: connected
+    * components over the similarity graph (duplicate clusters are rarely
+    * clean pairs — A≈B≈C must collapse to ONE keeper even when A~C missed
+    * the similarity cut). GraphX's ConnectedComponents labels every doc
+    * with the minimum id of its component, which doubles as the keeper id.
+    * Pregel-style iterative label propagation: O(diameter) supersteps, each
+    * a shuffle — the standard 100 TB-scale formulation.
+    *
+    * Returns (id, group_id); docs absent from `pairs` are their own group.
+    */
+  def dupGroups(allIds: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = allIds.sparkSession
+    import org.apache.spark.graphx.{Edge, Graph}
+    val vertices = allIds.select(col(idCol).cast("long")).distinct()
+      .rdd.map(r => (r.getLong(0), ()))
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val graph = Graph(vertices, edges)
+    val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(graph)
+    spark.createDataFrame(cc.vertices.map { case (id, group) => (id, group) })
+      .toDF(idCol, "group_id")
+  }
+
+  /** End-to-end near-dedup: MinHash candidate pairs → transitive groups →
+    * min-id keeper rows. The full training-pipeline dedup pass.
+    */
+  def nearDedupRows(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minJaccard: Double = 0.7): DataFrame = {
+    val pairs = minhashNearDupNative(docs, textCol, idCol, minJaccard = minJaccard)
+    val groups = dupGroups(docs.select(col(idCol)), pairs, idCol)
+    val keepers = groups.groupBy(col("group_id")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    docs.join(keepers, Seq(idCol), "left_semi").dropDuplicates(idCol)
+  }
+
   /** Embedding-cosine near-duplicate pairs above `minCosine`, via the same
     * band-bucket idea: random-hyperplane LSH signatures (sign of dot with a
     * seeded pseudo-random vector, SimHash-for-vectors) bucket candidates, the

@@ -135,6 +135,43 @@ object TextStats {
       (acc, h) => pmod(acc * base + h, lit(1L << 31)))
   }
 
+  /** Composable Gopher/C4-style quality gate (public heuristics): token
+    * count bounds, mean token length bounds, symbol ratio cap, stopword
+    * floor. Returns the input plus a boolean `quality_pass` and a
+    * `quality_fail_reasons` array naming every violated rule — keep the
+    * reasons column in curation pipelines; silent drops are undebuggable
+    * at 100 TB.
+    */
+  def qualityFilter(docs: DataFrame, textCol: String = "text",
+      minTokens: Int = 5, maxTokens: Int = 100000,
+      minMeanTokenLen: Double = 2.0, maxMeanTokenLen: Double = 12.0,
+      maxSymbolRatio: Double = 0.25, minStopwordRatio: Double = 0.01): DataFrame = {
+    val c = col(textCol)
+    val toks = tokens(c)
+    val meanLen = when(size(toks) > 0,
+      aggregate(toks, lit(0), (a, t) => a + length(t)).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+    // stripping letters/digits/whitespace leaves exactly the symbols
+    val symbolRatio = when(length(c) > 0,
+      length(regexp_replace(c, "[\\p{L}\\p{N}\\s]", "")).cast("double") / length(c))
+      .otherwise(lit(0.0))
+    val checks: Seq[(String, Column)] = Seq(
+      "too_few_tokens" -> (size(toks) < minTokens),
+      "too_many_tokens" -> (size(toks) > maxTokens),
+      "mean_token_too_short" -> (meanLen < minMeanTokenLen),
+      "mean_token_too_long" -> (meanLen > maxMeanTokenLen),
+      "symbol_heavy" -> (symbolRatio > maxSymbolRatio),
+      "no_stopwords" -> (stopwordRatio(c) < minStopwordRatio))
+    val reasons = filter(
+      array(checks.map { case (name, bad) =>
+        when(bad, lit(name)).otherwise(lit(null))
+      }: _*),
+      r => r.isNotNull)
+    docs
+      .withColumn("quality_fail_reasons", reasons)
+      .withColumn("quality_pass", size(col("quality_fail_reasons")) === 0)
+  }
+
   /** Token frequency table over a corpus: explode + count. One shuffle on
     * token; partial aggregation keeps it map-side-combined at scale.
     */

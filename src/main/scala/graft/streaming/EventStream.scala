@@ -63,6 +63,18 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop duplicate event ids as they arrive, with
+    * state bounded by the watermark (`dropDuplicatesWithinWatermark` evicts
+    * ids older than the horizon — without it, dedup state grows forever on
+    * an unbounded stream). The streaming twin of Dedup.exactRows for the
+    * training-data ingest path.
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String] = Seq("event_id"),
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   // ---- custom state: flatMapGroupsWithState sessionization ----
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -89,6 +89,27 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("dupGroups collapses transitive chains A~B~C into one component") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    // 1~2 and 2~3 but no direct 1~3 edge; 4~5 separate; nothing links the two
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val groups = Dedup.dupGroups(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(1L) == 1L && groups(2L) == 1L && groups(3L) == 1L)
+    assert(groups(4L) == 4L && groups(5L) == 4L)
+  }
+
+  test("nearDedupRows keeps one doc per near-dup cluster") {
+    // 1,2,5 normalize-identical; 3 near (jaccard ~0.7 on shingles); 4 unique
+    val kept = Dedup.nearDedupRows(docs, minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(4L))
+    assert(kept.contains(1L))
+    assert(!kept.contains(2L) && !kept.contains(5L)) // folded into 1's cluster
+    assert(kept.size <= 3)
+  }
+
   test("embedding near-dup pairs identical vectors and skips distant ones") {
     import spark.implicits._
     val emb = Seq(

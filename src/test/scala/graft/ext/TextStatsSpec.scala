@@ -65,6 +65,20 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got(1L) != got(2L)) // bag-of-words hash would collide here
   }
 
+  test("qualityFilter passes prose, fails junk with named reasons") {
+    import spark.implicits._
+    val df = Seq(
+      ("ok", "the data pipeline keeps all of the documents that look like real text and it works well"),
+      ("short", "tiny text"),
+      ("symbols", "the @@ ## $$ %% ^^ && ** (( )) !! ?? ++ == ~~ ;; :: the")).toDF("k", "text")
+    val got = TextStats.qualityFilter(df)
+      .select("k", "quality_pass", "quality_fail_reasons")
+      .collect().map(r => r.getString(0) -> (r.getBoolean(1), r.getSeq[String](2))).toMap
+    assert(got("ok")._1, s"ok failed: ${got("ok")._2}")
+    assert(!got("short")._1 && got("short")._2.contains("too_few_tokens"))
+    assert(!got("symbols")._1 && got("symbols")._2.contains("symbol_heavy"))
+  }
+
   test("wordFreq counts tokens across the corpus") {
     import spark.implicits._
     val df = Seq(("a b a"), ("b a")).toDF("text")

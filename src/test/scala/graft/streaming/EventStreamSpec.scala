@@ -43,6 +43,20 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.where(col("n_events") < 1).count() == 0)
   }
 
+  test("streaming dedup drops duplicate ids within the watermark") {
+    // stage a source dir whose file contains every event twice
+    val d = java.nio.file.Files.createTempDirectory("graft_dupstream")
+    val ev = graft.queries.Reference.events(spark, sfDir).limit(200)
+    val doubled = ev.unionAll(ev)
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "CAST(unix_micros(ts) * 1000 AS LONG)")) // back to raw nanos shape
+    doubled.coalesce(1).write.mode("overwrite").parquet(d.toString)
+    val stream = EventStream.readEventStream(spark, d.toString)
+    val got = EventStream.runToMemory(
+      EventStream.dedupStream(stream), "stream_dedup")
+    assert(got.count() == 200, s"expected 200 unique, got ${got.count()}")
+  }
+
   test("stateful sessionization closes sessions on the gap and sums values") {
     import spark.implicits._
     val events = Seq(
