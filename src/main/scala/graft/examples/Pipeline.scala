@@ -97,6 +97,20 @@ object Pipeline {
     val back = graft.sources.Jdbc.read(spark, url, "revenue_by_flag").count()
     println(s"[demo] jdbc: round-tripped $back rows through Derby")
 
+    // 8b. single-pass grouped top-k (heap aggregator, no window sort)
+    val oTab0 = spark.read.parquet(s"$sfDir/orders.parquet")
+    val topOrders = graft.functions.TopK.groupedTopK(
+      oTab0.select(org.apache.spark.sql.functions.col("o_custkey").as("g"),
+        org.apache.spark.sql.functions.col("o_orderkey").as("id"),
+        org.apache.spark.sql.functions.col("o_totalprice").as("score")),
+      "g", "id", "score", 2)
+    println(s"[demo] grouped top-2 orders per customer: ${topOrders.count()} rows")
+
+    // 8c. ORC round-trip (source-format breadth)
+    val orcDir = java.nio.file.Files.createTempDirectory("demo_orc").toString
+    graft.sources.Formats.writeOrc(oTab0, s"$orcDir/o")
+    println(s"[demo] orc round-trip rows=${graft.sources.Formats.readOrc(spark, s"$orcDir/o").count()}")
+
     // 9. custom SQL function through the session (extensions registration)
     graft.GraftExtensions.register(spark)
     docs.limit(3).createOrReplaceTempView("demo_docs")

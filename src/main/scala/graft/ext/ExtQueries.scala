@@ -159,5 +159,25 @@ object ExtQueries {
     },
     None)
 
-  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09)
+  // E-stat: exact percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`,
+  // both linear-interpolation on the sorted values). Interpolated values are
+  // rounded to 4dp: the inputs carry ≤2dp so interpolation at quarter
+  // fractions lands on the 4dp grid — rounding kills any a+(b−a)·f vs
+  // (a+b)/2 ulp difference between engines without losing information.
+  private val e10 = Q(
+    "e10_percentiles",
+    (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75_price")),
+    Some(
+      """SELECT round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+        |FROM lineitem""".stripMargin))
+
+  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10)
 }
