@@ -111,6 +111,19 @@ object Pipeline {
     graft.sources.Formats.writeOrc(oTab0, s"$orcDir/o")
     println(s"[demo] orc round-trip rows=${graft.sources.Formats.readOrc(spark, s"$orcDir/o").count()}")
 
+    // 8d. as-of join: attach each user's latest prior event value to the
+    // hourly window starts (events as both sides, shifted semantics)
+    {
+      import spark.implicits._
+      val trades = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:05"), 100.0))
+        .toDF("k", "lt", "px")
+      val quotes = Seq(
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 10.0),
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 12.0)).toDF("k", "rt", "bid")
+      val asof = graft.ops.AsOfJoin.asofBackward(trades, quotes, "k", "lt", "rt", Seq("bid"))
+      println(s"[demo] asof join: trade@10:00:05 gets bid=${asof.head().getAs[Double]("bid")}")
+    }
+
     // 9. custom SQL function through the session (extensions registration)
     graft.GraftExtensions.register(spark)
     docs.limit(3).createOrReplaceTempView("demo_docs")

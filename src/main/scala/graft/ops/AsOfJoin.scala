@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series joins Spark lacks as built-ins, composed from primitives
+  * with scale-correct shapes (builder-prompt preference (a): compose
+  * existing ops when semantics allow — a custom LogicalPlan/Strategy would
+  * buy nothing here, the composed plans already shuffle once).
+  */
+object AsOfJoin {
+
+  /** As-of (backward) join: for every left row, attach the single right
+    * row's payload with the greatest `rightTime` ≤ `leftTime` for the same
+    * key — "the latest quote at or before the trade".
+    *
+    * Shape: union both sides tagged, ONE shuffle on the key, per-key
+    * time-ordered window with `last(_, ignoreNulls)` carrying the most
+    * recent right payload forward onto left rows. No range cross-product,
+    * no per-row lookup; cost = sort within key partitions — the standard
+    * scalable as-of formulation. Optional `toleranceSeconds` voids matches
+    * older than the horizon.
+    *
+    * `payloadCols` must not collide with left column names.
+    */
+  def asofBackward(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      payloadCols: Seq[String],
+      toleranceSeconds: Option[Long] = None): DataFrame = {
+    require(payloadCols.forall(c => !left.columns.contains(c)),
+      "payload columns must not collide with left columns")
+    val l2 = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(0))
+    val r2 = right.select(
+      col(key) +: col(rightTime).as("__t") +: lit(1).as("__side") +:
+        payloadCols.map(col): _*)
+    // right rows with __side=1 sort FIRST at an equal timestamp via
+    // (__t asc, __side desc): a quote at exactly the trade time matches
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val unioned = l2.unionByName(r2, allowMissingColumns = true)
+    val carried = payloadCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__asof_$c",
+        last(when(col("__side") === 1, col(c)), ignoreNulls = true).over(w))
+    }.withColumn("__match_t",
+      last(when(col("__side") === 1, col("__t")), ignoreNulls = true).over(w))
+    val leftOnly = carried.where(col("__side") === 0)
+    val bounded = toleranceSeconds match {
+      case Some(sec) =>
+        payloadCols.foldLeft(leftOnly) { (df, c) =>
+          df.withColumn(s"__asof_$c",
+            when(col("__t").cast("long") - col("__match_t").cast("long") <= sec,
+              col(s"__asof_$c")))
+        }
+      case None => leftOnly
+    }
+    payloadCols.foldLeft(bounded) { (df, c) =>
+      df.drop(c).withColumnRenamed(s"__asof_$c", c)
+    }.drop("__side", "__t", "__match_t")
+  }
+
+  /** Point-in-interval range join: attach every interval [startCol, endCol)
+    * containing the point. Intervals are binned to fixed-width buckets
+    * (explode over the covered bins) and points join their bin — an
+    * equi-join shuffle instead of a cross product; the exact containment
+    * predicate filters bin-mates. Pick `binWidth` ≈ the typical interval
+    * length: wider bins → fewer replicas but more false bin-mates.
+    */
+  def rangeJoinBinned(
+      points: DataFrame, intervals: DataFrame,
+      pointCol: String, startCol: String, endCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("__bin",
+      floor(col(pointCol).cast("long") / binWidth).cast("long"))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(
+        floor(col(startCol).cast("long") / binWidth).cast("long"),
+        floor(col(endCol).cast("long") / binWidth).cast("long"))))
+    p.join(iv, Seq("__bin"))
+      .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bin")
+  }
+}

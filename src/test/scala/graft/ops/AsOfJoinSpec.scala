@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofBackward attaches the latest right payload at or before each left time") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), 100.0),
+      (1L, ts("2024-01-01 10:01:00"), 101.0),
+      (1L, ts("2024-01-01 09:00:00"), 99.0), // before any quote
+      (2L, ts("2024-01-01 10:00:30"), 50.0))
+      .toDF("sym", "trade_ts", "trade_px")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-01 10:00:05"), 11.0), // exactly at a trade ts -> matches
+      (1L, ts("2024-01-01 10:02:00"), 12.0), // after all trades
+      (2L, ts("2024-01-01 10:00:00"), 20.0))
+      .toDF("sym", "quote_ts", "bid")
+    val got = AsOfJoin.asofBackward(trades, quotes,
+        key = "sym", leftTime = "trade_ts", rightTime = "quote_ts",
+        payloadCols = Seq("bid"))
+      .select(col("sym"), col("trade_px"), col("bid"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)) -> Option(r.get(2))).toMap
+    assert(got((1L, 100.0)).contains(11.0)) // equal-time quote matches
+    assert(got((1L, 101.0)).contains(11.0)) // latest before 10:01
+    assert(got((1L, 99.0)).isEmpty) // nothing before 09:00
+    assert(got((2L, 50.0)).contains(20.0))
+  }
+
+  test("tolerance voids stale matches") {
+    import spark.implicits._
+    val l = Seq((1L, ts("2024-01-01 12:00:00"), "x")).toDF("k", "lt", "v")
+    val r = Seq((1L, ts("2024-01-01 10:00:00"), 7.0)).toDF("k", "rt", "p")
+    val fresh = AsOfJoin.asofBackward(l, r, "k", "lt", "rt", Seq("p"),
+      toleranceSeconds = Some(3 * 3600)).head()
+    val stale = AsOfJoin.asofBackward(l, r, "k", "lt", "rt", Seq("p"),
+      toleranceSeconds = Some(3600)).head()
+    assert(fresh.getAs[Any]("p") == 7.0)
+    assert(stale.getAs[Any]("p") == null)
+  }
+
+  test("rangeJoinBinned equals the naive theta join") {
+    import spark.implicits._
+    val points = (0L until 500L).map(i => (i, i * 7 % 1000)).toDF("pid", "x")
+    val intervals = Seq(
+      (10L, 0L, 100L), (11L, 50L, 60L), (12L, 500L, 1000L), (13L, 990L, 995L))
+      .toDF("iid", "lo", "hi")
+    val naive = points.crossJoin(intervals)
+      .where(col("x") >= col("lo") && col("x") < col("hi"))
+      .select("pid", "iid")
+    val binned = AsOfJoin.rangeJoinBinned(points, intervals, "x", "lo", "hi", binWidth = 64)
+      .select("pid", "iid")
+    assert(binned.count() == naive.count())
+    assert(binned.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(binned).count() == 0)
+  }
+}
