@@ -54,8 +54,8 @@ object ExtQueries {
     (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"),
-          length(col("text")).as("n_chars_calc"),
-          size(TextStats.tokens(col("text"))).as("n_tokens"))
+          length(col("text")).cast("long").as("n_chars_calc"),
+          size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
         .orderBy(col("doc_id")),
     Some(
       """SELECT doc_id, lang, n_chars, length(text) AS n_chars_calc,
@@ -102,14 +102,14 @@ object ExtQueries {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           graft.queries.Reference.msum(col("value")).as("sum_value"))
-        .select(col("window.start").as("window_start"), col("event_type"),
-          col("n_events"), col("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
         .orderBy(col("window_start"), col("event_type")),
     Some(
-      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
          |  COUNT(*) AS n_events, ${msumSql("value")} AS sum_value
          |FROM events
-         |GROUP BY date_trunc('hour', ts), event_type
+         |GROUP BY strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'), event_type
          |ORDER BY window_start, event_type""".stripMargin))
 
   // E3c language-ID heuristic vs the labeled lang column: confusion counts.

@@ -101,14 +101,14 @@ object Reference {
         .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          col("l_shipdate").cast("date").as("ship_day"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
           (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"),
           (col("l_extendedprice") * (lit(1) - col("l_discount")) *
             (lit(1) + col("l_tax"))).as("charged"))
         .orderBy(col("l_orderkey"), col("l_linenumber")),
     Some(
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(l_shipdate AS DATE) AS ship_day,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
         |  l_extendedprice * (1 - l_discount) AS net_price,
         |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
         |FROM lineitem
@@ -127,12 +127,12 @@ object Reference {
       li.unionAll(li)
         .where(col("l_shipdate") >= lit("1999-01-01").cast("timestamp"))
         .select(col("l_orderkey"), col("l_returnflag"),
-          col("l_shipdate").cast("date").as("ship_day"))
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
         .distinct()
         .orderBy(col("l_orderkey"), col("l_returnflag"), col("ship_day"))
     },
     Some(
-      """SELECT DISTINCT l_orderkey, l_returnflag, CAST(l_shipdate AS DATE) AS ship_day
+      """SELECT DISTINCT l_orderkey, l_returnflag, strftime(l_shipdate, '%Y-%m-%d') AS ship_day
         |FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)
         |WHERE l_shipdate >= TIMESTAMP '1999-01-01'
         |ORDER BY l_orderkey, l_returnflag, ship_day""".stripMargin))
@@ -280,13 +280,13 @@ object Reference {
       t(s, dir, "lineitem").agg(
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"),
-        min(col("l_shipdate").cast("date")).as("first_ship"),
-        max(col("l_shipdate").cast("date")).as("last_ship"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("first_ship"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("last_ship"),
         countDistinct(col("l_orderkey")).as("n_orders")),
     Some(
       """SELECT min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
-        |  min(CAST(l_shipdate AS DATE)) AS first_ship,
-        |  max(CAST(l_shipdate AS DATE)) AS last_ship,
+        |  strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship,
+        |  strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship,
         |  count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin))
 
@@ -300,12 +300,12 @@ object Reference {
     "q15_daily_series",
     (s, dir) =>
       events(s, dir)
-        .groupBy(col("ts").cast("date").as("ds"))
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("ds"))
         .agg(msum(col("value")).as("y"), count(lit(1)).as("n_events"))
         .orderBy(col("ds")),
     Some(
-      s"""SELECT CAST(ts AS DATE) AS ds, ${msumSql("value")} AS y, COUNT(*) AS n_events
-         |FROM events GROUP BY CAST(ts AS DATE) ORDER BY ds""".stripMargin))
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS ds, ${msumSql("value")} AS y, COUNT(*) AS n_events
+         |FROM events GROUP BY strftime(ts, '%Y-%m-%d') ORDER BY ds""".stripMargin))
 
   // ----------------------------------------------- Q16: window functions
   // Beyond the reference surface (SURVEY.md §2.e declares window/analytic
@@ -322,7 +322,7 @@ object Reference {
       t(s, dir, "orders")
         .select(
           col("o_custkey"), col("o_orderkey"),
-          row_number().over(w).as("rn"),
+          row_number().over(w).cast("long").as("rn"),
           (sum(round(col("o_totalprice") * Scale, 0).cast("long"))
             .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
             .cast("double") / Scale).as("running_spend"))

@@ -49,6 +49,10 @@ for name in sorted(os.listdir(out_dir)):
                 status.append(
                     f"{c}: {n} diffs e.g. row {ex}: {g[ex]!r} vs {w[ex]!r} "
                     f"(dtype {g.dtype}/{w.dtype})")
+            elif str(g.dtype) != str(w.dtype):
+                # values match as strings but physical types differ — a
+                # stricter driver compare could still flag this
+                status.append(f"{c}: DTYPE {g.dtype} vs {w.dtype}")
     if status:
         fail += 1
         print(f"[FAIL] {name}: " + "; ".join(status))
