@@ -58,7 +58,14 @@ object Ddl {
   def registerDir(spark: SparkSession, db: String, dir: String): Seq[String] = {
     createDatabase(spark, db)
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-    files.filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    // two layouts: single *.parquet files (driver testdata) and parquet
+    // output DIRECTORIES as written by df.write.parquet / IngestJob (no
+    // suffix — a part-*.parquet or _SUCCESS marker inside identifies them)
+    def isParquetDir(f: java.io.File): Boolean =
+      f.isDirectory && Option(f.listFiles()).getOrElse(Array.empty)
+        .exists(c => c.getName.endsWith(".parquet") || c.getName == "_SUCCESS")
+    files.filter(f => f.getName.endsWith(".parquet") || isParquetDir(f))
+      .map(_.getAbsolutePath).sorted
       .map { p =>
         val name = graft.ingest.Sanitize.fileName(p)
         createParquetTable(spark, db, name, p)

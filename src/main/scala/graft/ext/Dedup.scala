@@ -202,7 +202,10 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       maxHamming: Int = 3): DataFrame = {
-    val hashed = docs.select(col(idCol), simhash(col(textCol)).as("sh"))
+    // the native expression is bit-identical to simhash() (pinned in
+    // DedupSpec) and ~7× faster — the HOF form exists as the readable spec
+    val hashed = docs.select(col(idCol),
+      graft.functions.SimHash.simhash64(col(textCol)).as("sh"))
     val banded = hashed.select(
       col(idCol), col("sh"),
       explode(array((0 until 4).map(b =>

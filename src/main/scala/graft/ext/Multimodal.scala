@@ -105,7 +105,9 @@ object Multimodal {
     */
   def sampleFrames(media: Dataset[MediaRow], everyK: Int = 10): DataFrame =
     media.toDF()
-      .where(col("modality") === "video")
+      // n_frames <= 0 (empty clip, or the schema's -1 "unknown" marker)
+      // must yield zero frames, not a sequence() bounds error
+      .where(col("modality") === "video" && col("n_frames") > 0)
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))).as("frame_idx"))
 }

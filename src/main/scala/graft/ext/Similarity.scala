@@ -64,6 +64,14 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** L2-normalize an array<double> into an ml Vector (shared by the
+    * euclidean-space ANN paths — cosine ≡ euclidean on the unit sphere).
+    */
+  private val toUnitVec = udf { (xs: Seq[Double]) =>
+    val n = math.sqrt(xs.map(x => x * x).sum)
+    MLVectors.dense((if (n == 0) xs else xs.map(_ / n)).toArray)
+  }
+
   /** IVF (inverted-file) approximate nearest neighbors: k-means partitions
     * the corpus into `nClusters` cells; a query probes only the `nProbes`
     * cells whose centroids are closest, then scores exact cosine inside
@@ -80,23 +88,24 @@ object Similarity {
       nProbes: Int = 4,
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    val toUnitVec = udf { (xs: Seq[Double]) =>
-      val n = math.sqrt(xs.map(x => x * x).sum)
-      MLVectors.dense((if (n == 0) xs else xs.map(_ / n)).toArray)
-    }
+    val spark = emb.sparkSession
     val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"),
       toUnitVec(col(vecCol).cast("array<double>")).as("features"))
     val model = new KMeans().setK(nClusters).setSeed(42L)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(v)
     val assigned = model.transform(v)
+    // ONE collect supplies both the probe-selection features and the raw
+    // query vector (two separate scans would run the assignment job twice)
     val qRow = assigned.where(col(idCol) === queryId)
       .select(col("features"), col("v")).head()
     val qFeat = qRow.getAs[org.apache.spark.ml.linalg.Vector]("features")
+    val qVec = qRow.getSeq[Double](1)
     val probes = model.clusterCenters.zipWithIndex
       .map { case (c, i) => i -> math.sqrt(MLVectors.sqdist(c, qFeat)) }
       .sortBy(_._2).take(nProbes).map(_._1)
-    val q = assigned.where(col(idCol) === queryId).select(col("v").as("q_v"))
+    import spark.implicits._
+    val q = Seq(Tuple1(qVec)).toDF("q_v")
     assigned
       .where(col("cell").isin(probes.toIndexedSeq: _*) && col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
@@ -120,10 +129,6 @@ object Similarity {
       idCol: String = "vec_id",
       bucketLength: Double = 0.5,
       numHashTables: Int = 4): DataFrame = {
-    val toUnitVec = udf { (xs: Seq[Double]) =>
-      val n = math.sqrt(xs.map(x => x * x).sum)
-      MLVectors.dense((if (n == 0) xs else xs.map(_ / n)).toArray)
-    }
     val v = emb.select(col(idCol),
       toUnitVec(col(vecCol).cast("array<double>")).as("features"))
     val lsh = new BucketedRandomProjectionLSH()

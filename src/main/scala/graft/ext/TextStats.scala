@@ -128,9 +128,13 @@ object TextStats {
     * Long (ANSI mode, Spark 4 default, makes Long overflow an error).
     */
   def fingerprint(c: Column, base: Long = 1000003L): Column = {
-    require(base < (1L << 31), "base must stay below 2^31 to avoid overflow")
+    require(base < (1L << 20), "base must stay below 2^20 to avoid overflow")
+    // BOTH operands must be bounded before the add: acc < 2^31 and base <
+    // 2^20 keep acc·base < 2^51, and h is folded into [0, 2^31) FIRST —
+    // a raw xxhash64 near Long.MaxValue would otherwise overflow the add
+    // itself under ANSI mode (2^51 + ~2^63 > Long.MaxValue).
     aggregate(
-      transform(tokens(lower(c)), t => xxhash64(t)),
+      transform(tokens(lower(c)), t => pmod(xxhash64(t), lit(1L << 31))),
       lit(0L),
       (acc, h) => pmod(acc * base + h, lit(1L << 31)))
   }

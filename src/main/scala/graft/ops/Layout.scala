@@ -40,6 +40,12 @@ object Layout {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salt: Int, joinType: String = "inner"): DataFrame = {
+    // join types where unmatched/semi SMALL-side rows surface would return
+    // one row per salt replica (salt× inflation) — only big-side-preserving
+    // types are sound with an exploded small side
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi/left_anti, got $joinType")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
     val saltedSmall = small.withColumn("__salt",

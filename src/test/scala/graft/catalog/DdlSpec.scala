@@ -22,4 +22,31 @@ class DdlSpec extends AnyFunSuite {
     Ddl.dropDatabaseCascade(spark, db)
     assert(!spark.catalog.databaseExists(db))
   }
+
+  test("registerDir picks up IngestJob's suffix-less parquet output directories") {
+    val work = java.nio.file.Files.createTempDirectory("graft_etl").toString
+    val csvDir = s"$work/csv"; new java.io.File(csvDir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$csvDir/My Table.csv"), "a,b\n1,x\n2,y\n")
+    graft.ingest.IngestJob.csvDirToParquet(spark, csvDir, s"$work/pq")
+    val db = "graft_etl_spec"
+    Ddl.recreateDatabase(spark, db)
+    // the full Main_File.py-style spine: ingest -> register -> query
+    val registered = Ddl.registerDir(spark, db, s"$work/pq")
+    assert(registered == Seq("My_Table"), s"got $registered")
+    assert(spark.sql(s"SELECT count(*) FROM `$db`.`My_Table`").head().getLong(0) == 2)
+    Ddl.dropDatabaseCascade(spark, db)
+  }
+
+  test("saltedJoin rejects join types that would inflate the exploded side") {
+    import spark.implicits._
+    val big = Seq((1L, 1)).toDF("k", "v")
+    val small = Seq((1L, "x")).toDF("k", "n")
+    intercept[IllegalArgumentException] {
+      graft.ops.Layout.saltedJoin(big, small, "k", 4, joinType = "full")
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Layout.saltedJoin(big, small, "k", 4, joinType = "right")
+    }
+  }
 }

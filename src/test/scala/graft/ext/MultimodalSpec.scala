@@ -47,4 +47,13 @@ class MultimodalSpec extends AnyFunSuite {
     // n_frames=30 -> indices 0,10,20
     assert(byId == Map(2L -> 3L, 5L -> 3L))
   }
+
+  test("sampleFrames yields zero frames (not an error) for empty/unknown clips") {
+    import spark.implicits._
+    val broken = Seq(
+      Multimodal.MediaRow(9L, "video", Array[Byte](1), "m", -1, -1, -1, 0),
+      Multimodal.MediaRow(10L, "video", Array[Byte](1), "m", -1, -1, -1, -1))
+      .toDS()
+    assert(Multimodal.sampleFrames(broken, everyK = 10).count() == 0)
+  }
 }

@@ -54,6 +54,15 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got("junk") < 0.4, s"junk=${got("junk")}")
   }
 
+  test("fingerprint survives tokens whose xxhash64 is near Long.MaxValue (ANSI overflow)") {
+    import spark.implicits._
+    // xxhash64('w1380415') = 9223364489472312354 ≈ Long.MaxValue — the raw
+    // `acc*base + h` fold overflowed on this input under ANSI mode
+    val df = Seq(("hello w1380415"), ("w1380415 w1380415 w1380415")).toDF("text")
+    val got = df.select(TextStats.fingerprint(col("text"))).collect()
+    assert(got.length == 2 && got.forall(r => r.getLong(0) >= 0))
+  }
+
   test("fingerprint is order-sensitive and stable") {
     import spark.implicits._
     val df = Seq(
