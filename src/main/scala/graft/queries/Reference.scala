@@ -384,6 +384,91 @@ object Reference {
         |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
         |ORDER BY tag, o_custkey""".stripMargin))
 
+  // ------------------------------------------------------- Q19: PIVOT (wide)
+  // The reference's capacity timeseries IS a pivoted wide table (one column
+  // per country×source — SURVEY §1.1); this query produces that shape from
+  // the long form: revenue per linestatus pivoted across returnflags.
+  // Oracle uses conditional aggregation (identical semantics; DuckDB's
+  // PIVOT statement can't be embedded in a plain SELECT).
+  private val q19 = Q(
+    "q19_pivot",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(msum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .select(col("l_linestatus"), col("A").as("rev_a"), col("N").as("rev_n"),
+          col("R").as("rev_r"))
+        .orderBy(col("l_linestatus")),
+    Some(
+      s"""SELECT l_linestatus,
+         |  ${msumSql("CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) END")} AS rev_a,
+         |  ${msumSql("CASE WHEN l_returnflag = 'N' THEN l_extendedprice * (1 - l_discount) END")} AS rev_n,
+         |  ${msumSql("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) END")} AS rev_r
+         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin))
+
+  // ---------------------------------------------------- Q20: UNPIVOT (melt)
+  // The inverse direction: the wide pricing summary melted back to
+  // (key, metric, value) long form — Spark's native unpivot operator;
+  // oracle as the equivalent UNION ALL.
+  private val q20 = Q(
+    "q20_unpivot",
+    (s, dir) => {
+      val wide = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(msum(col("l_quantity")).as("sum_qty"),
+          msum(col("l_extendedprice")).as("sum_price"))
+      wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")),
+        "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))
+    },
+    Some(
+      s"""WITH wide AS (
+         |  SELECT l_returnflag,
+         |    ${msumSql("l_quantity")} AS sum_qty,
+         |    ${msumSql("l_extendedprice")} AS sum_price
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+         |UNION ALL
+         |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide
+         |ORDER BY l_returnflag, metric""".stripMargin))
+
+  // ------------------------------------- Q21: SQL-text path with CTE + HAVING
+  // The notebook's entire query IR is SQL text (EP2); this entry runs
+  // spark.sql(...) verbatim — CTE + HAVING + join, the same string DuckDB
+  // executes (modulo nothing: it is engine-portable ANSI SQL).
+  private val q21 = Q(
+    "q21_cte_having",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql(
+        s"""WITH big_spenders AS (
+           |  SELECT o_custkey, ${msumSql("o_totalprice")} AS total_spent,
+           |    COUNT(*) AS n_orders
+           |  FROM orders_v
+           |  GROUP BY o_custkey
+           |  HAVING COUNT(*) >= 5)
+           |SELECT b.o_custkey, b.total_spent, b.n_orders, c.c_mktsegment
+           |FROM big_spenders b
+           |JOIN customer_v c ON b.o_custkey = c.c_custkey
+           |ORDER BY b.o_custkey""".stripMargin)
+    },
+    Some(
+      s"""WITH big_spenders AS (
+         |  SELECT o_custkey, ${msumSql("o_totalprice")} AS total_spent,
+         |    COUNT(*) AS n_orders
+         |  FROM orders
+         |  GROUP BY o_custkey
+         |  HAVING COUNT(*) >= 5)
+         |SELECT b.o_custkey, b.total_spent, b.n_orders, c.c_mktsegment
+         |FROM big_spenders b
+         |JOIN customer c ON b.o_custkey = c.c_custkey
+         |ORDER BY b.o_custkey""".stripMargin))
+
   val all: Seq[Q] =
-    Seq(q01, q02, q03, q05, q07, q08, q09, q10, q12, q13, q14, q15, q16, q17, q18)
+    Seq(q01, q02, q03, q05, q07, q08, q09, q10, q12, q13, q14, q15, q16, q17,
+      q18, q19, q20, q21)
 }
