@@ -18,13 +18,11 @@ object ExtQueries {
   // hash because DuckDB's md5 == Spark's md5 (lowercase hex) for the oracle.
   private val e01 = Q(
     "e01_dedup_exact",
-    (s, dir) => {
-      val d = t(s, dir, "documents")
-      d.unionAll(d)
+    (s, dir) =>
+      graft.queries.Reference.doubled(t(s, dir, "documents"))
         .groupBy(md5(lower(trim(col("text")))).as("content_hash"))
         .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
-        .orderBy(col("keeper_id"))
-    },
+        .orderBy(col("keeper_id")),
     Some(
       """SELECT md5(lower(trim(text))) AS content_hash,
         |  min(doc_id) AS keeper_id, COUNT(*) AS n_copies
@@ -167,11 +165,17 @@ object ExtQueries {
   private val e10 = Q(
     "e10_percentiles",
     (s, dir) =>
-      t(s, dir, "lineitem").agg(
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
-        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75_price")),
+      // array-form percentile: ONE sort buffer per column (the scalar form
+      // builds and sorts a separate full-column buffer per percentile)
+      t(s, dir, "lineitem")
+        .agg(
+          expr("percentile(l_quantity, array(0.5D, 0.9D))").as("q_pcts"),
+          expr("percentile(l_extendedprice, array(0.25D, 0.75D))").as("p_pcts"))
+        .select(
+          round(element_at(col("q_pcts"), 1), 4).as("median_qty"),
+          round(element_at(col("q_pcts"), 2), 4).as("p90_qty"),
+          round(element_at(col("p_pcts"), 1), 4).as("p25_price"),
+          round(element_at(col("p_pcts"), 2), 4).as("p75_price")),
     Some(
       """SELECT round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
         |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,

@@ -61,6 +61,15 @@ object Reference {
   def msumSql(e: String): String =
     s"CAST(SUM(CAST(round(($e) * 10000) AS BIGINT)) AS DOUBLE) / 10000"
 
+  /** Single-scan row doubling — simulates the reference's 2×-load artifact
+    * (SURVEY §6) without scanning the source twice: a 2-element generator
+    * multiplies cardinality in the same pass (`UNION ALL self` reads the
+    * parquet twice). The generator can't be pruned away: it changes row
+    * count, so Catalyst must keep it even with the output column dropped.
+    */
+  def doubled(df: DataFrame): DataFrame =
+    df.withColumn("__copy", explode(array(lit(1), lit(2)))).drop("__copy")
+
   /** Deterministic mean built on the same fixed-point sum. */
   def mavg(e: Column): Column =
     sum(round(e * Scale, 0).cast("long")).cast("double") / Scale / count(lit(1))
@@ -122,15 +131,13 @@ object Reference {
   // itself, then dedups.
   private val q05 = Q(
     "q05_distinct",
-    (s, dir) => {
-      val li = t(s, dir, "lineitem")
-      li.unionAll(li)
+    (s, dir) =>
+      doubled(t(s, dir, "lineitem"))
         .where(col("l_shipdate") >= lit("1999-01-01").cast("timestamp"))
         .select(col("l_orderkey"), col("l_returnflag"),
           date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
         .distinct()
-        .orderBy(col("l_orderkey"), col("l_returnflag"), col("ship_day"))
-    },
+        .orderBy(col("l_orderkey"), col("l_returnflag"), col("ship_day")),
     Some(
       """SELECT DISTINCT l_orderkey, l_returnflag, strftime(l_shipdate, '%Y-%m-%d') AS ship_day
         |FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)
@@ -263,10 +270,8 @@ object Reference {
   // 36/41). Same duplication artifact as Q5, full-row this time.
   private val q13 = Q(
     "q13_dedup",
-    (s, dir) => {
-      val c = t(s, dir, "customer")
-      c.unionAll(c).dropDuplicates().orderBy(col("c_custkey"))
-    },
+    (s, dir) =>
+      doubled(t(s, dir, "customer")).dropDuplicates().orderBy(col("c_custkey")),
     Some(
       """SELECT DISTINCT * FROM (SELECT * FROM customer UNION ALL SELECT * FROM customer)
         |ORDER BY c_custkey""".stripMargin))
