@@ -60,16 +60,22 @@ object Ddl {
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
     // two layouts: single *.parquet files (driver testdata) and parquet
     // output DIRECTORIES as written by df.write.parquet / IngestJob (no
-    // suffix — a part-*.parquet or _SUCCESS marker inside identifies them)
+    // suffix — identified by the part-*.parquet files inside; a bare
+    // _SUCCESS marker is NOT enough, csv/json/orc committers emit it too)
     def isParquetDir(f: java.io.File): Boolean =
       f.isDirectory && Option(f.listFiles()).getOrElse(Array.empty)
-        .exists(c => c.getName.endsWith(".parquet") || c.getName == "_SUCCESS")
-    files.filter(f => f.getName.endsWith(".parquet") || isParquetDir(f))
+        .exists(c => c.getName.endsWith(".parquet"))
+    val paths = files.filter(f => f.getName.endsWith(".parquet") || isParquetDir(f))
       .map(_.getAbsolutePath).sorted
-      .map { p =>
-        val name = graft.ingest.Sanitize.fileName(p)
-        createParquetTable(spark, db, name, p)
-        name
-      }.toSeq
+    val names = paths.map(graft.ingest.Sanitize.fileName)
+    // x.parquet and a sibling dir x/ sanitize to the same table name — the
+    // second CREATE IF NOT EXISTS would silently no-op; fail loudly instead
+    val dups = names.groupBy(identity).collect { case (n, g) if g.length > 1 => n }
+    require(dups.isEmpty,
+      s"multiple entries in $dir map to the same table name(s): ${dups.mkString(", ")}")
+    paths.zip(names).map { case (p, name) =>
+      createParquetTable(spark, db, name, p)
+      name
+    }
   }
 }

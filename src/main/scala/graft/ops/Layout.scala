@@ -44,8 +44,9 @@ object Layout {
     // one row per salt replica (salt× inflation) — only big-side-preserving
     // types are sound with an exploded small side
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
-      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
-      s"saltedJoin supports inner/left/left_semi/left_anti, got $joinType")
+      "leftsemi", "semi", "left_anti", "leftanti", "anti")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/semi/anti join types, got $joinType")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
     val saltedSmall = small.withColumn("__salt",

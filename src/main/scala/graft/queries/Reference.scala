@@ -67,8 +67,11 @@ object Reference {
     * parquet twice). The generator can't be pruned away: it changes row
     * count, so Catalyst must keep it even with the output column dropped.
     */
-  def doubled(df: DataFrame): DataFrame =
+  def doubled(df: DataFrame): DataFrame = {
+    require(!df.columns.contains("__copy"),
+      "doubled() would clobber an existing __copy column")
     df.withColumn("__copy", explode(array(lit(1), lit(2)))).drop("__copy")
+  }
 
   /** Deterministic mean built on the same fixed-point sum. */
   def mavg(e: Column): Column =
@@ -447,18 +450,21 @@ object Reference {
   private val q21 = Q(
     "q21_cte_having",
     (s, dir) => {
-      t(s, dir, "orders").createOrReplaceTempView("orders_v")
-      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      // view names carry the dir identity: interleaved runs against
+      // different sfDirs on one session must not shadow each other
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      t(s, dir, "orders").createOrReplaceTempView(s"orders_v_$tag")
+      t(s, dir, "customer").createOrReplaceTempView(s"customer_v_$tag")
       s.sql(
         s"""WITH big_spenders AS (
            |  SELECT o_custkey, ${msumSql("o_totalprice")} AS total_spent,
            |    COUNT(*) AS n_orders
-           |  FROM orders_v
+           |  FROM orders_v_$tag
            |  GROUP BY o_custkey
            |  HAVING COUNT(*) >= 5)
            |SELECT b.o_custkey, b.total_spent, b.n_orders, c.c_mktsegment
            |FROM big_spenders b
-           |JOIN customer_v c ON b.o_custkey = c.c_custkey
+           |JOIN customer_v_$tag c ON b.o_custkey = c.c_custkey
            |ORDER BY b.o_custkey""".stripMargin)
     },
     Some(

@@ -38,15 +38,4 @@ class DdlSpec extends AnyFunSuite {
     Ddl.dropDatabaseCascade(spark, db)
   }
 
-  test("saltedJoin rejects join types that would inflate the exploded side") {
-    import spark.implicits._
-    val big = Seq((1L, 1)).toDF("k", "v")
-    val small = Seq((1L, "x")).toDF("k", "n")
-    intercept[IllegalArgumentException] {
-      graft.ops.Layout.saltedJoin(big, small, "k", 4, joinType = "full")
-    }
-    intercept[IllegalArgumentException] {
-      graft.ops.Layout.saltedJoin(big, small, "k", 4, joinType = "right")
-    }
-  }
 }

@@ -68,6 +68,20 @@ class LayoutSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("saltedJoin rejects join types that would inflate the exploded side") {
+    import spark.implicits._
+    val big = Seq((1L, 1)).toDF("k", "v")
+    val small = Seq((1L, "x")).toDF("k", "n")
+    intercept[IllegalArgumentException] {
+      Layout.saltedJoin(big, small, "k", 4, joinType = "full")
+    }
+    intercept[IllegalArgumentException] {
+      Layout.saltedJoin(big, small, "k", 4, joinType = "right")
+    }
+    // big-side-preserving aliases stay accepted
+    assert(Layout.saltedJoin(big, small, "k", 4, joinType = "semi").count() == 1)
+  }
+
   test("custom SQL function registration (simhash64 via extensions)") {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
