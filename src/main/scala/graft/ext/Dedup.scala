@@ -128,14 +128,19 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 4,
       minJaccard: Double = 0.7): DataFrame = {
+    // signatures via the codegen'd MinHashSig expression (bit-identical to
+    // the HOF minhashSignature fold — pinned in DedupSpec — but one JVM
+    // pass instead of k interpreted aggregates); shingle arrays are still
+    // carried for the exact-jaccard verification of candidates
     val sh = docs
-      .select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
+      .select(col(idCol), shingles(col(textCol), shingleSize).as("sh"),
+        graft.functions.MinHash.minhashSig(col(textCol), shingleSize,
+          bands * rowsPerBand).as("sig"))
       .where(size(col("sh")) > 0)
-    val sig = minhashSignature(col("sh"), bands * rowsPerBand)
     val bandKeys = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(concat_ws(",",
-          sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*)).as("key"))
+        xxhash64(concat_ws(",", (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*)).as("key"))
     }
     val banded = sh.select(col(idCol), col("sh"), explode(array(bandKeys: _*)).as("bk"))
     // Candidate pairing by grouping each band bucket and exploding ordered

@@ -73,6 +73,20 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc paired: $pairs")
   }
 
+  test("native MinHashSig expression is bit-identical to the HOF signature fold") {
+    import spark.implicits._
+    val corpus = docs.select(col("text"))
+      .unionAll(Seq("", "   ", "one two", "a b c d e").toDF("text"))
+    val withSh = corpus.select(col("text"), Dedup.shingles(col("text"), 3).as("sh"))
+    val hof = withSh.select(
+      array(Dedup.minhashSignature(col("sh"), 16): _*).as("sig_hof"),
+      graft.functions.MinHash.minhashSig(col("text"), 3, 16).as("sig_native"))
+    hof.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"HOF ${r.getSeq[Long](0)} != native ${r.getSeq[Long](1)}")
+    }
+  }
+
   test("native minhash LSH finds exact/near duplicates with verified jaccard") {
     val pairs = Dedup.minhashNearDupNative(docs, minJaccard = 0.3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
