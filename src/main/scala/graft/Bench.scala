@@ -1,9 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_BENCH_RUNS=k repeats the whole suite k times and reports
+    // the per-query MEDIAN (plus min) — the documented 5× co-tenant variance
+    // makes any single-run number unusable as a regression signal.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,16 +32,22 @@ object Bench {
     // noop sink (not .count()): forces full materialization of every output
     // column — count() lets Catalyst prune projections and would under-time
     // compute-heavy queries.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val timings = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    // whole-suite passes (not back-to-back repeats of one query) so a
+    // co-tenant load spike hits different queries in different runs
+    for (_ <- 1 to runs; (name, fn) <- names) {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      timings(name) = timings.getOrElse(name, Vector.empty) :+ (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jsonMap(f: Vector[Double] => Double): String =
+      names.map { case (k, _) => s"\"" + k + "\":" + f(timings(k)) }.mkString("{", ",", "}")
+    val qs = jsonMap(median)
+    val qsMin = jsonMap(_.min)
+    val total = names.map { case (k, _) => median(timings(k)) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -113,12 +113,51 @@ object Dedup {
         (acc, h) => least(acc, h))
     }
 
-  /** Native MinHash-LSH near-dup pairs: signature → band keys → equi-join
-    * on (band, key) → exact shingle-Jaccard verification of the candidates.
-    * Same banding theory as [[minhashNearDup]] but an order of magnitude
-    * faster: the signature is 16 integer folds in whole-stage codegen and
-    * the join shuffles only (id, band-key, shingles). At 100 TB scale,
-    * drop the shingle carry and re-join candidates back by id instead.
+  /** (id, band-key) rows for MinHash-LSH banding — ids and band hashes only,
+    * never shingle arrays, so a bucket row costs bytes per member regardless
+    * of document length. Docs with no shingles (fewer than `shingleSize`
+    * tokens) would all share the all-MaxValue signature and collapse into one
+    * degenerate bucket; MinHashSig yields exactly Long.MaxValue in every slot
+    * for them, so one element probe filters them without tokenizing twice.
+    */
+  private def minhashBandedIds(
+      docs: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = docs
+      .select(col(idCol).as("id"),
+        graft.functions.MinHash.minhashSig(col(textCol), shingleSize,
+          bands * rowsPerBand).as("sig"))
+      .where(element_at(col("sig"), 1) =!= Long.MaxValue)
+    val bandKeys = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*)).as("key"))
+    }
+    sigs.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+  }
+
+  /** Native MinHash-LSH near-dup pairs: signature → band keys → id-only
+    * band buckets → candidate id pairs → shingle re-join for exact-Jaccard
+    * verification. Same banding theory as [[minhashNearDup]] but an order of
+    * magnitude faster: the signature is 16 integer folds in whole-stage
+    * codegen, and — unlike a naive formulation that carries each document's
+    * shingle array into the bucket aggregation — the bucket stage touches
+    * ONLY (id, band-key): a degenerate bucket of a million identical docs
+    * costs 8 MB of ids in the aggregation buffer, not gigabytes of arrays.
+    * Shingles are computed a second time, but only for docs that appear in
+    * some candidate pair (semi-join pushdown) — at real near-dup rates that
+    * is a small fraction of the corpus, and recompute is an embarrassingly
+    * parallel codegen'd scan, the standard Spark trade of CPU for memory
+    * safety.
+    *
+    * `maxBucket = 0` (default) applies NO bucket cap: no candidate pair is
+    * ever silently dropped. A degenerate bucket of B members still yields
+    * B²/2 candidate pairs downstream — if the corpus may contain exact-dup
+    * clusters, run [[exactRows]] first (the cheap operator that removes
+    * them), and audit with [[minhashBucketOverflow]] before choosing a cap.
+    * With `maxBucket > 0`, each bucket keeps its `maxBucket` smallest ids
+    * (deterministic) and the overflow is observable via
+    * [[minhashBucketOverflow]] with the same arguments — never silent.
     */
   def minhashNearDupNative(
       docs: DataFrame,
@@ -127,47 +166,62 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 4,
       rowsPerBand: Int = 4,
-      minJaccard: Double = 0.7): DataFrame = {
-    // signatures via the codegen'd MinHashSig expression (bit-identical to
-    // the HOF minhashSignature fold — pinned in DedupSpec — but one JVM
-    // pass instead of k interpreted aggregates); shingle arrays are still
-    // carried for the exact-jaccard verification of candidates
-    val sh = docs
-      .select(col(idCol), shingles(col(textCol), shingleSize).as("sh"),
-        graft.functions.MinHash.minhashSig(col(textCol), shingleSize,
-          bands * rowsPerBand).as("sig"))
-      .where(size(col("sh")) > 0)
-    val bandKeys = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(concat_ws(",", (0 until rowsPerBand).map(r =>
-          element_at(col("sig"), b * rowsPerBand + r + 1)): _*)).as("key"))
-    }
-    val banded = sh.select(col(idCol), col("sh"), explode(array(bandKeys: _*)).as("bk"))
-    // Candidate pairing by grouping each band bucket and exploding ordered
-    // pairs inside it — computes shingles+signatures ONCE and shuffles once
-    // (a self-join would re-evaluate the whole upstream for each side: no
-    // common-subplan reuse across differently-named exchanges). Bucket
-    // membership is capped: a bucket of B members yields B² pairs, and a
-    // degenerate cluster (thousands of identical docs) must not explode —
-    // exact-dedup upstream first in real pipelines.
-    val maxBucket = 256
-    val buckets = banded
-      .groupBy(col("bk"))
-      .agg(slice(array_sort(collect_list(struct(col(idCol).as("id"), col("sh").as("sh")))),
-        1, maxBucket).as("members"))
-      .where(size(col("members")) > 1)
-    val pairs = buckets
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a"), explode(col("members")).as("b"))
-      .where(col("a.id") < col("b.id"))
-    val common = size(array_intersect(col("a.sh"), col("b.sh")))
-    pairs
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (common.cast("double") /
-          (size(col("a.sh")) + size(col("b.sh")) - common)).as("jaccard"))
+      minJaccard: Double = 0.7,
+      maxBucket: Int = 0): DataFrame = {
+    val banded = minhashBandedIds(docs, textCol, idCol, shingleSize, bands, rowsPerBand)
+    // Bucket → ordered candidate id pairs. collect_list over longs only;
+    // array_sort makes the optional cap deterministic (smallest ids kept).
+    val ids0 = banded.groupBy(col("bk"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+    val ids = if (maxBucket > 0) ids0.select(slice(col("ids"), 1, maxBucket).as("ids")) else ids0
+    val pairs = ids
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct() // the same pair can surface from several bands
+    // Verification: shingles recomputed for candidate docs only, joined back
+    // by id. dropDuplicates guards against 2×-loaded inputs (same id twice)
+    // double-counting a pair.
+    val candIds = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol)))
       .distinct()
+    val candSh = docs
+      .join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .dropDuplicates("id")
+    val common = size(array_intersect(col("sh_a"), col("sh_b")))
+    pairs
+      .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (common.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - common)).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
+
+  /** Overflow audit for [[minhashNearDupNative]]'s optional bucket cap:
+    * returns every band bucket larger than `maxBucket` as (band, key,
+    * n_members, n_dropped). Run it (same banding arguments) before enabling
+    * a cap — or after, to quantify exactly what the cap dropped. This is the
+    * explicit alternative to silent truncation: at 100 TB a handful of
+    * degenerate buckets is an upstream data-quality signal (exact-dup
+    * clusters, boilerplate), not something to swallow.
+    */
+  def minhashBucketOverflow(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleSize: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = 256): DataFrame =
+    minhashBandedIds(docs, textCol, idCol, shingleSize, bands, rowsPerBand)
+      .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxBucket)
+      .select(col("band"), col("key"), col("n_members"),
+        (col("n_members") - maxBucket).as("n_dropped"))
 
   /** 64-bit SimHash (Charikar 2002) over the token stream — entirely
     * codegen'd Catalyst higher-order functions, no UDF, no shuffle:
@@ -229,29 +283,88 @@ object Dedup {
     * inverted-index join: explode shingles → equi-join on shingle → count
     * common → |A∩B| / (|A|+|B|−|A∩B|). Linear shuffle volume in total
     * shingle count; the quadratic blowup only happens inside a shingle
-    * bucket (bounded by document-frequency capping upstream at real scale).
+    * bucket.
+    *
+    * `maxDocFreq > 0` bounds exactly that blowup: shingles whose document
+    * frequency exceeds the cap (boilerplate, stop-phrases — a shingle shared
+    * by d docs contributes d² join rows) are excluded from CANDIDATE
+    * GENERATION only; surviving candidate pairs are then verified with the
+    * exact Jaccard over their FULL shingle sets (re-joined by id), so
+    * reported scores are identical to the uncapped operator's. The only
+    * semantic change is that a pair sharing nothing but capped boilerplate
+    * shingles is never considered — which is the point. Audit what a cap
+    * excludes with [[ngramStopShingles]] (same arguments) — never silent.
+    * `maxDocFreq = 0` (default) keeps the fully exact uncapped pipeline.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       shingleSize: Int = 3,
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8,
+      maxDocFreq: Int = 0): DataFrame = {
     val sh = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
     val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("g"))
-    val a = inv.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("g"))
-    val b = inv.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("g"))
-    a.join(b, Seq("g"))
-      .where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("common"), first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
-      .select(col("id_a"), col("id_b"),
-        (col("common").cast("double") /
-          (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
-      .where(col("jaccard") >= minJaccard)
+    if (maxDocFreq <= 0) {
+      val a = inv.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("g"))
+      val b = inv.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("g"))
+      a.join(b, Seq("g"))
+        .where(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("common"), first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+        .select(col("id_a"), col("id_b"),
+          (col("common").cast("double") /
+            (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+        .where(col("jaccard") >= minJaccard)
+    } else {
+      // document frequency via one window pass on the same shuffle key the
+      // join needs anyway; only sub-cap shingles enter the index
+      val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      val rare = inv.withColumn("df", count(lit(1)).over(wdf))
+        .where(col("df") <= maxDocFreq)
+        .select(col("id"), col("g"))
+      val pairs = rare.select(col("id").as("id_a"), col("g"))
+        .join(rare.select(col("id").as("id_b"), col("g")), Seq("g"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+      // exact verification over full shingle sets, candidates only
+      val candIds = pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id")))
+        .distinct()
+      val candSh = sh.join(candIds, Seq("id"), "left_semi")
+        .select(col("id"), col("sh")).dropDuplicates("id")
+      val common = size(array_intersect(col("sh_a"), col("sh_b")))
+      pairs
+        .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (common.cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - common)).as("jaccard"))
+        .where(col("jaccard") >= minJaccard)
+    }
   }
+
+  /** Audit for [[ngramJaccardPairs]]'s document-frequency cap: the shingles
+    * a given `maxDocFreq` would exclude from candidate generation, as
+    * (shingle, doc_freq), highest-frequency first. At corpus scale the top
+    * of this list is boilerplate (headers, license blocks) — reviewing it is
+    * how a pipeline author picks the cap.
+    */
+  def ngramStopShingles(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleSize: Int = 3,
+      maxDocFreq: Int = 256): DataFrame =
+    docs
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleSize)).as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .where(col("doc_freq") > maxDocFreq)
+      .orderBy(col("doc_freq").desc, col("g"))
 
   /** Transitive duplicate groups from a near-dup pair list: connected
     * components over the similarity graph (duplicate clusters are rarely

@@ -111,10 +111,36 @@ object ExtQueries {
          |ORDER BY window_start, event_type""".stripMargin))
 
   // E3c language-ID heuristic vs the labeled lang column: confusion counts.
-  // Spark-only regex/array semantics → rows-only oracle omitted? No: the
-  // aggregation is deterministic, but langId uses \p{IsHan} regex DuckDB
-  // can't mirror textually — declared without oracle (driver records a
-  // weaker rows-only check).
+  // DuckDB mirror: stopword votes are len(list_filter(tokens, IN inventory)),
+  // the argmax is list_sort(...)[-1] over (score, lang) structs — field-order
+  // struct comparison matches Spark's array_max over struct(score, lang),
+  // including the lexicographic-greatest-lang tie-break — and DuckDB's RE2
+  // supports \p{Han} for the CJK override (Java spells it \p{IsHan}). The
+  // SQL is GENERATED from TextStats.stopwords so the inventories can't drift.
+  private val e07LangSql: String = {
+    val langs = TextStats.stopwords.keys.toSeq.sorted
+    val structs = langs.map { l =>
+      val inv = TextStats.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+      s"{'score': len(list_filter(toks, t -> list_contains($inv, t))), 'lang': '$l'}"
+    }.mkString(",\n           ")
+    s"""WITH toksed AS (
+       |  SELECT lang, text, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents
+       |), best AS (
+       |  SELECT lang, text,
+       |    (list_sort([$structs]))[-1] AS b
+       |  FROM toksed
+       |)
+       |SELECT lang,
+       |  CASE WHEN regexp_matches(text, '\\p{Han}') THEN 'zh'
+       |       WHEN b.score > 0 THEN b.lang
+       |       ELSE 'und' END AS lang_pred,
+       |  COUNT(*) AS n
+       |FROM best
+       |GROUP BY 1, 2
+       |ORDER BY lang, lang_pred""".stripMargin
+  }
+
   private val e07 = Q(
     "e07_lang_id",
     (s, dir) =>
@@ -125,7 +151,7 @@ object ExtQueries {
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("lang_pred")),
-    None)
+    Some(e07LangSql))
 
   // E1c SimHash fingerprints — deterministic Spark-only computation
   // (xxhash64-based; no DuckDB counterpart). Rows-only check. Uses the
@@ -165,17 +191,16 @@ object ExtQueries {
   private val e10 = Q(
     "e10_percentiles",
     (s, dir) =>
-      // array-form percentile: ONE sort buffer per column (the scalar form
-      // builds and sorts a separate full-column buffer per percentile)
-      t(s, dir, "lineitem")
-        .agg(
-          expr("percentile(l_quantity, array(0.5D, 0.9D))").as("q_pcts"),
-          expr("percentile(l_extendedprice, array(0.25D, 0.75D))").as("p_pcts"))
+      // guarded exact form (the oracle needs exactness): Percentiles.exact
+      // refuses above its row guard — at real scale the approx twin
+      // (Percentiles.approx, error-bound-tested in SketchSpec) is the path
+      Percentiles.exact(t(s, dir, "lineitem"),
+          Seq("l_quantity" -> Seq(0.5, 0.9), "l_extendedprice" -> Seq(0.25, 0.75)))
         .select(
-          round(element_at(col("q_pcts"), 1), 4).as("median_qty"),
-          round(element_at(col("q_pcts"), 2), 4).as("p90_qty"),
-          round(element_at(col("p_pcts"), 1), 4).as("p25_price"),
-          round(element_at(col("p_pcts"), 2), 4).as("p75_price")),
+          round(element_at(col("l_quantity_pcts"), 1), 4).as("median_qty"),
+          round(element_at(col("l_quantity_pcts"), 2), 4).as("p90_qty"),
+          round(element_at(col("l_extendedprice_pcts"), 1), 4).as("p25_price"),
+          round(element_at(col("l_extendedprice_pcts"), 2), 4).as("p75_price")),
     Some(
       """SELECT round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
         |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,

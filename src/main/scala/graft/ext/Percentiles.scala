@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Percentile aggregates with the scale contract made explicit.
+  *
+  * Spark's exact `percentile` buffers EVERY value of the column in the final
+  * aggregation task — exact and cheap on an aggregated or mid-size frame, a
+  * guaranteed single-task OOM on a 100 TB fact table. [[exact]] therefore
+  * carries a row-count guard: above `maxRows` it refuses with a pointer to
+  * [[approx]], Spark's `approx_percentile` (Greenwald–Khanna style sketch,
+  * bounded memory, mergeable across partitions — the at-scale default, see
+  * SketchSpec for its error-bound contract against the exact answer).
+  */
+object Percentiles {
+
+  /** One array-form exact `percentile` aggregate per column (ONE sort buffer
+    * per column, not one per probability). Output: a single row with an
+    * array column `{col}_pcts` per input column, probabilities in order.
+    *
+    * `maxRows` is the single-task-buffer guard described above; the count
+    * that enforces it is a metadata-only parquet scan.
+    */
+  def exact(
+      df: DataFrame,
+      pcts: Seq[(String, Seq[Double])],
+      maxRows: Long = 100000000L): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"exact percentile buffers the full column in ONE task: $n rows exceeds " +
+        s"maxRows=$maxRows. Use Percentiles.approx (mergeable sketch, bounded " +
+        s"memory) at this scale, or raise maxRows deliberately.")
+    val aggs = pcts.map { case (c, ps) =>
+      expr(s"percentile($c, array(${ps.map(p => s"${p}D").mkString(", ")}))")
+        .as(s"${c}_pcts")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The approx twin: same output shape (`{col}_pcts` arrays), computed by
+    * `approx_percentile` at the given accuracy (error ≤ 1/accuracy of the
+    * rank). Runs with bounded executor memory at any row count.
+    */
+  def approx(
+      df: DataFrame,
+      pcts: Seq[(String, Seq[Double])],
+      accuracy: Int = 10000): DataFrame = {
+    val aggs = pcts.map { case (c, ps) =>
+      expr(s"approx_percentile($c, array(${ps.map(p => s"${p}D").mkString(", ")}), $accuracy)")
+        .as(s"${c}_pcts")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -64,12 +64,23 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** L2-normalize an array<double> into an ml Vector (shared by the
-    * euclidean-space ANN paths — cosine ≡ euclidean on the unit sphere).
+  /** Append an ml-Vector column `outCol` = the L2-normalized `arrCol`
+    * (shared by the euclidean-space ANN paths — cosine ≡ euclidean on the
+    * unit sphere). No UDF: the norm is a codegen'd aggregate fold BOUND TO
+    * ITS OWN PROJECTION first (a HOF lambda re-evaluates embedded subtrees
+    * per element, so the norm must enter the divide lambda as an attribute),
+    * then spark.ml's native `array_to_vector` converts. The all-zero vector
+    * divides by Double.MIN_VALUE and stays all-zero, matching the previous
+    * UDF's behavior.
     */
-  private val toUnitVec = udf { (xs: Seq[Double]) =>
-    val n = math.sqrt(xs.map(x => x * x).sum)
-    MLVectors.dense((if (n == 0) xs else xs.map(_ / n)).toArray)
+  private def withUnitVec(df: DataFrame, arrCol: String, outCol: String): DataFrame = {
+    val norm = sqrt(aggregate(
+      transform(col(arrCol), x => x * x), lit(0.0), (acc, x) => acc + x))
+    df.withColumn("__norm", greatest(norm, lit(java.lang.Double.MIN_VALUE)))
+      .withColumn(outCol,
+        org.apache.spark.ml.functions.array_to_vector(
+          transform(col(arrCol), x => x / col("__norm"))))
+      .drop("__norm")
   }
 
   /** IVF (inverted-file) approximate nearest neighbors: k-means partitions
@@ -89,8 +100,8 @@ object Similarity {
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
     val spark = emb.sparkSession
-    val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"),
-      toUnitVec(col(vecCol).cast("array<double>")).as("features"))
+    val v = withUnitVec(
+      emb.select(col(idCol), col(vecCol).cast("array<double>").as("v")), "v", "features")
     val model = new KMeans().setK(nClusters).setSeed(42L)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(v)
@@ -114,6 +125,71 @@ object Similarity {
       .limit(k)
   }
 
+  /** Build a PHYSICAL IVF-Flat index at `path`: fit k-means ONCE over the
+    * corpus, write the corpus partitioned by cell (`corpus/cell=N/…`, via
+    * [[graft.ops.Layout.writePartitioned]]) plus a tiny `centroids` table.
+    * This is the persisted counterpart of [[ivfTopK]] (which re-fits per
+    * call — fine for exploration, wrong for a served index): fitting and
+    * layout happen once at build time, and [[ivfTopKIndexed]] prunes to the
+    * probed cells at the SOURCE, so `nProbes / nClusters` becomes a physical
+    * I/O fraction — at 100 TB a 4-of-256-cell probe reads ~1.6% of the
+    * files, not a full scan with a logical filter.
+    */
+  def buildIvfIndex(
+      emb: DataFrame,
+      path: String,
+      nClusters: Int = 16,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): Unit = {
+    val spark = emb.sparkSession
+    val v = withUnitVec(
+      emb.select(col(idCol), col(vecCol).cast("array<double>").as("v")), "v", "features")
+    val model = new KMeans().setK(nClusters).setSeed(42L)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(v)
+    val assigned = model.transform(v).select(col(idCol), col("v").as(vecCol), col("cell"))
+    graft.ops.Layout.writePartitioned(assigned, s"$path/corpus", "cell")
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Query a [[buildIvfIndex]] index: rank centroids against the query on
+    * the driver (the centroids table is nClusters rows — deliberately tiny),
+    * then scan ONLY the nProbes matching cell partitions and score exact
+    * cosine inside them. The `cell IN probes` predicate is a partition
+    * filter on the hive-layout directory tree, i.e. files outside the probed
+    * cells are never opened (asserted in SimilaritySpec via the scan's
+    * selected-partition count).
+    */
+  def ivfTopKIndexed(
+      spark: SparkSession,
+      path: String,
+      queryVec: Seq[Double],
+      k: Int,
+      nProbes: Int = 4,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val qn = math.max(math.sqrt(queryVec.map(x => x * x).sum), java.lang.Double.MIN_VALUE)
+    val qUnit = queryVec.map(_ / qn)
+    val probes = spark.read.parquet(s"$path/centroids").collect()
+      .map { r =>
+        val c = r.getSeq[Double](1)
+        r.getInt(0) -> c.zip(qUnit).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      .sortBy(_._2).take(nProbes).map(_._1)
+    import spark.implicits._
+    val q = Seq(Tuple1(queryVec)).toDF("q_v")
+    spark.read.parquet(s"$path/corpus")
+      .where(col("cell").isin(probes.toIndexedSeq: _*))
+      .crossJoin(broadcast(q))
+      .select(col(idCol), round(cosine(col(vecCol).cast("array<double>"), col("q_v")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Approximate nearest neighbors via BucketedRandomProjectionLSH on
     * L2-normalized vectors (cosine distance ≡ half the squared euclidean
     * distance on the unit sphere, so euclidean-LSH buckets serve cosine).
@@ -129,8 +205,9 @@ object Similarity {
       idCol: String = "vec_id",
       bucketLength: Double = 0.5,
       numHashTables: Int = 4): DataFrame = {
-    val v = emb.select(col(idCol),
-      toUnitVec(col(vecCol).cast("array<double>")).as("features"))
+    val v = withUnitVec(
+      emb.select(col(idCol), col(vecCol).cast("array<double>").as("v")), "v", "features")
+      .drop("v")
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("buckets")
       .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42L)

@@ -51,7 +51,7 @@ object TextStats {
     * language-ID heuristic (public fastText/langid-style shortcut: the
     * language whose function words dominate wins).
     */
-  private val stopwords: Map[String, Seq[String]] = Map(
+  val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"),
     "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour", "que", "dans", "des"),

@@ -8,12 +8,20 @@ import org.apache.spark.sql.functions._
   * the reference's Prophet stage (ipynb cells 13-18), re-implemented from
   * the published model (Taylor & Letham, "Forecasting at Scale", 2017):
   *
-  *   y(t) = g(t) + s(t) + ε,  g linear, s(t) = Σ_k a_k cos(2πkt/P) +
-  *   b_k sin(2πkt/P) for P ∈ {365.25, 7}
+  *   y(t) = g(t) + s(t) + ε,  s(t) = Σ_k a_k cos(2πkt/P) + b_k sin(2πkt/P)
+  *   for P ∈ {365.25, 7}
   *
-  * fit by ordinary least squares. Acceptance mirrors the reference's own
-  * evaluation: a MAPE bound on a held-out split (0.02 on its data, PDF p.4),
-  * not coefficient equality with Stan's MAP estimates (SURVEY.md §7 risk 3).
+  * g is the paper's §3.1 piecewise-linear trend: `nChangepoints` knots laid
+  * over the first `changepointRange` of the observed points (Prophet's
+  * default grid), each contributing a continuous hinge basis max(0, t−s_j)
+  * whose coefficient is the slope CHANGE at s_j. `nChangepoints = 0` (the
+  * default) degenerates to the single global line. Fit is ordinary least
+  * squares over [1, t, hinges…, Fourier…] — the L2 analogue of Prophet's
+  * Laplace (L1) changepoint prior; the grid and continuity construction are
+  * the paper's, the sparsity prior is relaxed to ridge (documented
+  * difference). Acceptance mirrors the reference's own evaluation: a MAPE
+  * bound on a held-out split (0.02 on its data, PDF p.4), not coefficient
+  * equality with Stan's MAP estimates (SURVEY.md §7 risk 3).
   *
   * Scale posture: the input series is an already-aggregated daily frame
   * (thousands of rows even for decades of data), so the OLS solve is a
@@ -27,20 +35,24 @@ object TrendSeasonForecaster {
   final case class Config(
       yearlyOrder: Int = 3,
       weeklyOrder: Int = 3,
-      intervalWidth: Double = 0.95)
+      intervalWidth: Double = 0.95,
+      nChangepoints: Int = 0,
+      changepointRange: Double = 0.8)
 
-  /** Fitted model: β over [1, t, yearly sin/cos…, weekly sin/cos…] with t in
-    * days since `t0` (epoch days), plus residual quantiles for intervals.
+  /** Fitted model: β over [1, t, hinge(t−s_j)…, yearly sin/cos…, weekly
+    * sin/cos…] with t in days since `t0` (epoch days) and `changepoints` the
+    * fitted knot offsets s_j, plus residual quantiles for intervals.
     */
   final case class Model(
       config: Config,
       t0: Long,
       beta: Array[Double],
       residLo: Double,
-      residHi: Double) {
+      residHi: Double,
+      changepoints: Array[Double] = Array.empty) {
 
     private def designRow(tDays: Double): Array[Double] =
-      Model.designRow(config, tDays)
+      Model.designRow(config, changepoints, tDays)
 
     def predictAt(epochDay: Long): Double = {
       val x = designRow((epochDay - t0).toDouble)
@@ -49,18 +61,31 @@ object TrendSeasonForecaster {
       s
     }
 
-    /** Trend-only component (Prophet's `trend` output column). */
-    def trendAt(epochDay: Long): Double =
-      beta(0) + beta(1) * (epochDay - t0).toDouble
+    /** Trend-only component (Prophet's `trend` output column): base line
+      * plus every hinge's slope change accumulated past its knot.
+      */
+    def trendAt(epochDay: Long): Double = {
+      val t = (epochDay - t0).toDouble
+      var g = beta(0) + beta(1) * t
+      var j = 0
+      while (j < changepoints.length) {
+        g += beta(2 + j) * math.max(0.0, t - changepoints(j)); j += 1
+      }
+      g
+    }
 
     /** Spark-side prediction: adds `trend`, `yhat`, `yhat_lower`,
-      * `yhat_upper` to a frame with a date column `dsCol` — β inlined as
-      * literals, evaluated per-row in codegen (F3).
+      * `yhat_upper` to a frame with a date column `dsCol` — β and the knots
+      * inlined as literals, evaluated per-row in codegen (F3).
       */
     def transform(df: DataFrame, dsCol: String = "ds"): DataFrame = {
       val t = datediff(col(dsCol), lit(java.time.LocalDate.ofEpochDay(t0).toString)).cast("double")
-      var yhat: Column = lit(beta(0)) + lit(beta(1)) * t
+      var trend: Column = lit(beta(0)) + lit(beta(1)) * t
       var i = 2
+      for (s <- changepoints) {
+        trend = trend + lit(beta(i)) * greatest(t - lit(s), lit(0.0)); i += 1
+      }
+      var yhat: Column = trend
       for (k <- 1 to config.yearlyOrder) {
         val w = 2.0 * math.Pi * k / 365.25
         yhat = yhat + lit(beta(i)) * cos(t * w); i += 1
@@ -71,7 +96,7 @@ object TrendSeasonForecaster {
         yhat = yhat + lit(beta(i)) * cos(t * w); i += 1
         yhat = yhat + lit(beta(i)) * sin(t * w); i += 1
       }
-      df.withColumn("trend", lit(beta(0)) + lit(beta(1)) * t)
+      df.withColumn("trend", trend)
         .withColumn("yhat", yhat)
         .withColumn("yhat_lower", yhat + lit(residLo))
         .withColumn("yhat_upper", yhat + lit(residHi))
@@ -89,11 +114,16 @@ object TrendSeasonForecaster {
   }
 
   object Model {
-    private[forecast] def designRow(config: Config, tDays: Double): Array[Double] = {
-      val p = 2 + 2 * config.yearlyOrder + 2 * config.weeklyOrder
+    private[forecast] def designRow(
+        config: Config, changepoints: Array[Double], tDays: Double): Array[Double] = {
+      val p = 2 + changepoints.length + 2 * config.yearlyOrder + 2 * config.weeklyOrder
       val x = new Array[Double](p)
       x(0) = 1.0; x(1) = tDays
       var i = 2
+      var j = 0
+      while (j < changepoints.length) {
+        x(i) = math.max(0.0, tDays - changepoints(j)); i += 1; j += 1
+      }
       for (k <- 1 to config.yearlyOrder) {
         val w = 2.0 * math.Pi * k * tDays / 365.25
         x(i) = math.cos(w); x(i + 1) = math.sin(w); i += 2
@@ -122,12 +152,25 @@ object TrendSeasonForecaster {
     val ts = rows.map(r => (r.getLong(0) - t0).toDouble)
     val ys = rows.map(_.getDouble(1))
 
-    val p = 2 + 2 * config.yearlyOrder + 2 * config.weeklyOrder
+    // Prophet's changepoint grid (§3.1 / prophet's set_changepoints):
+    // nChangepoints knots evenly over the first changepointRange of the
+    // OBSERVED points (index space, so irregular sampling follows the data),
+    // skipping index 0 — a hinge at t=0 is collinear with the base line.
+    val cps: Array[Double] =
+      if (config.nChangepoints <= 0) Array.empty
+      else {
+        val hi = math.max(1, math.round(config.changepointRange * (ts.length - 1)).toInt)
+        (1 to config.nChangepoints)
+          .map(j => ts(math.round(j.toDouble * hi / (config.nChangepoints + 1)).toInt))
+          .distinct.toArray
+      }
+
+    val p = 2 + cps.length + 2 * config.yearlyOrder + 2 * config.weeklyOrder
     val xtx = Array.ofDim[Double](p, p)
     val xty = new Array[Double](p)
     var n = 0
     while (n < ts.length) {
-      val x = Model.designRow(config, ts(n))
+      val x = Model.designRow(config, cps, ts(n))
       var i = 0
       while (i < p) {
         xty(i) += x(i) * ys(n)
@@ -144,7 +187,7 @@ object TrendSeasonForecaster {
     val beta = solve(xtx, xty)
 
     val resid = ts.indices.map { idx =>
-      val x = Model.designRow(config, ts(idx))
+      val x = Model.designRow(config, cps, ts(idx))
       var s = 0.0; var i = 0
       while (i < p) { s += x(i) * beta(i); i += 1 }
       ys(idx) - s
@@ -152,7 +195,7 @@ object TrendSeasonForecaster {
     val alpha = (1.0 - config.intervalWidth) / 2.0
     def quantile(q: Double): Double =
       resid(math.min(resid.length - 1, math.max(0, (q * (resid.length - 1)).round.toInt)))
-    Model(config, t0, beta, quantile(alpha), quantile(1.0 - alpha))
+    Model(config, t0, beta, quantile(alpha), quantile(1.0 - alpha), cps)
   }
 
   /** Gaussian elimination with partial pivoting (p ≤ ~20 → trivial cost). */
@@ -200,11 +243,23 @@ object TrendSeasonForecaster {
 
   /** P8: the reference's positional 83/17 train/test split (ipynb cell 13) —
     * ordered row_number window vs the fraction cut.
+    *
+    * The unpartitioned ORDER BY window is a SINGLE-TASK global sort — the
+    * right tool for the already-aggregated series this API is documented
+    * for, and a one-task straggler on anything bigger. `maxRows` makes that
+    * contract explicit: the split refuses a frame above the limit instead of
+    * silently funneling a fact table through one executor thread. For large
+    * frames, split on the value domain instead (a `WHERE ds < cutoff` range
+    * predicate prunes at the scan and never sorts).
     */
   def positionalSplit(df: DataFrame, frac: Double = 0.83,
-      orderCol: String = "ds"): (DataFrame, DataFrame) = {
+      orderCol: String = "ds", maxRows: Long = 1000000L): (DataFrame, DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
     val n = df.count()
+    require(n <= maxRows,
+      s"positionalSplit sorts in ONE task (global unpartitioned window): $n rows " +
+        s"exceeds maxRows=$maxRows. Aggregate the series first, or split on a " +
+        s"value-range predicate over '$orderCol' instead.")
     val cut = (n * frac).toLong
     val numbered = df.withColumn("__rn", row_number().over(w))
     (numbered.where(col("__rn") <= cut).drop("__rn"),

@@ -95,12 +95,69 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc paired: $pairs")
   }
 
+  test("minhash native: degenerate bucket (300 identical docs) loses no pairs uncapped") {
+    import spark.implicits._
+    // 300 identical docs > the old silent 256-member cap: every one of the
+    // C(300,2) pairs must survive — the id-only bucket shape makes this a
+    // 2.4 KB aggregation row, not 300 shingle arrays.
+    val clones = (1L to 300L).map(i => (i, "all work and no play makes jack a dull boy"))
+      .toDF("doc_id", "text")
+    val n = Dedup.minhashNearDupNative(clones, minJaccard = 0.99).count()
+    assert(n == 300L * 299L / 2, s"expected ${300 * 299 / 2} pairs, got $n")
+  }
+
+  test("minhash native: explicit cap is deterministic and its overflow is observable") {
+    import spark.implicits._
+    val clones = (1L to 300L).map(i => (i, "all work and no play makes jack a dull boy"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashNearDupNative(clones, minJaccard = 0.99, maxBucket = 50)
+    // smallest 50 ids kept per bucket -> exactly C(50,2) pairs, ids all <= 50
+    val rows = capped.collect()
+    assert(rows.length == 50 * 49 / 2)
+    assert(rows.forall(r => r.getLong(0) <= 50 && r.getLong(1) <= 50))
+    // the audit reports the same cap's overflow: 4 bands x one bucket of 300
+    val overflow = Dedup.minhashBucketOverflow(clones, maxBucket = 50).collect()
+    assert(overflow.length == 4, s"expected 4 overflowing band buckets, got ${overflow.length}")
+    overflow.foreach { r =>
+      assert(r.getAs[Long]("n_members") == 300L)
+      assert(r.getAs[Long]("n_dropped") == 250L)
+    }
+  }
+
   test("ngram jaccard: exact copy scores 1.0, near copy high, unrelated absent") {
     val pairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(pairs((1L, 5L)) == 1.0)
     assert(pairs((1L, 3L)) > 0.3 && pairs((1L, 3L)) < 1.0)
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard DF cap: stop-shingles excluded from candidates, scores exact") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter for daily updates today"
+    // 20 docs sharing only boilerplate (its internal shingles have DF=20,
+    // a d^2 join bucket) + one genuine near-dup pair on rare shingles
+    val corpus = ((1L to 20L).map(i =>
+        (i, s"story$i alpha$i beta$i gamma$i delta$i epsilon$i $boiler")) ++ Seq(
+        (100L, "the quick brown fox jumps over the lazy dog in the morning sun"),
+        (101L, "the quick brown fox jumps over the lazy dog in the evening sun")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(corpus, minJaccard = 0.05)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val capped = Dedup.ngramJaccardPairs(corpus, minJaccard = 0.05, maxDocFreq = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // uncapped pairs every boilerplate-sharing doc combo; the cap removes all
+    // of them and keeps ONLY the genuine near-dup
+    assert(uncapped.keySet.exists(p => p._1 <= 20L && p._2 <= 20L))
+    assert(!capped.keySet.exists(p => p._1 <= 20L && p._2 <= 20L), s"boilerplate pair survived: $capped")
+    assert(capped.contains((100L, 101L)))
+    // verification re-join keeps the score EXACT, not approximated
+    assert(capped((100L, 101L)) == uncapped((100L, 101L)))
+    // the audit names exactly the capped shingles, each with its true DF
+    val stops = Dedup.ngramStopShingles(corpus, maxDocFreq = 5).collect()
+    assert(stops.nonEmpty)
+    assert(stops.forall(_.getAs[Long]("doc_freq") == 20L), stops.mkString(","))
+    assert(stops.forall(r => boiler.contains(r.getAs[String]("g").split(" ").head)))
   }
 
   test("dupGroups collapses transitive chains A~B~C into one component") {

@@ -51,6 +51,38 @@ class SimilaritySpec extends AnyFunSuite {
       s"IVF recall too low: $approx vs exact $exact")
   }
 
+  test("physical IVF index prunes the scan to nProbes cell partitions, recall intact") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.buildIvfIndex(real, idx, nClusters = 8)
+    val qVec = real.where(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val res = Similarity.ivfTopKIndexed(spark, idx, qVec, k = 6, nProbes = 4)
+    val rows = res.collect()
+    // the query IS id 0's embedding: it must come back first at cosine 1.0
+    assert(rows.head.getLong(0) == 0L && rows.head.getDouble(1) == 1.0, rows.mkString(","))
+    val exact = Similarity.bruteForceTopK(real, queryId = 0L, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    val approx = rows.tail.map(_.getLong(0)).toSet
+    assert(approx.intersect(exact).size >= 3, s"indexed IVF recall too low: $approx vs $exact")
+    // the pruning is PHYSICAL: the corpus scan selected <= nProbes of the 8
+    // cell directories (files outside the probed cells were never opened)
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    val corpusScan = scans(res.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.mkString(",").contains("corpus"))
+      .getOrElse(fail("no corpus FileSourceScanExec in plan"))
+    assert(corpusScan.selectedPartitions.partitionCount <= 4,
+      s"expected <= 4 cell partitions read, got ${corpusScan.selectedPartitions.partitionCount}")
+  }
+
   test("lshTopK approximates the exact top-k on clustered vectors") {
     val got = Similarity.lshTopK(spark, emb, queryId = 0L, k = 2, numHashTables = 8)
       .collect().map(_.getLong(0)).toSet

@@ -22,6 +22,23 @@ class SketchSpec extends AnyFunSuite {
       s"approx $approx vs exact $exact")
   }
 
+  test("Percentiles.exact refuses a frame above its single-task buffer guard") {
+    intercept[IllegalArgumentException] {
+      Percentiles.exact(li, Seq("l_quantity" -> Seq(0.5)), maxRows = 100)
+    }
+  }
+
+  test("Percentiles.approx twin lands within error bounds of the exact answer") {
+    val pcts = Seq("l_quantity" -> Seq(0.5, 0.9), "l_extendedprice" -> Seq(0.25, 0.75))
+    val ex = Percentiles.exact(li, pcts).head()
+    val ap = Percentiles.approx(li, pcts).head()
+    for (c <- 0 until 2; i <- 0 until 2) {
+      val e = ex.getSeq[Double](c)(i)
+      val a = ap.getSeq[Double](c)(i)
+      assert(math.abs(a - e) / math.abs(e) < 0.01, s"col $c pct $i: approx $a vs exact $e")
+    }
+  }
+
   test("approx_percentile brackets the exact percentile") {
     val r = li.agg(
       expr("percentile(l_extendedprice, 0.5)").as("exact"),

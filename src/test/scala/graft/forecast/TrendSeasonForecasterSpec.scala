@@ -57,6 +57,58 @@ class TrendSeasonForecasterSpec extends AnyFunSuite {
     assert(last > first)
   }
 
+  /** Synthetic series with a HARD trend break at day `breakAt` (the shape of
+    * the reference's capacity data, which bends post-2000): slope 0.5 before,
+    * 3.0 after, plus weekly seasonality.
+    */
+  private def brokenTrend(nDays: Int, breakAt: Int) = {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val start = java.time.LocalDate.parse("2018-01-01")
+    (0 until nDays).map { i =>
+      val trend = if (i < breakAt) 100.0 + 0.5 * i
+                  else 100.0 + 0.5 * breakAt + 3.0 * (i - breakAt)
+      val y = trend + 3.0 * math.cos(2 * math.Pi * i / 7.0) +
+        0.5 * math.sin(i * 12.9898)
+      (start.plusDays(i.toLong).toString, y)
+    }.toDF("ds_s", "y").select(col("ds_s").cast("date").as("ds"), col("y"))
+  }
+
+  test("changepoints: piecewise trend fits a broken series the global line misses") {
+    val df = brokenTrend(1000, breakAt = 400)
+    val (train, test) = TrendSeasonForecaster.positionalSplit(df, 0.83)
+    // global line (round-1 model): demonstrably misses the break
+    val flat = TrendSeasonForecaster.fit(train,
+      TrendSeasonForecaster.Config(yearlyOrder = 0))
+    val flatMape = TrendSeasonForecaster.mape(flat.transform(test))
+    assert(flatMape > 0.02, s"global-line MAPE $flatMape unexpectedly low — test not probative")
+    // piecewise trend: hits the reference's own bar on the same series
+    val pw = TrendSeasonForecaster.fit(train,
+      TrendSeasonForecaster.Config(yearlyOrder = 0, nChangepoints = 10))
+    val pwMape = TrendSeasonForecaster.mape(pw.transform(test))
+    assert(pwMape < 0.02, s"piecewise MAPE $pwMape >= 0.02 (global was $flatMape)")
+    // the trend component itself bends: post-break slope ~3.0, pre-break ~0.5
+    val t0 = pw.t0
+    val preSlope = pw.trendAt(t0 + 200) - pw.trendAt(t0 + 199)
+    val postSlope = pw.trendAt(t0 + 700) - pw.trendAt(t0 + 699)
+    assert(math.abs(preSlope - 0.5) < 0.2, s"pre-break slope $preSlope")
+    assert(math.abs(postSlope - 3.0) < 0.3, s"post-break slope $postSlope")
+  }
+
+  test("changepoints default to none: round-1 single-line behavior is unchanged") {
+    val df = synthetic(365 * 2)
+    val m = TrendSeasonForecaster.fit(df)
+    assert(m.changepoints.isEmpty)
+    assert(m.beta.length == 2 + 2 * 3 + 2 * 3)
+  }
+
+  test("positionalSplit refuses a frame above its single-task sort guard") {
+    val df = synthetic(100)
+    intercept[IllegalArgumentException] {
+      TrendSeasonForecaster.positionalSplit(df, 0.83, maxRows = 50)
+    }
+  }
+
   test("trend component is the linear part (no seasonality)") {
     val df = synthetic(365 * 2)
     val model = TrendSeasonForecaster.fit(df)
