@@ -12,8 +12,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_BENCH_RUNS=k repeats the whole suite k times and reports
     // the per-query MEDIAN (plus min) — the documented 5× co-tenant variance
-    // makes any single-run number unusable as a regression signal.
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt)
+    // makes any single-run number unusable as a regression signal, so the
+    // default is 3 (median-of-3 is the official record, no env var needed).
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,20 +35,32 @@ object Bench {
     // compute-heavy queries.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val timings = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val failures = scala.collection.mutable.Map.empty[String, Int]
     // whole-suite passes (not back-to-back repeats of one query) so a
-    // co-tenant load spike hits different queries in different runs
+    // co-tenant load spike hits different queries in different runs.
+    // A run that throws is a FAILURE, not a sample: its time-to-failure never
+    // enters the medians (a consistently-crashing query must not report a
+    // fast, meaningless timing) — it is counted in the "failures" field.
     for (_ <- 1 to runs; (name, fn) <- names) {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      timings(name) = timings.getOrElse(name, Vector.empty) :+ (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        timings(name) = timings.getOrElse(name, Vector.empty) :+ (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failures(name) = failures.getOrElse(name, 0) + 1
+      }
     }
+    val succeeded = names.filter { case (k, _) => timings.contains(k) }
     def jsonMap(f: Vector[Double] => Double): String =
-      names.map { case (k, _) => s"\"" + k + "\":" + f(timings(k)) }.mkString("{", ",", "}")
+      succeeded.map { case (k, _) => s"\"" + k + "\":" + f(timings(k)) }.mkString("{", ",", "}")
     val qs = jsonMap(median)
     val qsMin = jsonMap(_.min)
-    val total = names.map { case (k, _) => median(timings(k)) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
+    val fails = failures.toSeq.sortBy(_._1)
+      .map { case (k, n) => s"\"" + k + "\":" + n }.mkString("{", ",", "}")
+    val total = succeeded.map { case (k, _) => median(timings(k)) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"queries_min":$qsMin,"failures":$fails,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.SimHash64
+import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, Expression, ExpressionInfo}
+import graft.functions.{MinHashSig, SimHash64}
 
 /** Session-extension registration: makes the library's custom Catalyst
   * expressions first-class SQL functions, so both API forms the engine
@@ -26,10 +26,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   private type Builder = Seq[Expression] => Expression
 
+  /** minhash_sig's shingleSize/k are expression-tree STRUCTURE (they size
+    * the signature array and the codegen loop), so the SQL form requires
+    * them as literal integers — same contract as e.g. `approx_percentile`'s
+    * accuracy argument.
+    */
+  private def litInt(e: Expression, fn: String, arg: String): Int = {
+    require(e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType,
+      s"$fn: $arg must be a literal integer, got ${e.sql}")
+    e.eval().asInstanceOf[Int]
+  }
+
   private val functions: Seq[(String, ExpressionInfo, Builder)] = Seq(
     ("simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)),
+    // minhash_sig(text, shingleSize, k) — 1-arg and 3-arg forms, defaults
+    // matching the Column API (graft.functions.MinHash.minhashSig)
+    ("minhash_sig",
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(text) => MinHashSig(text, 3, 16)
+        case Seq(text, sh, k) =>
+          MinHashSig(text, litInt(sh, "minhash_sig", "shingleSize"),
+            litInt(k, "minhash_sig", "k"))
+        case _ => throw new IllegalArgumentException(
+          s"minhash_sig takes 1 or 3 arguments, got ${exprs.length}")
+      }),
+    // hamming_dist(a, b) over packed 64-bit fingerprints (e.g. simhash64) —
+    // composed from built-in codegen'd expressions, registered for SQL-text
+    // parity with graft.ext.Dedup.hammingDist
+    ("hamming_dist",
+      new ExpressionInfo(classOf[BitwiseCount].getName, "hamming_dist"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => BitwiseCount(BitwiseXor(a, b))
+        case _ => throw new IllegalArgumentException(
+          s"hamming_dist takes 2 arguments, got ${exprs.length}")
+      }))
 
   /** Register on a live session (tests / notebook use). */
   def register(spark: SparkSession): Unit =

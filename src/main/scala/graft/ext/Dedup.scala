@@ -380,6 +380,23 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     val spark = allIds.sparkSession
     import org.apache.spark.graphx.{Edge, Graph}
+    // GraphX vertex ids are Long. A silent cast("long") on a string/UUID id
+    // column yields nulls and garbage components — refuse non-integral ids
+    // loudly instead. Hash string ids to long upstream (xxhash64(col) —
+    // collision odds ~n²/2⁶⁵) and keep the mapping to join back.
+    def requireIntegral(df: DataFrame, c: String): Unit = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"dupGroups needs an integral id column (GraphX vertex ids are Long); " +
+            s"'$c' is ${other.catalogString}. Hash string ids to long explicitly " +
+            s"(e.g. xxhash64) and join the mapping back — do not rely on a cast.")
+      }
+    }
+    requireIntegral(allIds, idCol)
+    requireIntegral(pairs, "id_a")
+    requireIntegral(pairs, "id_b")
     val vertices = allIds.select(col(idCol).cast("long")).distinct()
       .rdd.map(r => (r.getLong(0), ()))
     val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
@@ -402,10 +419,42 @@ object Dedup {
     docs.join(keepers, Seq(idCol), "left_semi").dropDuplicates(idCol)
   }
 
+  /** Deterministic pseudo-random hyperplane coefficient matrix: plane p,
+    * dim i → hash-derived double in [-1, 1). Same formula the per-row HOF
+    * used (xxhash64 of "p:i", seed 42, pmod-folded to [-1, 1) — pinned
+    * bit-identical in DedupSpec), but evaluated ONCE here: the coefficients
+    * are a pure function of (p, i), so hashing them per ROW was O(dim ×
+    * nPlanes) wasted hash evals on every vector in the corpus.
+    */
+  private[ext] def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { i =>
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"$p:$i"), 42L)
+        val m = 2000001L
+        ((h % m) + m) % m / 1000000.0 - 1.0
+      }
+    }
+
+  /** Packed sign-of-dot signature against a precomputed hyperplane matrix:
+    * the coefficient rows enter the plan as array LITERALS, so the per-row
+    * work is nPlanes codegen'd zip_with/aggregate dot products — no hashing.
+    */
+  private[ext] def hyperplaneSig(vc: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (coefs, p) =>
+      val dot = aggregate(
+        zip_with(vc, typedLit(coefs), (x, c) => x * c),
+        lit(0.0), (s, x) => s + x)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
   /** Embedding-cosine near-duplicate pairs above `minCosine`, via the same
     * band-bucket idea: random-hyperplane LSH signatures (sign of dot with a
     * seeded pseudo-random vector, SimHash-for-vectors) bucket candidates, the
     * exact cosine then filters. See [[Similarity.cosine]].
+    *
+    * The embedding column is assumed fixed-width (the universal contract for
+    * an embedding table); the width is probed from one row.
     */
   def embeddingNearDup(
       emb: DataFrame,
@@ -414,18 +463,12 @@ object Dedup {
       minCosine: Double = 0.95,
       nPlanes: Int = 16): DataFrame = {
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    // Deterministic pseudo-random hyperplanes: plane p, dim i → hash-derived
-    // double in [-1, 1). Computed per-row in codegen, no side data needed.
-    def planeSig(vc: Column): Column =
-      (0 until nPlanes).map { p =>
-        val dot = aggregate(
-          zip_with(vc, sequence(lit(0), size(vc) - 1),
-            (x, i) => x * (pmod(xxhash64(concat_ws(":", lit(p), i)), lit(2000001L))
-              .cast("double") / 1000000.0 - 1.0)),
-          lit(0.0), (s, x) => s + x)
-        when(dot > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
-    val sig = v.select(col("id"), col("v"), planeSig(col("v")).as("sig"))
+    val dimRow = v.select(size(col("v"))).limit(1).collect()
+    if (dimRow.isEmpty)
+      return v.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("cosine")).where(lit(false))
+    val planes = hyperplanes(nPlanes, dimRow.head.getInt(0))
+    val sig = v.select(col("id"), col("v"), hyperplaneSig(col("v"), planes).as("sig"))
     val banded = sig.select(col("id"), col("v"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

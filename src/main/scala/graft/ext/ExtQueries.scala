@@ -208,5 +208,41 @@ object ExtQueries {
         |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
         |FROM lineitem""".stripMargin))
 
-  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10)
+  // E1e exact n-gram Jaccard pairs over the doubled corpus — the SAME
+  // verification arithmetic e09's re-join stage uses (shingle →
+  // array_intersect → |A∩B|/(|A|+|B|−|A∩B|)), here under a full DuckDB
+  // oracle: word 3-gram shingles via a list comprehension, overlap via
+  // list_intersect. Both sides compute jaccard as an integer-derived IEEE
+  // division, so the doubles are bit-identical and need no rounding.
+  private val e11 = Q(
+    "e11_ngram_jaccard",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L))
+      Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(
+      """WITH doubled AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents
+        |), toksed AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM doubled
+        |), sh AS (
+        |  SELECT doc_id, list_distinct([
+        |    concat_ws(' ', toks[i], toks[i+1], toks[i+2]) FOR i IN range(1, greatest(len(toks) - 1, 1))
+        |  ]) AS sh
+        |  FROM toksed
+        |)
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
+        |)
+        |WHERE jaccard >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin))
+
+  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11)
 }

@@ -19,14 +19,18 @@ object Percentiles {
     * per column, not one per probability). Output: a single row with an
     * array column `{col}_pcts` per input column, probabilities in order.
     *
-    * `maxRows` is the single-task-buffer guard described above; the count
-    * that enforces it is a metadata-only parquet scan.
+    * `maxRows` is the single-task-buffer guard described above. The count
+    * that enforces it is metadata-only for a bare parquet scan; for a derived
+    * frame (post-join/filter) it computes the input once — pass `knownRows`
+    * (e.g. from an upstream count the pipeline already has) to skip that
+    * extra pass, at the caller's own accuracy risk.
     */
   def exact(
       df: DataFrame,
       pcts: Seq[(String, Seq[Double])],
-      maxRows: Long = 100000000L): DataFrame = {
-    val n = df.count()
+      maxRows: Long = 100000000L,
+      knownRows: Long = -1L): DataFrame = {
+    val n = if (knownRows >= 0) knownRows else df.count()
     require(n <= maxRows,
       s"exact percentile buffers the full column in ONE task: $n rows exceeds " +
         s"maxRows=$maxRows. Use Percentiles.approx (mergeable sketch, bounded " +

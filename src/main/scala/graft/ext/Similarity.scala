@@ -69,17 +69,19 @@ object Similarity {
     * unit sphere). No UDF: the norm is a codegen'd aggregate fold BOUND TO
     * ITS OWN PROJECTION first (a HOF lambda re-evaluates embedded subtrees
     * per element, so the norm must enter the divide lambda as an attribute),
-    * then spark.ml's native `array_to_vector` converts. The all-zero vector
-    * divides by Double.MIN_VALUE and stays all-zero, matching the previous
-    * UDF's behavior.
+    * then spark.ml's native `array_to_vector` converts. A zero norm (the
+    * all-zero vector, or non-zero subnormals whose squares underflow to 0.0)
+    * passes the input through unchanged — same contract as the UDF this
+    * replaced, without the divide-by-MIN_VALUE blowup on the subnormal edge.
     */
   private def withUnitVec(df: DataFrame, arrCol: String, outCol: String): DataFrame = {
     val norm = sqrt(aggregate(
       transform(col(arrCol), x => x * x), lit(0.0), (acc, x) => acc + x))
-    df.withColumn("__norm", greatest(norm, lit(java.lang.Double.MIN_VALUE)))
+    df.withColumn("__norm", norm)
       .withColumn(outCol,
         org.apache.spark.ml.functions.array_to_vector(
-          transform(col(arrCol), x => x / col("__norm"))))
+          when(col("__norm") === 0.0, col(arrCol))
+            .otherwise(transform(col(arrCol), x => x / col("__norm")))))
       .drop("__norm")
   }
 

@@ -160,8 +160,12 @@ object TrendSeasonForecaster {
       if (config.nChangepoints <= 0) Array.empty
       else {
         val hi = math.max(1, math.round(config.changepointRange * (ts.length - 1)).toInt)
+        // clamp to >= 1: with nChangepoints+1 > 2*hi the grid rounds to index
+        // 0, whose hinge max(0, t-0) = t is collinear with the linear term
+        // (singular normal equations); .distinct folds the duplicates the
+        // clamp creates on such short series
         (1 to config.nChangepoints)
-          .map(j => ts(math.round(j.toDouble * hi / (config.nChangepoints + 1)).toInt))
+          .map(j => ts(math.max(1, math.round(j.toDouble * hi / (config.nChangepoints + 1)).toInt)))
           .distinct.toArray
       }
 

@@ -89,32 +89,62 @@ object EventStream {
     * between consecutive events exceeds `gapMillis`, emitting one summary
     * row per closed session. The state object is O(1) per key — at scale,
     * state store size is #active users, not #events.
+    *
+    * Session CLOSURE has two triggers, both required on a real stream:
+    *  - a later event for the same user beyond the gap (the fold below), and
+    *  - `EventTimeTimeout`: when the watermark passes `lastSeen + gapMillis`
+    *    with no further event, the open session is emitted and its state
+    *    evicted. Without this, an idle user's FINAL session never surfaces
+    *    and their state lives forever — on a 100 TB stream that is both a
+    *    correctness hole and an unbounded state store.
+    *
+    * On a streaming Dataset a watermark on `ts` is applied here (required
+    * for event-time timeouts); `watermarkDelay` is the usual lateness bound.
+    * On a batch Dataset (tests, backfills) Spark never fires timeouts — the
+    * trailing open session per user is withheld, matching append-mode
+    * semantics of the streaming twin before the watermark closes it.
     */
-  def sessionizeStateful(events: Dataset[Event], gapMillis: Long): Dataset[SessionOut] = {
+  def sessionizeStateful(events: Dataset[Event], gapMillis: Long,
+      watermarkDelay: String = "2 hours"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", watermarkDelay) else events
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, evts: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = evts.toSeq.sortBy(_.ts.getTime)
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          var cur = state.getOption
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.lastSeen > gapMillis =>
-                out += SessionOut(userId, new java.sql.Timestamp(s.start),
-                  new java.sql.Timestamp(s.lastSeen), s.n, s.sum)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case Some(s) =>
-                cur = Some(s.copy(lastSeen = t, n = s.n + 1, sum = s.sum + e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
+          if (state.hasTimedOut) {
+            // watermark passed lastSeen + gap: the session can no longer be
+            // extended by in-watermark data — emit it and evict the state
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.lastSeen), s.n, s.sum))
+          } else {
+            val sorted = evts.toSeq.sortBy(_.ts.getTime)
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen > gapMillis =>
+                  out += SessionOut(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.lastSeen), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  cur = Some(s.copy(lastSeen = t, n = s.n + 1, sum = s.sum + e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // event-time timeouts need a watermark; batch runs have none
+              if (streaming) state.setTimeoutTimestamp(s.lastSeen + gapMillis)
+            }
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
       }
   }
 

@@ -181,6 +181,43 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.size <= 3)
   }
 
+  test("dupGroups refuses a non-integral id column loudly") {
+    import spark.implicits._
+    val ids = Seq("doc-a", "doc-b").toDF("doc_id")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException](Dedup.dupGroups(ids, pairs))
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    val stringPairs = Seq(("doc-a", "doc-b")).toDF("id_a", "id_b")
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.dupGroups(Seq(1L, 2L).toDF("doc_id"), stringPairs))
+    assert(e2.getMessage.contains("integral"), e2.getMessage)
+  }
+
+  test("hyperplane literal matrix is bit-identical to the per-row hash formulation") {
+    import org.apache.spark.sql.Column
+    import spark.implicits._
+    // the formulation embeddingNearDup used before the literals: hash (p, i)
+    // inside the per-element lambda, pmod-folded to [-1, 1)
+    def oldSig(vc: Column, nPlanes: Int): Column =
+      (0 until nPlanes).map { p =>
+        val dot = aggregate(
+          zip_with(vc, sequence(lit(0), size(vc) - 1),
+            (x, i) => x * (pmod(xxhash64(concat_ws(":", lit(p), i)), lit(2000001L))
+              .cast("double") / 1000000.0 - 1.0)),
+          lit(0.0), (s, x) => s + x)
+        when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val dim = real.select(size(col("v"))).head().getInt(0)
+    val planes = Dedup.hyperplanes(16, dim)
+    val rows = real.select(oldSig(col("v"), 16).as("old"),
+      Dedup.hyperplaneSig(col("v"), planes).as("lit")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"per-row ${r.getLong(0)} != literal ${r.getLong(1)}"))
+  }
+
   test("embedding near-dup pairs identical vectors and skips distant ones") {
     import spark.implicits._
     val emb = Seq(

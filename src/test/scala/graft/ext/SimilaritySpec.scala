@@ -83,6 +83,60 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected <= 4 cell partitions read, got ${corpusScan.selectedPartitions.partitionCount}")
   }
 
+  test("physical IVF index at sf0.1: recall/pruning tradeoff over multiple queries") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // NOTE on the bar: these embeddings are near-uniform on the sphere (the
+    // true top-10 cosines are only ~0.3–0.5 and scatter across label
+    // clusters), so IVF recall necessarily tracks the probed FRACTION — no
+    // cell layout can put uniform neighbors in few cells. The honest contract
+    // has two operating points, both asserted here on the real table:
+    // aggressive pruning (6/16 cells, recall well above the 0.375 scan
+    // fraction) and high recall (14/16 cells, recall >= 0.9). On a genuinely
+    // clustered corpus the first point alone reaches 0.9 (the sf0.001
+    // suite's clustered spec data shows that shape).
+    val real = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_sf01").toString
+    val (nClusters, k) = (16, 10)
+    Similarity.buildIvfIndex(real, idx, nClusters = nClusters)
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    val queryIds = Seq(0L, 123L, 456L, 789L, 1500L)
+    val exactTop = queryIds.map { qid =>
+      qid -> Similarity.bruteForceTopK(real, queryId = qid, k = k)
+        .collect().map(_.getLong(0)).toSet
+    }.toMap
+    val qVecs = queryIds.map { qid =>
+      qid -> real.where(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    }.toMap
+    def meanRecall(nProbes: Int): Double = {
+      val recalls = queryIds.map { qid =>
+        val res = Similarity.ivfTopKIndexed(spark, idx, qVecs(qid), k = k + 1, nProbes = nProbes)
+        val rows = res.collect()
+        // pruning stays physical: <= nProbes of the 16 cell dirs are read
+        val corpusScan = scans(res.queryExecution.executedPlan)
+          .find(_.relation.location.rootPaths.mkString(",").contains("corpus"))
+          .getOrElse(fail("no corpus FileSourceScanExec in plan"))
+        assert(corpusScan.selectedPartitions.partitionCount <= nProbes,
+          s"expected <= $nProbes cell partitions read, got ${corpusScan.selectedPartitions.partitionCount}")
+        // the query vector IS vec qid's embedding: drop its own hit, then score
+        val approx = rows.map(_.getLong(0)).filterNot(_ == qid).take(k).toSet
+        approx.intersect(exactTop(qid)).size.toDouble / k
+      }
+      recalls.sum / recalls.length
+    }
+    val pruned = meanRecall(nProbes = 6)
+    assert(pruned >= 0.5, s"recall@$k at 6/16 probes = $pruned — should beat the 0.375 scan fraction")
+    val high = meanRecall(nProbes = 14)
+    assert(high >= 0.9, s"recall@$k at 14/16 probes = $high < 0.9")
+  }
+
   test("lshTopK approximates the exact top-k on clustered vectors") {
     val got = Similarity.lshTopK(spark, emb, queryId = 0L, k = 2, numHashTables = 8)
       .collect().map(_.getLong(0)).toSet

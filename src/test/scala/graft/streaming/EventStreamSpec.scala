@@ -57,6 +57,54 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.count() == 200, s"expected 200 unique, got ${got.count()}")
   }
 
+  test("stateful sessionization emits idle users' FINAL sessions via event-time timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, ts: String, user: Long, v: Double) =
+      EventStream.Event(id, java.sql.Timestamp.valueOf(ts), user, "c", v)
+    val gapMs = 30 * 60 * 1000L
+    val ms = MemoryStream[EventStream.Event]
+    val out = EventStream.sessionizeStateful(ms.toDS(), gapMs, watermarkDelay = "0 seconds")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("stateful_timeout").start()
+    try {
+      // user 7: one session, then silence forever. user 99: two gap-separated
+      // single-event sessions (the first closes by gap inside the batch).
+      ms.addData(
+        ev(1, "2024-01-01 10:00:00", 7, 1.0), ev(2, "2024-01-01 10:10:00", 7, 2.0),
+        ev(3, "2024-01-01 13:00:00", 99, 4.0), ev(4, "2024-01-01 13:35:00", 99, 8.0))
+      q.processAllAvailable()
+      // a later event for an UNRELATED user advances the watermark past
+      // lastSeen+gap for users 7 and 99 — their open sessions must now be
+      // emitted by timeout, with NO further event for either user
+      ms.addData(ev(5, "2024-01-02 00:00:00", 999, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("stateful_timeout")
+        .where(col("user_id") =!= 999)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(got == Set(
+        (7L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L, 3.0),
+        (99L, "2024-01-01 13:00:00.0", "2024-01-01 13:00:00.0", 1L, 4.0),
+        (99L, "2024-01-01 13:35:00.0", "2024-01-01 13:35:00.0", 1L, 8.0)), got.toString)
+      // ≡ the session_window twin on the same data: the built-in's session
+      // end is lastSeen + gap, the stateful one reports lastSeen — align and
+      // compare exactly
+      val batch = Seq(
+        ev(1, "2024-01-01 10:00:00", 7, 1.0), ev(2, "2024-01-01 10:10:00", 7, 2.0),
+        ev(3, "2024-01-01 13:00:00", 99, 4.0), ev(4, "2024-01-01 13:35:00", 99, 8.0))
+        .toDS().toDF()
+      val twin = graft.ext.Jsonish.sessions(batch, "30 minutes")
+        .collect()
+        .map(r => (r.getLong(2), r.getTimestamp(0).toString,
+          new java.sql.Timestamp(r.getTimestamp(1).getTime - gapMs).toString,
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(got == twin, s"stateful $got != session_window twin $twin")
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on the gap and sums values") {
     import spark.implicits._
     val events = Seq(
