@@ -132,6 +132,30 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("prefix-filtered ngram jaccard is exactly the naive all-pairs result on the real corpus") {
+    // zero-loss contract of the AllPairs prefix + length filters: same pairs,
+    // same scores as brute force over every doc pair, on the real documents
+    // table doubled (so exact dups exist) at a mid threshold
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val doubled = d.unionAll(d.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val got = Dedup.ngramJaccardPairs(doubled, minJaccard = 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val sh = doubled.select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+    val common = size(array_intersect(col("sh_a"), col("sh_b")))
+    val naive = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("id").as("id_b"), col("sh").as("sh_b")))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (common.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - common)).as("j"))
+      .where(col("j") >= 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(naive.nonEmpty)
+    assert(got == naive,
+      s"missing=${naive.keySet -- got.keySet} extra=${got.keySet -- naive.keySet}")
+  }
+
   test("ngram jaccard DF cap: stop-shingles excluded from candidates, scores exact") {
     import spark.implicits._
     val boiler = "subscribe to our newsletter for daily updates today"
