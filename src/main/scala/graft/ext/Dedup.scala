@@ -51,23 +51,28 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Word-level shingles (n-grams) of the normalized text, built by zipping
-    * the token array with its own n−1 shifted copies — each row tokenizes
-    * exactly n times total. (The naive `transform(sequence(...), i =>
-    * slice(tokens, i, n))` form re-evaluates the tokenizer once per
-    * *position* inside the lambda: O(tokens²) regex work per document,
-    * measured 25s for 10k docs vs <1s for this form.)
+  /** Word-level n-grams of the normalized text IN POSITION ORDER, repeats
+    * kept — built by zipping the token array with its own n−1 shifted
+    * copies, so each row tokenizes exactly n times total. (The naive
+    * `transform(sequence(...), i => slice(tokens, i, n))` form re-evaluates
+    * the tokenizer once per *position* inside the lambda: O(tokens²) regex
+    * work per document, measured 25s for 10k docs vs <1s for this form.)
+    * Repetition statistics ([[TextStats.repetitionStats]]) consume this
+    * multiset form; set-based similarity uses [[shingles]].
     */
-  def shingles(c: Column, n: Int = 3): Column = {
+  def ngramsOrdered(c: Column, n: Int = 3): Column = {
     def toks: Column = split(normText(c), "\\s+")
     val joined = (1 until n).foldLeft(toks) { (acc, k) =>
       // zip_with pads the shorter (shifted) side with nulls; a null partner
-      // marks an incomplete trailing shingle, filtered below
+      // marks an incomplete trailing n-gram, filtered below
       zip_with(acc, slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))),
         (x, y) => when(y.isNull || x.isNull, lit(null)).otherwise(concat(x, lit(" "), y)))
     }
-    array_distinct(filter(joined, x => x.isNotNull))
+    filter(joined, x => x.isNotNull)
   }
+
+  /** Word-level shingles: the distinct SET of [[ngramsOrdered]]. */
+  def shingles(c: Column, n: Int = 3): Column = array_distinct(ngramsOrdered(c, n))
 
   /** MinHash + LSH near-duplicate pairs (Broder 1997 resemblance sketch).
     * shingle → sparse feature vector (HashingTF) → MinHashLSH →

@@ -244,5 +244,62 @@ object ExtQueries {
         |WHERE jaccard >= 0.8
         |ORDER BY id_a, id_b""".stripMargin))
 
-  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11)
+  // E3c Gopher-style n-gram repetition signals per document (top-n-gram
+  // coverage + duplicate-n-gram fraction for n = 2, 3). Both sides divide
+  // integer-derived values exactly once → bit-identical doubles.
+  private val e12 = Q(
+    "e12_repetition",
+    (s, dir) =>
+      TextStats.repetitionStats(t(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+    Some(
+      """WITH toksed AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+        |), g2 AS (
+        |  SELECT doc_id, unnest([concat_ws(' ', toks[i], toks[i+1]) FOR i IN range(1, greatest(len(toks), 1))]) AS g
+        |  FROM toksed
+        |), c2 AS (
+        |  SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2
+        |), s2 AS (
+        |  SELECT doc_id, max(c) AS top_c, sum(c) AS tot, COUNT(*) AS dist FROM c2 GROUP BY 1
+        |), g3 AS (
+        |  SELECT doc_id, unnest([concat_ws(' ', toks[i], toks[i+1], toks[i+2]) FOR i IN range(1, greatest(len(toks) - 1, 1))]) AS g
+        |  FROM toksed
+        |), c3 AS (
+        |  SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2
+        |), s3 AS (
+        |  SELECT doc_id, max(c) AS top_c, sum(c) AS tot, COUNT(*) AS dist FROM c3 GROUP BY 1
+        |)
+        |SELECT t.doc_id, len(t.toks) AS n_tokens,
+        |  CASE WHEN s2.tot IS NULL OR len(t.toks) = 0 THEN 0.0 ELSE CAST(s2.top_c * 2 AS DOUBLE) / len(t.toks) END AS top2gram_frac,
+        |  CASE WHEN s2.tot IS NULL OR s2.tot = 0 THEN 0.0 ELSE CAST(s2.tot - s2.dist AS DOUBLE) / s2.tot END AS dup2gram_frac,
+        |  CASE WHEN s3.tot IS NULL OR len(t.toks) = 0 THEN 0.0 ELSE CAST(s3.top_c * 3 AS DOUBLE) / len(t.toks) END AS top3gram_frac,
+        |  CASE WHEN s3.tot IS NULL OR s3.tot = 0 THEN 0.0 ELSE CAST(s3.tot - s3.dist AS DOUBLE) / s3.tot END AS dup3gram_frac
+        |FROM toksed t LEFT JOIN s2 USING(doc_id) LEFT JOIN s3 USING(doc_id)
+        |ORDER BY doc_id""".stripMargin))
+
+  // Deterministic content-hash train/val/test split (80/10/10): md5-derived
+  // bucket so Spark and DuckDB agree byte-for-byte — split membership is a
+  // property of the data, not the execution.
+  private val e13 = Q(
+    "e13_hash_split",
+    (s, dir) =>
+      graft.ops.Splits.splitByHash(t(s, dir, "documents").select(col("doc_id")))
+        .orderBy(col("doc_id")),
+    Some(
+      """WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents
+        |), b AS (
+        |  SELECT doc_id,
+        |    ((((strpos('0123456789abcdef', substr(m,1,1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(m,2,1)) - 1)) * 16
+        |      + (strpos('0123456789abcdef', substr(m,3,1)) - 1)) * 16
+        |      + (strpos('0123456789abcdef', substr(m,4,1)) - 1)) % 100 AS bucket
+        |  FROM h
+        |)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13)
 }

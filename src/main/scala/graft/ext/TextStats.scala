@@ -185,4 +185,50 @@ object TextStats {
       .where(length(col("token")) > 0)
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
+
+  /** Per-document n-gram repetition signals — the n-gram rows of Gopher's
+    * repetition filters (Rae et al. 2021, Table A1), in token-level form.
+    * For each n in `ns` the output carries two columns:
+    *
+    *  - `top{n}gram_frac`: tokens covered by the single MOST FREQUENT
+    *    n-gram, `count × n / n_tokens`. Overlapping occurrences are not
+    *    de-overlapped — this is the standard cheap upper-bound coverage
+    *    (only the max count is used, so gram-tie order cannot affect it).
+    *  - `dup{n}gram_frac`: fraction of n-gram OCCURRENCES that are repeats
+    *    of an earlier one, `(total − distinct) / total`.
+    *
+    * High values of either mark the template/boilerplate/looping-generator
+    * documents the Gopher rules exist to drop; compose with
+    * [[qualityFilter]] thresholds downstream.
+    *
+    * Shape at scale: per n, one shuffle on (doc id, gram) with map-side
+    * partial counts, then a per-doc re-aggregation on doc id — no per-row
+    * quadratic work, and the first shuffle key includes the doc id so a
+    * globally common gram cannot skew a partition. Both fractions divide
+    * integer-derived values exactly once, so results are bit-identical
+    * across engines (the e12 oracle relies on this). Docs with fewer than
+    * n tokens score 0.0 on both signals.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    val base = docs.select(col(idCol),
+      size(split(Dedup.normText(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+    ns.foldLeft(base) { (acc, n) =>
+      val gramCounts = docs
+        .select(col(idCol), explode(Dedup.ngramsOrdered(col(textCol), n)).as("g"))
+        .groupBy(col(idCol), col("g"))
+        .agg(count(lit(1)).as("c"))
+      val stats = gramCounts.groupBy(col(idCol)).agg(
+        max(col("c")).as("top_c"), sum(col("c")).as("tot"),
+        count(lit(1)).as("dist"))
+      acc.join(stats, Seq(idCol), "left")
+        .withColumn(s"top${n}gram_frac",
+          when(col("tot").isNull || col("n_tokens") === 0, lit(0.0))
+            .otherwise((col("top_c") * n).cast("double") / col("n_tokens")))
+        .withColumn(s"dup${n}gram_frac",
+          when(col("tot").isNull || col("tot") === 0, lit(0.0))
+            .otherwise((col("tot") - col("dist")).cast("double") / col("tot")))
+        .drop("top_c", "tot", "dist")
+    }
+  }
 }

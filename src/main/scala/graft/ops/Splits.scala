@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines.
+  *
+  * The reference's train/test split is positional (83/17 by row order,
+  * ipynb cell 47 — [[graft.forecast.TrendSeasonForecaster.trainTestSplit]]
+  * reproduces it for the forecaster). Positional splits are wrong for a
+  * 100 TB corpus: row order depends on file layout, partitioning, and
+  * shuffle nondeterminism, so membership changes between runs and leaks
+  * across reshards. The scale-correct form is CONTENT-HASH assignment —
+  * a pure per-row expression, so it is stable under reruns, repartitions,
+  * and engine changes, and it needs no shuffle at all.
+  */
+object Splits {
+
+  /** Hash bucket in [0, 100) for a row id: the first 4 hex chars of
+    * md5(salt ∥ id) as an integer, mod 100. md5 because every engine
+    * produces the same lowercase hex (the same reason the e01 oracle uses
+    * it), so an assignment computed by Spark, DuckDB, or anything else
+    * agrees byte-for-byte — split membership is a property of the DATA,
+    * not the execution. 65536 % 100 ≠ 0 leaves buckets 0–35 with 656/65536
+    * of the mass and the rest with 655/65536: a ±0.1%-of-a-percentile bias,
+    * negligible against real corpus variance (use more hex digits if it
+    * ever matters).
+    */
+  def hashBucket(idCol: org.apache.spark.sql.Column, salt: String = ""): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit(salt), idCol.cast("string"))), 1, 4), 16, 10)
+      .cast("long") % 100
+
+  /** Deterministic train/val/test assignment: adds `bucket` (long, 0–99)
+    * and `split` ('train' | 'val' | 'test') columns. `salt` rotates the
+    * assignment without touching the data (e.g. per-experiment splits);
+    * the same (id, salt) maps to the same split on any engine, any run,
+    * any partitioning. Zero shuffle — a codegen'd per-row projection.
+    */
+  def splitByHash(df: DataFrame, idCol: String = "doc_id", salt: String = "",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    df.withColumn("bucket", hashBucket(col(idCol), salt))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+}

@@ -94,4 +94,32 @@ class TextStatsSpec extends AnyFunSuite {
     val got = TextStats.wordFreq(df).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 3, "b" -> 2))
   }
+
+  test("repetitionStats: hand-computed top/dup n-gram fractions") {
+    import spark.implicits._
+    val df = Seq(
+      // "a b a b a": bigrams [a b, b a, a b, b a] → top count 2, tot 4,
+      // dist 2; trigrams [a b a, b a b, a b a] → top 2, tot 3, dist 2
+      (1L, "a b a b a"),
+      // no repeats at all: every gram unique
+      (2L, "one two three four"),
+      // fewer tokens than n=3: trigram columns must be 0.0, not null
+      (3L, "x y"),
+      // degenerate loop: one token repeated — all grams identical
+      (4L, "spam spam spam spam spam spam")).toDF("doc_id", "text")
+    val got = TextStats.repetitionStats(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def d(id: Long, c: String) = got(id).getDouble(got(id).fieldIndex(c))
+    assert(got(1L).getLong(1) == 5L) // n_tokens
+    assert(d(1L, "top2gram_frac") == 2.0 * 2 / 5)
+    assert(d(1L, "dup2gram_frac") == 2.0 / 4)
+    assert(d(1L, "top3gram_frac") == 2.0 * 3 / 5)
+    assert(d(1L, "dup3gram_frac") == 1.0 / 3)
+    assert(d(2L, "dup2gram_frac") == 0.0 && d(2L, "dup3gram_frac") == 0.0)
+    assert(d(2L, "top2gram_frac") == 2.0 / 4)
+    assert(d(3L, "top2gram_frac") == 1.0 && d(3L, "top3gram_frac") == 0.0)
+    assert(d(3L, "dup3gram_frac") == 0.0)
+    assert(d(4L, "dup2gram_frac") == 4.0 / 5) // 5 identical bigrams
+    assert(d(4L, "top2gram_frac") == 5.0 * 2 / 6)
+  }
 }
