@@ -71,6 +71,20 @@ object Pipeline {
     val passRate = q.where(org.apache.spark.sql.functions.col("quality_pass")).count().toDouble / docs.count()
     println(f"[demo] near-dedup: ${doubled.count()} -> $nearKept docs; quality pass rate=$passRate%.2f")
 
+    // 5c. repetition gate + deterministic split: the tail of a curation
+    // pass — drop template-heavy docs, then assign train/val/test by
+    // content hash so the split survives any re-run or repartition
+    {
+      import org.apache.spark.sql.functions.{avg, col}
+      val rep = TextStats.repetitionStats(docs)
+      val avgDup = rep.agg(avg(col("dup3gram_frac"))).head().getDouble(0)
+      val clean = rep.where(col("dup3gram_frac") < 0.5).select(col("doc_id"))
+      val splits = graft.ops.Splits.splitByHash(clean)
+        .groupBy(col("split")).count()
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      println(f"[demo] repetition: avg dup3gram_frac=$avgDup%.3f; hash split: $splits")
+    }
+
     // 6. similarity search: exact vs IVF probe over real embeddings
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val exact = graft.ext.Similarity.bruteForceTopK(emb, 0L, 5)
