@@ -201,34 +201,43 @@ object TextStats {
     * documents the Gopher rules exist to drop; compose with
     * [[qualityFilter]] thresholds downstream.
     *
-    * Shape at scale: per n, one shuffle on (doc id, gram) with map-side
-    * partial counts, then a per-doc re-aggregation on doc id — no per-row
-    * quadratic work, and the first shuffle key includes the doc id so a
-    * globally common gram cannot skew a partition. Both fractions divide
-    * integer-derived values exactly once, so results are bit-identical
-    * across engines (the e12 oracle relies on this). Docs with fewer than
-    * n tokens score 0.0 on both signals.
+    * Shape at scale: ONE gram scan regardless of how many n are requested —
+    * every n-gram enters a single explode tagged with its n, so the text
+    * column is read twice in total (the token-count base + the grams),
+    * not once per n. One shuffle on (doc id, n, gram) with map-side partial
+    * counts, then one per-doc aggregation that splits the n's back out via
+    * conditional aggregates — no per-row quadratic work, and the first
+    * shuffle key includes the doc id so a globally common gram cannot skew
+    * a partition. Both fractions divide integer-derived values exactly
+    * once, so results are bit-identical across engines (the e12 oracle
+    * relies on this). Docs with fewer than n tokens score 0.0 on both
+    * signals.
     */
   def repetitionStats(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1) && ns.distinct == ns,
+      s"ns must be distinct positive n-gram sizes, got $ns")
     val base = docs.select(col(idCol),
       size(split(Dedup.normText(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
-    ns.foldLeft(base) { (acc, n) =>
-      val gramCounts = docs
-        .select(col(idCol), explode(Dedup.ngramsOrdered(col(textCol), n)).as("g"))
-        .groupBy(col(idCol), col("g"))
-        .agg(count(lit(1)).as("c"))
-      val stats = gramCounts.groupBy(col(idCol)).agg(
-        max(col("c")).as("top_c"), sum(col("c")).as("tot"),
-        count(lit(1)).as("dist"))
-      acc.join(stats, Seq(idCol), "left")
-        .withColumn(s"top${n}gram_frac",
-          when(col("tot").isNull || col("n_tokens") === 0, lit(0.0))
-            .otherwise((col("top_c") * n).cast("double") / col("n_tokens")))
-        .withColumn(s"dup${n}gram_frac",
-          when(col("tot").isNull || col("tot") === 0, lit(0.0))
-            .otherwise((col("tot") - col("dist")).cast("double") / col("tot")))
-        .drop("top_c", "tot", "dist")
-    }
+    val tagged = docs.select(col(idCol), explode(concat(ns.map(n =>
+        transform(Dedup.ngramsOrdered(col(textCol), n),
+          g => struct(lit(n).as("n"), g.as("g")))): _*)).as("t"))
+      .select(col(idCol), col("t.n").as("n"), col("t.g").as("g"))
+    val counts = tagged.groupBy(col(idCol), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val perN = ns.flatMap(n => Seq(
+      max(when(col("n") === n, col("c"))).as(s"top_c_$n"),
+      sum(when(col("n") === n, col("c"))).as(s"tot_$n"),
+      count(when(col("n") === n, lit(1))).as(s"dist_$n")))
+    val stats = counts.groupBy(col(idCol)).agg(perN.head, perN.tail: _*)
+    val fracs = ns.flatMap(n => Seq(
+      when(col(s"tot_$n").isNull || col("n_tokens") === 0, lit(0.0))
+        .otherwise((col(s"top_c_$n") * n).cast("double") / col("n_tokens"))
+        .as(s"top${n}gram_frac"),
+      when(col(s"tot_$n").isNull || col(s"tot_$n") === 0, lit(0.0))
+        .otherwise((col(s"tot_$n") - col(s"dist_$n")).cast("double") / col(s"tot_$n"))
+        .as(s"dup${n}gram_frac")))
+    base.join(stats, Seq(idCol), "left")
+      .select(col(idCol) +: col("n_tokens") +: fracs: _*)
   }
 }
