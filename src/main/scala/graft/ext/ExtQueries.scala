@@ -301,5 +301,52 @@ object ExtQueries {
         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13)
+  // E1f transitive duplicate clusters: the GraphX connected-components
+  // labeling (dupGroups) under a DuckDB oracle — min-reachable-id per node
+  // via a recursive CTE over the e11 pair graph. Both engines label a
+  // component with its minimum doc_id, so the (doc_id, group_id) frames
+  // hash-compare exactly; the size-4/6 components in the doubled corpus
+  // exercise transitivity (A~B~C collapsing without a direct A~C edge).
+  private val e14 = Q(
+    "e14_dup_clusters",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L))
+      val pairs = Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8)
+        .select(col("id_a"), col("id_b"))
+      Dedup.dupGroups(doubled.select(col("doc_id")), pairs).orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH doubled AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents
+        |), toksed AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM doubled
+        |), sh AS (
+        |  SELECT doc_id, list_distinct([
+        |    concat_ws(' ', toks[i], toks[i+1], toks[i+2]) FOR i IN range(1, greatest(len(toks) - 1, 1))
+        |  ]) AS sh
+        |  FROM toksed
+        |), pairs AS (
+        |  SELECT * FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |    FROM sh a, sh b
+        |    WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
+        |  ) WHERE jaccard >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |)
+        |SELECT doc_id, group_id FROM (
+        |  WITH RECURSIVE reach(id, r) AS (
+        |    SELECT doc_id, doc_id FROM doubled
+        |    UNION
+        |    SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+        |  )
+        |  SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
+        |) ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14)
 }
