@@ -186,6 +186,60 @@ object TextStats {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
 
+  /** C4/CCNet-style PII + noise scrubbing: emails, then URLs, then long
+    * digit runs that look like phone numbers, each replaced by a typed
+    * placeholder token so downstream token statistics still see ONE token
+    * where the entity was. Order matters (an email inside a URL query
+    * string is redacted as <EMAIL> first). Patterns are deliberately
+    * lookaround-free so they behave identically under Java regex and RE2 —
+    * the same portability constraint the oracle SQL lives under. Per-row
+    * codegen'd regexp_replace chain: zero shuffle, streaming-safe.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "https?://[^\\s]+|www\\.[^\\s]+", "<URL>"),
+      "\\+?[0-9][0-9()\\s.-]{7,}[0-9]", "<PHONE>")
+
+  /** Frequency vocabulary over a corpus: the `maxSize` most frequent
+    * lowercased tokens with contiguous ids 0..size−1, deterministically
+    * ordered by (count desc, token asc) so the same corpus always yields
+    * the same vocab on any engine or partitioning. The global sort runs as
+    * TakeOrderedAndProject (top-k per partition, merged on the driver — no
+    * full sort), and the id-assigning window sees only the ≤ maxSize
+    * surviving rows.
+    */
+  def buildVocab(docs: DataFrame, textCol: String = "text",
+      maxSize: Int = 65536): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    wordFreq(docs, textCol)
+      .orderBy(col("n").desc, col("token"))
+      .limit(maxSize)
+      .withColumn("id", row_number().over(w).cast("long") - 1)
+  }
+
+  /** Token-id encoding of each document against a [[buildVocab]] frame:
+    * tokens in position order, out-of-vocabulary tokens as −1. The vocab
+    * side is broadcast (it is ≤ maxSize rows by construction), so the only
+    * shuffle is the per-doc reassembly; positions ride a posexplode and an
+    * array_sort on (pos, id) structs restores document order exactly.
+    */
+  def encodeTokens(docs: DataFrame, vocab: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "token")))
+    toks
+      .join(broadcast(vocab.select(col("token"), col("id"))), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"),
+          coalesce(col("id"), lit(-1L)).as("tid")))),
+        s => s("tid")).as("token_ids"))
+  }
+
   /** Per-document n-gram repetition signals — the n-gram rows of Gopher's
     * repetition filters (Rae et al. 2021, Table A1), in token-level form.
     * For each n in `ns` the output carries two columns:

@@ -95,6 +95,38 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got == Map("a" -> 3, "b" -> 2))
   }
 
+  test("scrubPii redacts emails, urls, and phone-like runs as single tokens") {
+    import spark.implicits._
+    val df = Seq(
+      "contact me at jane.doe+spam@example.co.uk today",
+      "see https://example.com/a?b=c&user=x@y.org and www.test.org/path",
+      "call +1 (555) 123-4567 or 555.123.4567 now",
+      "version 2.0 has 3 bugs" // short digit runs must survive
+    ).toDF("text")
+    val got = df.select(TextStats.scrubPii(col("text"))).collect().map(_.getString(0))
+    assert(got(0) == "contact me at <EMAIL> today")
+    assert(got(1) == "see <URL> and <URL>", got(1))
+    assert(got(2) == "call <PHONE> or <PHONE> now", got(2))
+    assert(got(3) == "version 2.0 has 3 bugs")
+  }
+
+  test("buildVocab is deterministic; encodeTokens restores order with OOV=-1") {
+    import spark.implicits._
+    val docs = Seq((1L, "b a b c B"), (2L, "a b zzz")).toDF("doc_id", "text")
+    // counts: b=4 (incl B), a=2, c=1, zzz=1 → order by (n desc, token asc)
+    val vocab = TextStats.buildVocab(docs, maxSize = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(vocab.map(v => v._1 -> v._3).toSeq == Seq("b" -> 0L, "a" -> 1L, "c" -> 2L), vocab.toSeq)
+    // repartitioned input → identical vocab
+    val vocab2 = TextStats.buildVocab(docs.repartition(5), maxSize = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(vocab.toSeq == vocab2.toSeq)
+    val enc = TextStats.encodeTokens(docs, TextStats.buildVocab(docs, maxSize = 3))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(enc(1L) == Seq(0L, 1L, 0L, 2L, 0L)) // "b a b c B"
+    assert(enc(2L) == Seq(1L, 0L, -1L))        // zzz is OOV
+  }
+
   test("repetitionStats: hand-computed top/dup n-gram fractions") {
     import spark.implicits._
     val df = Seq(
