@@ -56,9 +56,29 @@ object E11Profile {
       .select(col("id_a"), col("id_b")).distinct()
     time("rare-first distinct candidates")(cands.count())
 
+    // variant: one shuffle — groupBy posting list per shingle, explode pairs
+    // within the bucket, then count common per pair (no string-keyed join)
+    def bucketed(docs2: org.apache.spark.sql.DataFrame, t2: Double): org.apache.spark.sql.DataFrame = {
+      val sh2 = docs2.select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
+        .select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
+      val inv2 = sh2.select(col("id"), col("n_sh"), explode(col("sh")).as("g"))
+      val buckets = inv2.groupBy(col("g"))
+        .agg(collect_list(struct(col("id"), col("n_sh"))).as("members"))
+        .where(size(col("members")) > 1)
+      buckets
+        .select(explode(col("members")).as("a"), col("members"))
+        .select(col("a"), explode(col("members")).as("b"))
+        .where(col("a.id") < col("b.id") &&
+          least(col("a.n_sh"), col("b.n_sh")) >= lit(t2) * greatest(col("a.n_sh"), col("b.n_sh")))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("common"), first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"))
+        .select(col("id_a"), col("id_b"),
+          (col("common").cast("double") / (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+        .where(col("jaccard") >= t2)
+    }
     for (rep <- 1 to 3) {
-      time(s"rep$rep naive ")(naive(doubled, 0.8).count())
-      time(s"rep$rep prefix")(Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8).count())
+      time(s"rep$rep join-based ")(Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8).count())
+      time(s"rep$rep bucketed  ")(bucketed(doubled, 0.8).count())
     }
     spark.stop()
   }
