@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, Expression, ExpressionInfo, Literal, RegExpReplace}
+import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.{MinHashSig, SimHash64}
 
 /** Session-extension registration: makes the library's custom Catalyst
@@ -62,6 +63,24 @@ object GraftExtensions {
         case Seq(a, b) => BitwiseCount(BitwiseXor(a, b))
         case _ => throw new IllegalArgumentException(
           s"hamming_dist takes 2 arguments, got ${exprs.length}")
+      }),
+    // scrub_pii(text) — the C4-style email/URL/phone redaction chain,
+    // SQL-text parity with graft.ext.TextStats.scrubPii (same patterns,
+    // same order; built from RegExpReplace so it stays codegen'd)
+    ("scrub_pii",
+      new ExpressionInfo(classOf[RegExpReplace].getName, "scrub_pii"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(text) =>
+          def lit(s: String) = Literal(UTF8String.fromString(s),
+            org.apache.spark.sql.types.StringType)
+          RegExpReplace(
+            RegExpReplace(
+              RegExpReplace(text,
+                lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>")),
+              lit("https?://[^\\s]+|www\\.[^\\s]+"), lit("<URL>")),
+            lit("\\+?[0-9][0-9()\\s.-]{7,}[0-9]"), lit("<PHONE>"))
+        case _ => throw new IllegalArgumentException(
+          s"scrub_pii takes 1 argument, got ${exprs.length}")
       }))
 
   /** Register on a live session (tests / notebook use). */

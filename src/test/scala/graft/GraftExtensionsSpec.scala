@@ -46,6 +46,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("literal"), e.getMessage)
   }
 
+  test("SQL scrub_pii matches TextStats.scrubPii exactly") {
+    import spark.implicits._
+    val pii = Seq(
+      (1L, "mail a@b.co or visit https://x.y/z?u=a@b.co call +1 (555) 123-4567"),
+      (2L, "clean text, no entities, version 2.0"))
+      .toDF("doc_id", "text")
+    pii.createOrReplaceTempView("ge_pii")
+    val api = pii.select(col("doc_id"), graft.ext.TextStats.scrubPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaSql = spark.sql("SELECT doc_id, scrub_pii(text) AS t FROM ge_pii")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(api == viaSql)
+    assert(api(1L).contains("<EMAIL>") && api(1L).contains("<URL>") && api(1L).contains("<PHONE>"))
+    assert(api(2L) == "clean text, no entities, version 2.0")
+  }
+
   test("SQL hamming_dist matches Dedup.hammingDist on simhash64 fingerprints") {
     docs
     val api = docs.as("a").crossJoin(docs.as("b"))

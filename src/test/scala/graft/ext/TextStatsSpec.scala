@@ -127,6 +127,30 @@ class TextStatsSpec extends AnyFunSuite {
     assert(enc(2L) == Seq(1L, 0L, -1L))        // zzz is OOV
   }
 
+  test("scrubPii and qualityFilter run unchanged on a streaming Dataset") {
+    // the curation gate is per-row projections/filters only, so the same
+    // code must work under readStream — pin that claim with MemoryStream
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val src = ms.toDS().toDF("doc_id", "text")
+    val gated = TextStats.qualityFilter(src.withColumn("text", TextStats.scrubPii(col("text"))))
+      .where(col("quality_pass"))
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("stream_curation").start()
+    try {
+      ms.addData(
+        (1L, "reach me at someone@example.com about the quarterly market forecast " +
+          "and the updated capacity numbers for the northern region please"),
+        (2L, "@@@@ ???? !!!!"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_curation").collect()
+      assert(rows.map(_.getLong(0)).toSet == Set(1L), rows.mkString(","))
+      assert(rows.head.getAs[String]("text").contains("<EMAIL>"))
+    } finally q.stop()
+  }
+
   test("repetitionStats: hand-computed top/dup n-gram fractions") {
     import spark.implicits._
     val df = Seq(
