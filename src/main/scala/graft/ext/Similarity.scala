@@ -192,6 +192,66 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch-query a [[buildIvfIndex]] index — the served-ANN shape at scale
+    * is MANY queries against one index, not a Spark job per query. Probe
+    * selection is a crossJoin of the query set against the broadcast
+    * nClusters-row centroids table with a per-query bounded top-nProbes
+    * ([[graft.functions.TopK.groupedTopK]] on negated distance — no driver
+    * loop, no per-query job). The union of probed cells (≤ nClusters
+    * values) becomes a partition filter, so cells no query probes are never
+    * read; the (query, cell, vector) probe list is broadcast so the corpus
+    * scan joins it without shuffling; and the final per-query top-k is
+    * again the k-bounded aggregator, so the only corpus-sized shuffle
+    * carries at most k rows per (partition, query).
+    *
+    * Contract: the probe list (nQueries × nProbes rows, each carrying the
+    * query vector) must fit in a broadcast — thousands of queries are fine;
+    * millions of queries are a different workload (bucket BOTH sides, see
+    * [[Dedup.embeddingNearDup]]). Output: (q_id, vec_id, cosine, rank) with
+    * rank 1 best, cosine rounded to 4 decimals, ties to the lower id — per
+    * query identical to [[ivfTopKIndexed]] (pinned in SimilaritySpec). A
+    * query vector that exists in the corpus ranks itself first; drop rank 1
+    * when querying by corpus rows.
+    */
+  def ivfTopKBatch(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nProbes: Int = 4,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      qIdCol: String = "q_id",
+      qVecCol: String = "q_vec"): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val q = queries.select(col(qIdCol).cast("long").as("q_id"),
+      col(qVecCol).cast("array<double>").as("q_v"))
+    // centroids were fit on unit vectors — normalize queries the same way
+    // (zero-norm passthrough mirrors withUnitVec)
+    val qn = sqrt(aggregate(transform(col("q_v"), x => x * x), lit(0.0), (a, x) => a + x))
+    val qU = q.withColumn("__n", qn)
+      .withColumn("q_u", when(col("__n") === 0.0, col("q_v"))
+        .otherwise(transform(col("q_v"), x => x / col("__n"))))
+      .drop("__n")
+    val dist = aggregate(
+      zip_with(col("q_u"), col("centroid"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val probes = graft.functions.TopK.groupedTopK(
+      qU.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("cell").as("id"), (-dist).as("score")),
+      "q_id", "id", "score", nProbes)
+      .select(col("q_id"), col("id").cast("int").as("cell"))
+    // literal partition filter: cells probed by NO query are never opened
+    val cells = probes.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val probeList = probes.join(qU.select(col("q_id"), col("q_v")), Seq("q_id"))
+    val cands = spark.read.parquet(s"$path/corpus")
+      .where(col("cell").isin(cells.toIndexedSeq: _*))
+      .join(broadcast(probeList), Seq("cell"))
+      .select(col("q_id"), col(idCol),
+        round(cosine(col(vecCol).cast("array<double>"), col("q_v")), 4).as("cosine"))
+    graft.functions.TopK.groupedTopK(cands, "q_id", idCol, "cosine", k)
+  }
+
   /** Approximate nearest neighbors via BucketedRandomProjectionLSH on
     * L2-normalized vectors (cosine distance ≡ half the squared euclidean
     * distance on the unit sphere, so euclidean-LSH buckets serve cosine).

@@ -137,6 +137,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(high >= 0.9, s"recall@$k at 14/16 probes = $high < 0.9")
   }
 
+  test("ivfTopKBatch equals per-query ivfTopKIndexed on the real embeddings table") {
+    import spark.implicits._
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_batch").toString
+    Similarity.buildIvfIndex(real, idx, nClusters = 8)
+    val queryIds = Seq(0L, 42L, 77L)
+    val qVecs = queryIds.map { qid =>
+      qid -> real.where(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    }
+    val queries = qVecs.toDF("q_id", "q_vec")
+    val batch = Similarity.ivfTopKBatch(spark, idx, queries, k = 5, nProbes = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1)
+      .map { case (q, rows) => q -> rows.sortBy(_._4).map(r => (r._2, r._3)).toSeq }
+    qVecs.foreach { case (qid, vec) =>
+      val single = Similarity.ivfTopKIndexed(spark, idx, vec, k = 5, nProbes = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single, s"q=$qid batch=${batch(qid)} single=$single")
+      // each query's own vector is in the corpus: it must rank itself first
+      assert(batch(qid).head._1 == qid && batch(qid).head._2 == 1.0)
+    }
+  }
+
   test("lshTopK approximates the exact top-k on clustered vectors") {
     val got = Similarity.lshTopK(spark, emb, queryId = 0L, k = 2, numHashTables = 8)
       .collect().map(_.getLong(0)).toSet
