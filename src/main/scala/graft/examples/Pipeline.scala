@@ -85,6 +85,26 @@ object Pipeline {
       println(f"[demo] repetition: avg dup3gram_frac=$avgDup%.3f; hash split: $splits")
     }
 
+    // 5d. multimodal: REAL image decode via the JDK's javax.imageio —
+    // render PNGs, batch-extract luminance-grid features, probe metadata
+    {
+      import spark.implicits._
+      val png = {
+        val img = new java.awt.image.BufferedImage(32, 32,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 32; x <- 0 until 32) img.setRGB(x, y, (x * 8) << 16)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+      }
+      val media = Seq(graft.ext.Multimodal.MediaRow(
+        1L, "image", png, "image/png", 32, 32, -1, -1)).toDS()
+      val feat = graft.ext.Multimodal.extractFeatures(media,
+        codec = graft.ext.Multimodal.ImageIoCodec, dim = 16).head()
+      val meta = graft.ext.Multimodal.imageMeta(png).get
+      println(f"[demo] multimodal: decoded ${meta._3} ${meta._1}x${meta._2}, " +
+        f"mean luminance=${feat.feature.sum / feat.feature.length}%.3f")
+    }
+
     // 6. similarity search: exact vs IVF probe over real embeddings
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val exact = graft.ext.Similarity.bruteForceTopK(emb, 0L, 5)

@@ -8,14 +8,17 @@ import org.apache.spark.sql.functions._
   * and run decode / feature-extract / resize / frame-sample as partition-wise
   * batch transforms.
   *
-  * The actual media decode is STUBBED (no image/audio libraries in this
-  * container — see [[StubCodec]], a deterministic fake); everything
-  * Spark-side is real and tested: the schema contract, the
-  * `mapPartitions`-based batched execution (the Scala-native twin of a
-  * Pandas-UDF-over-mapInPandas pipeline: one codec instantiation per
-  * partition, rows streamed through it lazily), and the partitioning posture
-  * (media blobs are large — repartition by byte budget before decode so a
-  * 100 TB corpus doesn't OOM executors on skewed partitions).
+  * Decode status by modality: IMAGES are REAL ([[ImageIoCodec]] — the JDK's
+  * own `javax.imageio` decodes PNG/JPEG/BMP/GIF, no external library
+  * needed); WAV/AIFF AUDIO is REAL ([[WavCodec]] on `javax.sound.sampled`,
+  * also JDK-built-in); only VIDEO remains stubbed ([[StubCodec]] — frame
+  * decoding genuinely needs FFmpeg-class codecs the container lacks).
+  * Everything Spark-side is shared and tested either way: the schema
+  * contract, the `mapPartitions`-based batched execution (the Scala-native
+  * twin of a Pandas-UDF-over-mapInPandas pipeline: one codec instantiation
+  * per partition, rows streamed through it lazily), and the partitioning
+  * posture (media blobs are large — repartition by byte budget before
+  * decode so a 100 TB corpus doesn't OOM executors on skewed partitions).
   */
 object Multimodal {
 
@@ -36,8 +39,9 @@ object Multimodal {
       n_bytes: Long,
       feature: Array[Float])
 
-  /** Pluggable decoder. Real deployments bind JNI/FFmpeg/ImageIO here; the
-    * container has none of those, so the default is [[StubCodec]].
+  /** Pluggable decoder. [[ImageIoCodec]] and [[WavCodec]] are real JDK-only
+    * implementations; bind JNI/FFmpeg here for video. [[StubCodec]] remains
+    * the default so feature extraction stays total on any byte soup.
     */
   trait Codec extends Serializable {
     def decodeToFeature(payload: Array[Byte], dim: Int): Array[Float]
@@ -62,6 +66,155 @@ object Multimodal {
       out
     }
   }
+
+  /** REAL image decode on the JDK's built-in `javax.imageio` — PNG / JPEG /
+    * BMP / GIF / WBMP readers ship inside every Java 17 runtime, so "no
+    * media libraries in the container" does not block images. The feature
+    * is a g×g mean-luminance grid (g = ⌊√dim⌋): bilinear downscale via
+    * Java2D (raster-only — headless-safe, no display needed), Rec.601 luma
+    * per cell, row-major, zero-padded to `dim`. This is the classic tiny
+    * perceptual descriptor family (the same grid that feeds pHash's DCT).
+    *
+    * Payloads ImageIO cannot parse fall back to [[StubCodec]] so mixed or
+    * corrupt corpora degrade deterministically instead of failing tasks;
+    * use [[imageMeta]] upstream to count/route undecodable rows when that
+    * matters.
+    */
+  object ImageIoCodec extends Codec {
+    def decodeToFeature(payload: Array[Byte], dim: Int): Array[Float] = {
+      val img = decode(payload)
+      if (img == null) StubCodec.decodeToFeature(payload, dim)
+      else {
+        val g = math.max(1, math.sqrt(dim.toDouble).toInt)
+        val small = scaled(img, g, g)
+        val out = new Array[Float](dim)
+        var y = 0
+        while (y < g) {
+          var x = 0
+          while (x < g) {
+            val rgb = small.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            out(y * g + x) = lum / 255f
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    }
+
+    private[ext] def decode(payload: Array[Byte]): java.awt.image.BufferedImage =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+
+    private[ext] def scaled(img: java.awt.image.BufferedImage,
+        w: Int, h: Int): java.awt.image.BufferedImage = {
+      import java.awt.RenderingHints
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = out.createGraphics()
+      g2.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+        RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g2.drawImage(img, 0, 0, w, h, null)
+      g2.dispose()
+      out
+    }
+  }
+
+  /** Image metadata probe without a full pixel decode: (width, height,
+    * format) from the ImageIO header readers, None for unparseable bytes.
+    * This is how [[MediaRow]]'s width/height columns get REAL values.
+    */
+  def imageMeta(payload: Array[Byte]): Option[(Int, Int, String)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0), r.getFormatName)) }
+        finally r.dispose()
+      }
+    } catch { case _: Exception => None } finally iis.close()
+  }
+
+  /** Real resize: decode → bilinear scale → re-encode as PNG bytes.
+    * None for unparseable payloads. The per-row body of a batched
+    * thumbnail/normalization pass ([[extractFeatures]]-style mapPartitions).
+    */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    val img = ImageIoCodec.decode(payload)
+    if (img == null) None
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(ImageIoCodec.scaled(img, w, h), "png", bos)
+      Some(bos.toByteArray)
+    }
+  }
+
+  /** REAL audio decode for WAV/AIFF/AU via the JDK's built-in
+    * `javax.sound.sampled` (no external audio library): the feature is RMS
+    * energy per window over `dim` equal windows of the 16-bit PCM stream,
+    * normalized to [0, 1]. Unparseable payloads fall back to [[StubCodec]].
+    */
+  object WavCodec extends Codec {
+    def decodeToFeature(payload: Array[Byte], dim: Int): Array[Float] = {
+      val samples = pcmSamples(payload)
+      if (samples == null || samples.isEmpty) StubCodec.decodeToFeature(payload, dim)
+      else {
+        val out = new Array[Float](dim)
+        val win = math.max(1, samples.length / dim)
+        var w = 0
+        while (w < dim) {
+          val from = w * win
+          val until = math.min(samples.length, from + win)
+          if (from < samples.length) {
+            var acc = 0.0; var i = from
+            while (i < until) { val s = samples(i) / 32768.0; acc += s * s; i += 1 }
+            out(w) = math.sqrt(acc / (until - from)).toFloat
+          }
+          w += 1
+        }
+        out
+      }
+    }
+
+    private[ext] def pcmSamples(payload: Array[Byte]): Array[Short] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16) null
+          else {
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2
+            val out = new Array[Short](n)
+            val big = fmt.isBigEndian
+            var i = 0
+            while (i < n) {
+              val (b0, b1) = (bytes(2 * i) & 0xff, bytes(2 * i + 1) & 0xff)
+              out(i) = (if (big) (b0 << 8) | b1 else (b1 << 8) | b0).toShort
+              i += 1
+            }
+            out
+          }
+        } finally ais.close()
+      } catch { case _: Exception => null }
+  }
+
+  /** Audio metadata probe: (sample rate Hz, n PCM frames), None when the
+    * JDK cannot parse the container format.
+    */
+  def audioMeta(payload: Array[Byte]): Option[(Int, Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try Some((ais.getFormat.getSampleRate.toInt, ais.getFrameLength))
+      finally ais.close()
+    } catch { case _: Exception => None }
 
   /** Synthesize a deterministic media table from `documents` (the container
     * ships no media fixtures): payload = utf-8 bytes of the text. Gives the
