@@ -39,6 +39,22 @@ object Jsonish {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Sliding (hopping) windows: every event lands in width/slide
+    * overlapping windows — `window(ts, width, slide)` expands the
+    * assignment inline (an explode-like Generate), then the same one
+    * shuffle on (window, type) as [[tumbling]]. Shuffle volume scales by
+    * the overlap factor; pick slide ≥ width/4 at corpus scale or
+    * pre-aggregate to tumbling panes first.
+    */
+  def sliding(events: DataFrame, width: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Session windows per user: gap-based sessionization via the built-in
     * `session_window` (Spark 3.2+), the batch twin of streaming session
     * state in flatMapGroupsWithState.

@@ -28,7 +28,30 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       key: String, leftTime: String, rightTime: String,
       payloadCols: Seq[String],
-      toleranceSeconds: Option[Long] = None): DataFrame = {
+      toleranceSeconds: Option[Long] = None): DataFrame =
+    asofImpl(left, right, key, leftTime, rightTime, payloadCols,
+      toleranceSeconds, forward = false)
+
+  /** As-of (forward) join: for every left row, attach the single right
+    * row's payload with the SMALLEST `rightTime` ≥ `leftTime` for the same
+    * key — "the next quote at or after the trade" (pandas merge_asof
+    * direction='forward'). Same one-shuffle union+window shape as
+    * [[asofBackward]], traversed in descending time.
+    */
+  def asofForward(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      payloadCols: Seq[String],
+      toleranceSeconds: Option[Long] = None): DataFrame =
+    asofImpl(left, right, key, leftTime, rightTime, payloadCols,
+      toleranceSeconds, forward = true)
+
+  private def asofImpl(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      payloadCols: Seq[String],
+      toleranceSeconds: Option[Long],
+      forward: Boolean): DataFrame = {
     require(payloadCols.forall(c => !left.columns.contains(c)),
       "payload columns must not collide with left columns")
     val l2 = left
@@ -37,10 +60,14 @@ object AsOfJoin {
     val r2 = right.select(
       col(key) +: col(rightTime).as("__t") +: lit(1).as("__side") +:
         payloadCols.map(col): _*)
-    // right rows with __side=1 sort FIRST at an equal timestamp via
-    // (__t asc, __side desc): a quote at exactly the trade time matches
+    // traversal order: backward walks time ascending (carry the latest
+    // right seen so far), forward walks it descending (carry the earliest
+    // right still ahead). Either way, right rows with __side=1 sort FIRST
+    // at an equal timestamp via __side desc: a quote at exactly the trade
+    // time matches in both directions.
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__t").asc, col("__side").desc)
+      .orderBy(if (forward) col("__t").desc else col("__t").asc,
+        col("__side").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val unioned = l2.unionByName(r2, allowMissingColumns = true)
     val carried = payloadCols.foldLeft(unioned) { (df, c) =>
@@ -49,12 +76,13 @@ object AsOfJoin {
     }.withColumn("__match_t",
       last(when(col("__side") === 1, col("__t")), ignoreNulls = true).over(w))
     val leftOnly = carried.where(col("__side") === 0)
+    val gap =
+      if (forward) col("__match_t").cast("long") - col("__t").cast("long")
+      else col("__t").cast("long") - col("__match_t").cast("long")
     val bounded = toleranceSeconds match {
       case Some(sec) =>
         payloadCols.foldLeft(leftOnly) { (df, c) =>
-          df.withColumn(s"__asof_$c",
-            when(col("__t").cast("long") - col("__match_t").cast("long") <= sec,
-              col(s"__asof_$c")))
+          df.withColumn(s"__asof_$c", when(gap <= sec, col(s"__asof_$c")))
         }
       case None => leftOnly
     }

@@ -50,6 +50,20 @@ object EventStream {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Sliding-window counts/sums with a watermark: the streaming twin of
+    * Jsonish.sliding. Each event lands in width/slide overlapping windows;
+    * the watermark closes them for append mode.
+    */
+  def sliding(events: DataFrame, width: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Gap-based session windows under a watermark — `session_window` merges
     * overlapping per-key windows as events arrive.
     */

@@ -34,6 +34,37 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got((2L, 50.0)).contains(20.0))
   }
 
+  test("asofForward attaches the earliest right payload at or after each left time") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), 100.0),
+      (1L, ts("2024-01-01 10:01:00"), 101.0),
+      (1L, ts("2024-01-01 11:00:00"), 102.0), // after every quote
+      (2L, ts("2024-01-01 09:59:00"), 50.0))
+      .toDF("sym", "trade_ts", "trade_px")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-01 10:00:05"), 11.0), // exactly at a trade ts -> matches
+      (1L, ts("2024-01-01 10:02:00"), 12.0),
+      (2L, ts("2024-01-01 10:00:00"), 20.0))
+      .toDF("sym", "quote_ts", "bid")
+    val got = AsOfJoin.asofForward(trades, quotes,
+        key = "sym", leftTime = "trade_ts", rightTime = "quote_ts",
+        payloadCols = Seq("bid"))
+      .select(col("sym"), col("trade_px"), col("bid"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)) -> Option(r.get(2))).toMap
+    assert(got((1L, 100.0)).contains(11.0)) // equal-time quote matches forward too
+    assert(got((1L, 101.0)).contains(12.0)) // next quote after 10:01
+    assert(got((1L, 102.0)).isEmpty)        // nothing after 11:00
+    assert(got((2L, 50.0)).contains(20.0))
+    // forward tolerance: the 10:02 quote is 60s after the 10:01 trade
+    val tight = AsOfJoin.asofForward(trades, quotes, "sym", "trade_ts", "quote_ts",
+        Seq("bid"), toleranceSeconds = Some(30))
+      .select(col("trade_px"), col("bid"))
+      .collect().map(r => r.getDouble(0) -> Option(r.get(1))).toMap
+    assert(tight(101.0).isEmpty && tight(100.0).contains(11.0))
+  }
+
   test("tolerance voids stale matches") {
     import spark.implicits._
     val l = Seq((1L, ts("2024-01-01 12:00:00"), "x")).toDF("k", "lt", "v")

@@ -33,6 +33,22 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.count() >= batch.count() - 25, s"too few closed windows: ${got.count()} vs ${batch.count()}")
   }
 
+  test("streaming sliding windows match the batch twin; events land in width/slide windows") {
+    val stream = EventStream.readEventStream(spark, streamDir)
+    val got = EventStream.runToMemory(
+      EventStream.sliding(stream, "1 hour", "15 minutes", "2 hours"), "stream_sliding")
+      .select("window_start", "event_type", "n_events")
+    val batch = Jsonish.sliding(
+      graft.queries.Reference.events(spark, sfDir), "1 hour", "15 minutes")
+      .select("window_start", "event_type", "n_events")
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() == 0, "stream emitted a row batch doesn't have")
+    // overlap factor 4: sliding must produce ~4x the tumbling window count
+    val tumb = Jsonish.tumbling(
+      graft.queries.Reference.events(spark, sfDir), "1 hour").count()
+    assert(batch.count() > 3 * tumb, s"sliding ${batch.count()} vs tumbling $tumb")
+  }
+
   test("streaming session windows produce per-user sessions") {
     val stream = EventStream.readEventStream(spark, streamDir)
     val got = EventStream.runToMemory(
