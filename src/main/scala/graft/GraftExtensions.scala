@@ -64,6 +64,17 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           s"hamming_dist takes 2 arguments, got ${exprs.length}")
       }),
+    // shingle_set(text[, n]) — distinct word shingles, the native
+    // expression behind Dedup.shingles (n is tree structure → literal)
+    ("shingle_set",
+      new ExpressionInfo(classOf[graft.functions.ShingleSet].getName, "shingle_set"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(text) => graft.functions.ShingleSet(text, 3)
+        case Seq(text, n) =>
+          graft.functions.ShingleSet(text, litInt(n, "shingle_set", "n"))
+        case _ => throw new IllegalArgumentException(
+          s"shingle_set takes 1 or 2 arguments, got ${exprs.length}")
+      }),
     // scrub_pii(text) — the C4-style email/URL/phone redaction chain,
     // SQL-text parity with graft.ext.TextStats.scrubPii (same patterns,
     // same order; built from RegExpReplace so it stays codegen'd)

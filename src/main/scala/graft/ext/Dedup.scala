@@ -71,8 +71,18 @@ object Dedup {
     filter(joined, x => x.isNotNull)
   }
 
-  /** Word-level shingles: the distinct SET of [[ngramsOrdered]]. */
-  def shingles(c: Column, n: Int = 3): Column = array_distinct(ngramsOrdered(c, n))
+  /** Word-level shingles: the distinct SET of [[ngramsOrdered]], served by
+    * the native [[graft.functions.ShingleSet]] expression (one compiled
+    * pass; the HOF twin below is the readable spec it is pinned against).
+    */
+  def shingles(c: Column, n: Int = 3): Column =
+    graft.functions.Shingles.shingleSet(c, n)
+
+  /** HOF reference formulation of [[shingles]] — kept as the readable spec
+    * the native expression is bit-identity-pinned against in DedupSpec.
+    */
+  private[ext] def shinglesHof(c: Column, n: Int = 3): Column =
+    array_distinct(ngramsOrdered(c, n))
 
   /** MinHash + LSH near-duplicate pairs (Broder 1997 resemblance sketch).
     * shingle → sparse feature vector (HashingTF) → MinHashLSH →

@@ -46,6 +46,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("literal"), e.getMessage)
   }
 
+  test("SQL shingle_set matches the Column API bit-for-bit") {
+    val api = docs.select(col("doc_id"),
+        graft.ext.Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaSql = spark.sql("SELECT doc_id, shingle_set(text, 3) AS sh FROM ge_docs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(api == viaSql)
+    val viaDefault = spark.sql("SELECT doc_id, shingle_set(text) AS sh FROM ge_docs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(api == viaDefault)
+  }
+
   test("SQL scrub_pii matches TextStats.scrubPii exactly") {
     import spark.implicits._
     val pii = Seq(

@@ -132,6 +132,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("native ShingleSet is bit-identical to the HOF shingles on real + edge data") {
+    import spark.implicits._
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+    val edge = Seq("", " ", "one", "one two", "a b a b a b", "  A  B\tC  d  ",
+      "x y z x y z x y z").toDF("text")
+    Seq(real, edge).foreach { df =>
+      val rows = df.select(
+        Dedup.shingles(col("text"), 3).as("native"),
+        Dedup.shinglesHof(col("text"), 3).as("hof")).collect()
+      rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"native=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}"))
+      // order matters: array_distinct keeps first occurrence — so must the native
+      val r1 = df.select(Dedup.shingles(col("text"), 1).as("n"),
+        Dedup.shinglesHof(col("text"), 1).as("h")).collect()
+      r1.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    }
+  }
+
   test("prefix-filtered ngram jaccard is exactly the naive all-pairs result on the real corpus") {
     // zero-loss contract of the AllPairs prefix + length filters: same pairs,
     // same scores as brute force over every doc pair, on the real documents
