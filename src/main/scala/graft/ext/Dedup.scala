@@ -52,15 +52,19 @@ object Dedup {
   }
 
   /** Word-level n-grams of the normalized text IN POSITION ORDER, repeats
-    * kept — built by zipping the token array with its own n−1 shifted
-    * copies, so each row tokenizes exactly n times total. (The naive
-    * `transform(sequence(...), i => slice(tokens, i, n))` form re-evaluates
-    * the tokenizer once per *position* inside the lambda: O(tokens²) regex
-    * work per document, measured 25s for 10k docs vs <1s for this form.)
-    * Repetition statistics ([[TextStats.repetitionStats]]) consume this
-    * multiset form; set-based similarity uses [[shingles]].
+    * kept — served by the native [[graft.functions.NGramsOrdered]]
+    * expression (one compiled pass; the HOF twin below is the readable spec
+    * it is pinned against). Repetition statistics
+    * ([[TextStats.repetitionStats]]) consume this multiset form; set-based
+    * similarity uses [[shingles]].
     */
-  def ngramsOrdered(c: Column, n: Int = 3): Column = {
+  def ngramsOrdered(c: Column, n: Int = 3): Column =
+    graft.functions.Shingles.ngramsOrdered(c, n)
+
+  /** HOF reference formulation of [[ngramsOrdered]] — kept as the readable
+    * spec the native expression is bit-identity-pinned against.
+    */
+  private[ext] def ngramsOrderedHof(c: Column, n: Int = 3): Column = {
     def toks: Column = split(normText(c), "\\s+")
     val joined = (1 until n).foldLeft(toks) { (acc, k) =>
       // zip_with pads the shorter (shifted) side with nulls; a null partner
@@ -82,7 +86,7 @@ object Dedup {
     * the native expression is bit-identity-pinned against in DedupSpec.
     */
   private[ext] def shinglesHof(c: Column, n: Int = 3): Column =
-    array_distinct(ngramsOrdered(c, n))
+    array_distinct(ngramsOrderedHof(c, n))
 
   /** MinHash + LSH near-duplicate pairs (Broder 1997 resemblance sketch).
     * shingle → sparse feature vector (HashingTF) → MinHashLSH →

@@ -78,8 +78,64 @@ case class ShingleSet(child: Expression, shingleSize: Int)
   override def prettyName: String = "shingle_set"
 }
 
+/** Position-ordered n-gram MULTISET (repeats kept) — the native twin of
+  * [[ShingleSet]] without the distinct, matching
+  * [[graft.ext.Dedup.ngramsOrderedHof]] exactly. Feeds repetition
+  * statistics, where the gram multiplicities ARE the signal.
+  */
+object NGramImpl {
+  def ngrams(input: UTF8String, n: Int): ArrayData = {
+    val s = input.toLowerCase.trim().toString
+    val tokens = s.split("\\s+", -1)
+    if (tokens.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](tokens.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j <= tokens.length - n) {
+      sb.setLength(0)
+      var w = 0
+      while (w < n) {
+        if (w > 0) sb.append(' ')
+        sb.append(tokens(j + w))
+        w += 1
+      }
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class NGramsOrdered(child: Expression, shingleSize: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ngrams_ordered requires string input, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(v: Any): Any =
+    NGramImpl.ngrams(v.asInstanceOf[UTF8String], shingleSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NGramImpl.ngrams($c, $shingleSize)")
+
+  override protected def withNewChildInternal(newChild: Expression): NGramsOrdered =
+    copy(child = newChild)
+
+  override def prettyName: String = "ngrams_ordered"
+}
+
 object Shingles {
   /** Column API: the distinct word-shingle set of the normalized text. */
   def shingleSet(c: Column, n: Int = 3): Column =
     ColumnBridge.column(ShingleSet(ColumnBridge.expression(c), n))
+
+  /** Column API: position-ordered n-grams, repeats kept. */
+  def ngramsOrdered(c: Column, n: Int = 3): Column =
+    ColumnBridge.column(NGramsOrdered(ColumnBridge.expression(c), n))
 }

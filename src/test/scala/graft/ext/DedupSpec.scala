@@ -148,6 +148,13 @@ class DedupSpec extends AnyFunSuite {
       val r1 = df.select(Dedup.shingles(col("text"), 1).as("n"),
         Dedup.shinglesHof(col("text"), 1).as("h")).collect()
       r1.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+      // the ordered-multiset native twin: repeats and positions preserved
+      Seq(2, 3).foreach { n =>
+        val rm = df.select(Dedup.ngramsOrdered(col("text"), n).as("nat"),
+          Dedup.ngramsOrderedHof(col("text"), n).as("hof")).collect()
+        rm.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n native=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}"))
+      }
     }
   }
 
