@@ -479,7 +479,61 @@ object Reference {
          |JOIN customer c ON b.o_custkey = c.c_custkey
          |ORDER BY b.o_custkey""".stripMargin))
 
+  // ------------------------------------------ Q22: CUBE + GROUPING markers
+  // Completes the grouping-sets family started by q17 (ROLLUP): CUBE emits
+  // every subset of the grouping keys, and grouping() disambiguates a real
+  // NULL key from a subtotal marker — the operator a reporting layer needs
+  // before it can trust coalesce(key, 'ALL'). Same physical shape as a plain
+  // hash aggregate: Spark expands the grouping sets map-side, so it is one
+  // shuffle, not one per subset.
+  private val q22 = Q(
+    "q22_cube",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          msum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("g_rf"), col("g_ls"), col("sum_qty"), col("n"))
+        .orderBy(col("g_rf"), col("g_ls"), col("returnflag"), col("linestatus")),
+    Some(
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         |  coalesce(l_linestatus, 'ALL') AS linestatus,
+         |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+         |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+         |  ${msumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY g_rf, g_ls, returnflag, linestatus""".stripMargin))
+
+  // ----------------------------------- Q23: anti join (NOT EXISTS subquery)
+  // The complement of q10's IN-subquery semi-join: customers who never
+  // placed a high-value order (the filter is INSIDE the subquery, so this is
+  // a true anti-join, not a filtered semi-join — every customer has SOME
+  // order in this data). Spark plans the left_anti over the filtered key
+  // projection; the filter pushes into the orders scan and the anti side
+  // never widens rows.
+  private val q23 = Q(
+    "q23_antijoin",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+            .where(col("o_totalprice") > 300000)
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey")),
+    Some(
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q05, q07, q08, q09, q10, q12, q13, q14, q15, q16, q17,
-      q18, q19, q20, q21)
+      q18, q19, q20, q21, q22, q23)
 }
