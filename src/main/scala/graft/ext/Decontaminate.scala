@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag (or drop) training documents that share
+  * word n-grams with an evaluation set — the standard contamination control
+  * for LLM training corpora (GPT-3 appendix C / PaLM-style n-gram collision;
+  * production pipelines use n = 8–13, the default here is parameterized).
+  *
+  * Scale posture: the benchmark side is ALWAYS small relative to the corpus
+  * (eval suites are thousands of documents; the corpus is 100 TB), so the
+  * benchmark's distinct n-gram set broadcasts and the corpus side never
+  * shuffles for the probe — the only shuffle is the per-doc hit count
+  * re-aggregation on `idCol`. With `broadcastBenchmark = false` the probe
+  * becomes a shuffled equi-join on the n-gram (for the rare huge-benchmark
+  * case); semantics are identical.
+  */
+object Decontaminate {
+
+  /** Distinct word n-grams of the benchmark corpus — one column `g`. */
+  def benchmarkNgrams(benchmark: DataFrame, textCol: String = "text", n: Int = 3): DataFrame =
+    benchmark
+      .select(explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .distinct()
+
+  /** Per-document contamination counts: for every corpus row, the number of
+    * DISTINCT n-grams it shares with any benchmark document, plus a boolean
+    * flag. Documents with no shingles (shorter than n tokens) or no overlap
+    * report 0 / false — every corpus row appears in the output exactly once.
+    *
+    * Each document's shingle set is already distinct and the benchmark side
+    * is deduplicated, so the joined row count per doc IS the distinct
+    * overlap — no count(distinct) needed.
+    */
+  def ngramHits(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      broadcastBenchmark: Boolean = true): DataFrame = {
+    val bench0 = benchmarkNgrams(benchmark, textCol, n)
+    val bench = if (broadcastBenchmark) broadcast(bench0) else bench0
+    val hits = corpus
+      .select(col(idCol).as("__id"), explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .join(bench, Seq("g"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_hits"))
+    corpus
+      .select(col(idCol).as("__id"))
+      .join(hits, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** The clean corpus: rows of `corpus` sharing at least `minHits` distinct
+    * n-grams with the benchmark are removed (left-anti on the flagged ids —
+    * no row widening, original schema preserved).
+    */
+  def removeContaminated(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      minHits: Long = 1L): DataFrame = {
+    val dirty = ngramHits(corpus, benchmark, textCol, idCol, n)
+      .where(col("n_hits") >= minHits)
+      .select(col(idCol))
+    corpus.join(dirty, Seq(idCol), "left_anti")
+  }
+}

@@ -348,5 +348,70 @@ object ExtQueries {
         |  SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
         |) ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14)
+  // E1g benchmark decontamination: per-corpus-doc count of distinct word
+  // 3-grams shared with a held-out "benchmark" slice (doc_id % 10 = 0 stands
+  // in for the eval suite). The DuckDB mirror reuses the e11 shingle
+  // comprehension; both sides count joined rows over per-doc-distinct
+  // shingles vs a deduplicated benchmark set, so the counts agree exactly.
+  private val e15 = Q(
+    "e15_decontam",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Decontaminate.ngramHits(
+          d.where(col("doc_id") % 10 =!= 0),
+          d.where(col("doc_id") % 10 === 0))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH toksed AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct([
+        |    concat_ws(' ', toks[i], toks[i+1], toks[i+2]) FOR i IN range(1, greatest(len(toks) - 1, 1))
+        |  ]) AS sh
+        |  FROM toksed
+        |), bench AS (
+        |  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 10 = 0
+        |), corpus AS (
+        |  SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 10 <> 0
+        |), hits AS (
+        |  SELECT doc_id, COUNT(*) AS n_hits FROM corpus JOIN bench USING (g) GROUP BY doc_id
+        |)
+        |SELECT s.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+        |  coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM sh s LEFT JOIN hits h USING (doc_id)
+        |WHERE s.doc_id % 10 <> 0
+        |ORDER BY doc_id""".stripMargin))
+
+  // E1h deterministic stratified sampling (data mixing): per-language keep
+  // percentages over the md5 bucket — full-keep (de), partial (en/fr/zh),
+  // and absent-stratum default-0 (es) paths all exercised. The oracle
+  // recomputes the identical bucket arithmetic (e13's formula with the
+  // 'mix' salt), so membership matches byte-for-byte.
+  private val e16 = Q(
+    "e16_stratified_sample",
+    (s, dir) =>
+      graft.ops.Splits.stratifiedSampleByHash(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          stratumCol = "lang",
+          pcts = Map("en" -> 40, "de" -> 100, "fr" -> 25, "zh" -> 10))
+        .orderBy(col("doc_id")),
+    Some(
+      """WITH h AS (
+        |  SELECT doc_id, lang, md5('mix' || CAST(doc_id AS VARCHAR)) AS m FROM documents
+        |), b AS (
+        |  SELECT doc_id, lang,
+        |    ((((strpos('0123456789abcdef', substr(m,1,1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(m,2,1)) - 1)) * 16
+        |      + (strpos('0123456789abcdef', substr(m,3,1)) - 1)) * 16
+        |      + (strpos('0123456789abcdef', substr(m,4,1)) - 1)) % 100 AS bucket
+        |  FROM h
+        |)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 100
+        |                         WHEN 'fr' THEN 25 WHEN 'zh' THEN 10 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
+    e12, e13, e14, e15, e16)
 }

@@ -46,4 +46,39 @@ object Splits {
           .when(col("bucket") < trainPct + valPct, "val")
           .otherwise("test"))
   }
+
+  /** Deterministic stratified sampling — the data-MIXING primitive: keep a
+    * per-stratum percentage of rows (e.g. downweight one source/language of
+    * a training corpus), selected by the same engine-portable md5 bucket as
+    * [[splitByHash]]. A row survives iff `bucket < pcts(stratum)` (strata
+    * absent from the map fall back to `defaultPct`), so membership is a pure
+    * per-row projection: zero shuffle, stable under reruns / repartitions /
+    * engine changes, and monotone in the percentage — raising a stratum's
+    * weight only ADDS rows, it never swaps the sample (the property that
+    * makes mixing-ratio sweeps comparable run-to-run).
+    *
+    * Percentages are integer percent (1% granularity — the bucket space is
+    * 100 wide; use a finer bucket if sub-percent weights ever matter).
+    * Keep `salt` distinct from the train/val/test split's salt: with the
+    * same salt the sample would be nested inside the low buckets of the
+    * split assignment instead of cutting across it independently.
+    *
+    * Output keeps the original schema plus the `bucket` column (auditable
+    * assignment, droppable by the caller).
+    */
+  def stratifiedSampleByHash(
+      df: DataFrame,
+      stratumCol: String,
+      pcts: Map[String, Int],
+      idCol: String = "doc_id",
+      defaultPct: Int = 0,
+      salt: String = "mix"): DataFrame = {
+    require((pcts.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      s"stratum percentages must be in [0, 100]: $pcts default=$defaultPct")
+    val pctCol = pcts.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
+      when(col(stratumCol) === lit(k), lit(p)).otherwise(acc)
+    }
+    df.withColumn("bucket", hashBucket(col(idCol), salt))
+      .where(col("bucket") < pctCol)
+  }
 }

@@ -1,0 +1,66 @@
+package graft.ext
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DecontaminateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  // benchmark doc 100 contributes 3-grams of "the quick brown fox jumps";
+  // corpus doc 1 repeats that span verbatim (contaminated), doc 2 shares
+  // words but no 3-gram, doc 3 is disjoint, doc 4 is too short to shingle.
+  private def frames = {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "intro text the quick brown fox jumps over something"),
+      (2L, "quick fox and brown dog walk the park"),
+      (3L, "completely unrelated material about spark plans"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    (corpus, bench)
+  }
+
+  test("ngramHits counts distinct shared n-grams, keeps zero-hit and unshingleable rows") {
+    val (corpus, bench) = frames
+    val out = Decontaminate.ngramHits(corpus, bench).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // "the quick brown fox jumps" has 3 distinct 3-grams, all inside doc 1
+    assert(out(1L) == ((3L, true)), out.toString)
+    assert(out(2L) == ((0L, false)))
+    assert(out(3L) == ((0L, false)))
+    assert(out(4L) == ((0L, false)))
+    assert(out.size == 4)
+  }
+
+  test("shuffled-join variant matches the broadcast default") {
+    val (corpus, bench) = frames
+    val a = Decontaminate.ngramHits(corpus, bench).collect().map(_.toSeq).toSet
+    val b = Decontaminate.ngramHits(corpus, bench, broadcastBenchmark = false)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("removeContaminated drops exactly the flagged rows, schema untouched") {
+    val (corpus, bench) = frames
+    val clean = Decontaminate.removeContaminated(corpus, bench)
+    assert(clean.columns.toSeq == corpus.columns.toSeq)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+    // a stricter threshold keeps the lightly-overlapping row
+    val lax = Decontaminate.removeContaminated(corpus, bench, minHits = 4L)
+    assert(lax.count() == 4)
+  }
+
+  test("a doc sharing the same n-gram with MANY benchmark docs counts it once") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma"),
+      (101L, "prefix words alpha beta gamma")).toDF("doc_id", "text")
+    val out = Decontaminate.ngramHits(corpus, bench).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "alpha beta gamma" appears in both benchmark docs → still 1 distinct hit
+    // (plus "beta gamma delta" is nowhere in the benchmark)
+    assert(out(1L) == 1L, out.toString)
+  }
+}

@@ -54,4 +54,50 @@ class SplitsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Splits.splitByHash(ids, trainPct = 0))
     intercept[IllegalArgumentException](Splits.splitByHash(ids, trainPct = 95, valPct = 10))
   }
+
+  private def mixFrame = {
+    import spark.implicits._
+    (0L until 4000L).map(i => (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else "fr"))
+      .toDF("doc_id", "src")
+  }
+
+  test("stratifiedSampleByHash tracks per-stratum percentages, default 0 drops absent strata") {
+    val out = Splits.stratifiedSampleByHash(mixFrame, "src", Map("en" -> 50, "de" -> 10))
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 en rows at 50% and 1000 de rows at 10%; fr absent from the map → dropped
+    assert(math.abs(out("en") - 500.0) / 1000 < 0.05, out.toString)
+    assert(math.abs(out.getOrElse("de", 0L) - 100.0) / 1000 < 0.04, out.toString)
+    assert(!out.contains("fr"), out.toString)
+  }
+
+  test("stratifiedSampleByHash is monotone: raising a weight only adds rows") {
+    val small = Splits.stratifiedSampleByHash(mixFrame, "src", Map("en" -> 20, "de" -> 5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = Splits.stratifiedSampleByHash(mixFrame, "src", Map("en" -> 60, "de" -> 30))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big), s"${(small -- big).size} rows swapped out when weights rose")
+  }
+
+  test("stratifiedSampleByHash is deterministic under repartitioning and independent of the split salt") {
+    import org.apache.spark.sql.functions.rand
+    val a = Splits.stratifiedSampleByHash(mixFrame, "src", Map("en" -> 30, "de" -> 30, "fr" -> 30))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Splits.stratifiedSampleByHash(
+        mixFrame.repartition(7).orderBy(rand(7)), "src", Map("en" -> 30, "de" -> 30, "fr" -> 30))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // the 'mix' salt decorrelates sampling from the train/val/test bucket:
+    // sampled ids must not be the low-bucket prefix of the split assignment
+    val splitBuckets = Splits.splitByHash(mixFrame).select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lowPrefix = a.forall(id => splitBuckets(id) < 30)
+    assert(!lowPrefix, "sample nested inside the split's low buckets — salts are correlated")
+  }
+
+  test("stratifiedSampleByHash rejects out-of-range percentages") {
+    intercept[IllegalArgumentException](
+      Splits.stratifiedSampleByHash(mixFrame, "src", Map("en" -> 101)))
+    intercept[IllegalArgumentException](
+      Splits.stratifiedSampleByHash(mixFrame, "src", Map("en" -> 50), defaultPct = -1))
+  }
 }
