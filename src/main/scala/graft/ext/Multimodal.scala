@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * Decode status by modality: IMAGES are REAL ([[ImageIoCodec]] — the JDK's
   * own `javax.imageio` decodes PNG/JPEG/BMP/GIF, no external library
   * needed); WAV/AIFF AUDIO is REAL ([[WavCodec]] on `javax.sound.sampled`,
-  * also JDK-built-in); only VIDEO remains stubbed ([[StubCodec]] — frame
-  * decoding genuinely needs FFmpeg-class codecs the container lacks).
+  * also JDK-built-in); VIDEO is REAL for MJPEG-in-AVI and animated GIF
+  * ([[VideoCodecs.AviVideoCodec]] — a RIFF walker plus the JDK JPEG/GIF
+  * readers); inter-frame codecs (H.264/VP9) still need FFmpeg-class
+  * libraries the container lacks and fall back to [[StubCodec]].
   * Everything Spark-side is shared and tested either way: the schema
   * contract, the `mapPartitions`-based batched execution (the Scala-native
   * twin of a Pandas-UDF-over-mapInPandas pipeline: one codec instantiation
@@ -84,24 +86,30 @@ object Multimodal {
     def decodeToFeature(payload: Array[Byte], dim: Int): Array[Float] = {
       val img = decode(payload)
       if (img == null) StubCodec.decodeToFeature(payload, dim)
-      else {
-        val g = math.max(1, math.sqrt(dim.toDouble).toInt)
-        val small = scaled(img, g, g)
-        val out = new Array[Float](dim)
-        var y = 0
-        while (y < g) {
-          var x = 0
-          while (x < g) {
-            val rgb = small.getRGB(x, y)
-            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-              (rgb & 0xff) * 114) / 1000
-            out(y * g + x) = lum / 255f
-            x += 1
-          }
-          y += 1
+      else featureOf(img, dim)
+    }
+
+    /** The luminance-grid descriptor of an already-decoded image — shared
+      * with the video codec ([[VideoCodecs.AviVideoCodec]] averages it over
+      * sampled frames without re-encoding them).
+      */
+    private[ext] def featureOf(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+      val g = math.max(1, math.sqrt(dim.toDouble).toInt)
+      val small = scaled(img, g, g)
+      val out = new Array[Float](dim)
+      var y = 0
+      while (y < g) {
+        var x = 0
+        while (x < g) {
+          val rgb = small.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          out(y * g + x) = lum / 255f
+          x += 1
         }
-        out
+        y += 1
       }
+      out
     }
 
     private[ext] def decode(payload: Array[Byte]): java.awt.image.BufferedImage =
