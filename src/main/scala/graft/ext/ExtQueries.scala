@@ -412,6 +412,19 @@ object ExtQueries {
         |                         WHEN 'fr' THEN 25 WHEN 'zh' THEN 10 ELSE 0 END
         |ORDER BY doc_id""".stripMargin))
 
+  // E3d BM25 ranked retrieval: per-(term, doc) Okapi scores for a literal
+  // query over the documents corpus. The DuckDB SQL is GENERATED from the
+  // same term list and constants (Ranking.bm25Sql), so formula and inventory
+  // cannot drift; scores are 4dp-rounded on both sides (one ln() libm call
+  // is the only non-integer-derived step).
+  private val bm25Terms = Seq("join", "vector", "slow")
+  private val e17 = Q(
+    "e17_bm25",
+    (s, dir) =>
+      Ranking.bm25(t(s, dir, "documents"), bm25Terms)
+        .orderBy(col("term"), col("doc_id")),
+    Some(Ranking.bm25Sql("documents", bm25Terms) + "\nORDER BY term, doc_id"))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16)
+    e12, e13, e14, e15, e16, e17)
 }

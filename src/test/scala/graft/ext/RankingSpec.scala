@@ -1,0 +1,76 @@
+package graft.ext
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RankingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "spark spark spark join"), // tf(spark)=3, dl=4
+      (2L, "spark join join"), //        tf(spark)=1, dl=3
+      (3L, "filter scan shuffle"), //    no query terms
+      (4L, "spark")) //                  tf(spark)=1, dl=1
+      .toDF("doc_id", "text")
+  }
+
+  private def bm25Ref(tf: Long, dl: Long, df: Long, n: Long, sumDl: Long,
+      k1: Double = 1.2, b: Double = 0.75): Double = {
+    val avgdl = sumDl.toDouble / n
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    val raw = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    math.rint(raw * 10000) / 10000
+  }
+
+  test("bm25 matches the hand formula on every matching (term, doc)") {
+    val out = Ranking.bm25(corpus, Seq("spark", "join")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // N=4, Σdl=11; df(spark)=3, df(join)=2
+    assert(out.keySet == Set("spark" -> 1L, "spark" -> 2L, "spark" -> 4L,
+      "join" -> 1L, "join" -> 2L))
+    assert(out(("spark", 1L)) == ((3L, 4L, bm25Ref(3, 4, 3, 4, 11))))
+    assert(out(("spark", 4L)) == ((1L, 1L, bm25Ref(1, 1, 3, 4, 11))))
+    assert(out(("join", 2L)) == ((2L, 3L, bm25Ref(2, 3, 2, 4, 11))))
+    // rarer term (join, df=2) outranks the common one at equal tf and dl
+    assert(out(("join", 1L))._3 > out(("spark", 1L))._3 ||
+      out(("join", 1L))._1 < out(("spark", 1L))._1)
+  }
+
+  test("bm25 length normalization: same tf scores higher in the shorter doc") {
+    val out = Ranking.bm25(corpus, Seq("spark")).collect()
+      .map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(out(4L) > out(2L), s"dl=1 ${out(4L)} should beat dl=3 ${out(2L)}")
+  }
+
+  test("bm25TopK sums per-term scores and bounds the result") {
+    val top = Ranking.bm25TopK(corpus, Seq("spark", "join"), k = 2).collect()
+    assert(top.length == 2)
+    // doc 2 ranks first: tf=2 on the RARER term (join, idf ln2) in a shorter
+    // doc beats doc 1's tf=3 on the common term — the classic BM25 ordering
+    assert(top.map(_.getLong(0)).toSeq == Seq(2L, 1L))
+    assert(top.head.getLong(2) == 2L) // n_terms_hit
+    val scores = top.map(_.getDouble(1))
+    assert(scores.sorted.reverse.toSeq == scores.toSeq)
+  }
+
+  test("tfidf weights rare terms up and absent terms out") {
+    val out = Ranking.tfidf(corpus, Seq("spark", "join", "filter")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // filter: df=1 of 4 docs → idf ln(4); spark df=3 → ln(4/3)
+    val f = out(("filter", 3L))
+    assert(math.abs(f - math.rint(math.log(4.0) * 10000) / 10000) < 1e-9)
+    assert(!out.contains(("spark", 3L)))
+    // equal tf: rarer term weighs more
+    assert(out(("join", 2L)) / 2 > out(("spark", 2L)))
+  }
+
+  test("bm25 rejects an oversized term list") {
+    intercept[IllegalArgumentException](
+      Ranking.bm25(corpus, (1 to 65).map(i => s"t$i")))
+    intercept[IllegalArgumentException](Ranking.bm25(corpus, Nil))
+  }
+}
