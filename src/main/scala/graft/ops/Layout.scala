@@ -54,6 +54,60 @@ object Layout {
     saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Morton (Z-order) interleave of `cols`, each already normalized to an
+    * integer in [0, 2^bits): bit i of column j lands at position
+    * `i * k + j` of the z-value. Pure static-shift codegen (`shiftleft` /
+    * `bitwiseOR` fold — bits·k terms, no UDF, no shuffle).
+    * `bits * cols.size` must fit in a signed long (≤ 63).
+    */
+  def zValue(cols: Seq[Column], bits: Int = 16): Column = {
+    require(cols.nonEmpty && bits > 0 && bits * cols.size <= 63,
+      s"z-value needs 1+ columns and bits*k <= 63 (got ${cols.size} cols × $bits bits)")
+    val k = cols.size
+    val terms = for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + j)
+    terms.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** `df` plus a `__z` column: each listed (numeric) column min/max-scaled
+    * to [0, 2^bits) — the corpus-wide min/max reduce to ONE broadcast row —
+    * then Morton-interleaved with [[zValue]]. Constant columns scale to 0
+    * (they carry no ordering information either way).
+    */
+  def withZValue(df: DataFrame, zCols: Seq[String], bits: Int = 16): DataFrame = {
+    val statsCols = zCols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"__min_$c"), max(col(c).cast("double")).as(s"__max_$c")))
+    val stats = df.agg(statsCols.head, statsCols.tail: _*)
+    val maxVal = (1L << bits) - 1
+    val scaled = zCols.map { c =>
+      val span = greatest(col(s"__max_$c") - col(s"__min_$c"), lit(java.lang.Double.MIN_NORMAL))
+      least(lit(maxVal),
+        floor((col(c).cast("double") - col(s"__min_$c")) / span * maxVal + 0.5)).cast("long")
+    }
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", zValue(scaled, bits))
+      .drop(zCols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
+  }
+
+  /** Z-ordered parquet write: range-partition by the z-value into `nFiles`
+    * tasks and sort within each, so every output file covers a compact
+    * hyper-rectangle of the `zCols` space. A predicate on ANY of the
+    * clustered columns then skips most files via their min/max footer stats
+    * — unlike a linear `orderBy(x)` layout, which clusters x but smears
+    * every other column across all files. This is the same layout trick
+    * Delta/Iceberg OPTIMIZE ZORDER applies, expressed as plain Spark
+    * repartitionByRange + sortWithinPartitions.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      nFiles: Int, bits: Int = 16): Unit =
+    withZValue(df, zCols, bits)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
   /** True iff the physical plan of `df` contains no SHUFFLE exchange
     * (`Exchange hashpartitioning`/`rangepartitioning`) — the co-location
     * check used by tests and plan reviews. BroadcastExchange is allowed:

@@ -82,6 +82,51 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.saltedJoin(big, small, "k", 4, joinType = "semi").count() == 1)
   }
 
+  test("zValue interleaves bits (Morton order on a known grid)") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L))
+      .toDF("x", "y")
+    val z = df.select(Layout.zValue(Seq(col("x"), col("y")), bits = 2).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // (x,y) -> interleave x at even positions, y at odd: (2,3)=10,11 -> 1110=14
+    assert(z == Seq(0L, 1L, 2L, 3L, 14L))
+  }
+
+  test("z-ordered files prune on EVERY clustered column; linear layout only on its sort key") {
+    import spark.implicits._
+    val n = 20000
+    val rnd = new scala.util.Random(7)
+    val data = (0 until n).map(_ => (rnd.nextInt(100000), rnd.nextInt(100000)))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    Layout.writeZOrdered(data, s"$dir/z", Seq("x", "y"), nFiles = 16)
+    data.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(s"$dir/linear")
+
+    def boxes(path: String): Array[(Long, Long, Long, Long)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min("x"), max("x"), min("y"), max("y"))
+        .collect().map(r => (r.getInt(1).toLong, r.getInt(2).toLong,
+          r.getInt(3).toLong, r.getInt(4).toLong))
+
+    // files a reader must touch for a narrow slice on each dimension
+    def touched(bs: Array[(Long, Long, Long, Long)], lo: Long, hi: Long, onY: Boolean) =
+      bs.count { case (x0, x1, y0, y1) =>
+        if (onY) y0 <= hi && y1 >= lo else x0 <= hi && x1 >= lo }
+
+    val zb = boxes(s"$dir/z")
+    val lb = boxes(s"$dir/linear")
+    assert(zb.length == 16 && lb.length == 16)
+    // x-slice: both layouts prune
+    assert(touched(zb, 0, 6250, onY = false) <= 8)
+    assert(touched(lb, 0, 6250, onY = false) <= 2)
+    // y-slice: the x-sorted layout reads EVERYTHING, z-order still prunes
+    assert(touched(lb, 0, 6250, onY = true) == 16)
+    assert(touched(zb, 0, 6250, onY = true) <= 8,
+      s"z layout touched ${touched(zb, 0, 6250, onY = true)}/16 files for a y-slice")
+  }
+
   test("custom SQL function registration (simhash64 via extensions)") {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
