@@ -409,6 +409,46 @@ object Dedup {
       .where(col("doc_freq") > maxDocFreq)
       .orderBy(col("doc_freq").desc, col("g"))
 
+  /** Edit-distance (Levenshtein) near-dup pairs at or below `maxDist` —
+    * the character-level complement of the token-set family: catches
+    * small in-word edits (typos, OCR noise, version strings) that word
+    * shingles miss entirely. `prefixLen > 0` compares only the first
+    * `prefixLen` characters (bounding the O(len·maxDist) DP per pair —
+    * the standard trick for long documents, where a shared prefix is the
+    * near-dup signal anyway).
+    *
+    * Scale posture: candidates come from a LENGTH-BUCKET equi-join, not a
+    * cross join — two strings within edit distance d differ in length by at
+    * most d, so with bucket width d+1 every qualifying pair lands in equal
+    * or adjacent buckets; one side explodes to its 3 neighbor buckets (3×
+    * row cost, bytes per row) and the join is a plain shuffle on the bucket
+    * id. Each pair surfaces exactly once (the exploded side's 3 bucket ids
+    * are distinct), so no dedup pass is needed. The DP itself runs as
+    * Spark's THRESHOLDED `levenshtein(l, r, d)` — banded O(len·d), not
+    * O(len²), and codegen'd.
+    */
+  def editDistancePairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxDist: Int = 5,
+      prefixLen: Int = 0): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    val key = if (prefixLen > 0) substring(col(textCol), 1, prefixLen) else col(textCol)
+    val w = maxDist + 1
+    // integer bucket id (Column `/` is true division — floor it explicitly)
+    val keyed = docs.select(col(idCol).as("id"), key.as("k"),
+      floor(length(key) / w).cast("long").as("b"))
+    val a = keyed.select(col("id").as("id_a"), col("k").as("k_a"),
+      explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
+    val b = keyed.select(col("id").as("id_b"), col("k").as("k_b"), col("b"))
+    a.join(b, Seq("b"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("k_a"), col("k_b"), maxDist).cast("long").as("dist"))
+      .where(col("dist") >= 0)
+  }
+
   /** Transitive duplicate groups from a near-dup pair list: connected
     * components over the similarity graph (duplicate clusters are rarely
     * clean pairs — A≈B≈C must collapse to ONE keeper even when A~C missed

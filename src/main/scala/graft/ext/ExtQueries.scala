@@ -425,6 +425,26 @@ object ExtQueries {
         .orderBy(col("term"), col("doc_id")),
     Some(Ranking.bm25Sql("documents", bm25Terms) + "\nORDER BY term, doc_id"))
 
+  // E1i character-level near-dup: Levenshtein pairs over 40-char prefixes.
+  // Spark computes the thresholded banded DP through the length-bucketed
+  // candidate join; the oracle brute-forces every pair with DuckDB's own
+  // levenshtein — identical classic edit-distance metric, so the surviving
+  // (id_a, id_b, dist) rows hash-match exactly.
+  private val e18 = Q(
+    "e18_editdist",
+    (s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "documents"), maxDist = 5, prefixLen = 40)
+        .orderBy(col("id_a"), col("id_b")),
+    Some(
+      """WITH p AS (
+        |  SELECT doc_id, substr(text, 1, 40) AS pfx FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(a.pfx, b.pfx) AS dist
+        |FROM p a, p b
+        |WHERE a.doc_id < b.doc_id AND levenshtein(a.pfx, b.pfx) <= 5
+        |ORDER BY id_a, id_b""".stripMargin))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17)
+    e12, e13, e14, e15, e16, e17, e18)
 }

@@ -281,4 +281,49 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("editDistancePairs equals the brute-force metric, incl. bucket-straddling pairs") {
+    import spark.implicits._
+    // lengths 10 vs 13 straddle adjacent width-4 buckets (d=3 → w=4:
+    // 10/4=2, 13/4=3) — the neighbor-bucket explode must still pair them
+    val frame = Seq(
+      (1L, "abcdefghij"), //          len 10
+      (2L, "abcdefghijxyz"), //       len 13, dist 3 from doc 1
+      (3L, "abcdefghiK"), //          len 10, dist 1 from doc 1
+      (4L, "completely different")) //far from everything
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(frame, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute-force reference over all 6 pairs
+    val texts = Map(1L -> "abcdefghij", 2L -> "abcdefghijxyz",
+      3L -> "abcdefghiK", 4L -> "completely different")
+    val brute = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      d = levenshteinRef(texts(a), texts(b)) if d <= 3
+    } yield (a, b) -> d.toLong).toMap
+    assert(got == brute, s"got $got expected $brute")
+    assert(got.contains((1L, 2L)), "bucket-straddling pair lost")
+  }
+
+  test("editDistancePairs prefixLen compares only the prefix") {
+    import spark.implicits._
+    val frame = Seq(
+      (1L, "same prefix ABCDE tail one"),
+      (2L, "same prefix ABCDE completely different tail"))
+      .toDF("doc_id", "text")
+    val full = Dedup.editDistancePairs(frame, maxDist = 2).count()
+    val pfx = Dedup.editDistancePairs(frame, maxDist = 2, prefixLen = 17).count()
+    assert(full == 0 && pfx == 1)
+  }
+
+  /** Textbook Wagner–Fischer reference implementation for the spec. */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
 }
