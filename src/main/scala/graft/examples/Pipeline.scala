@@ -105,6 +105,51 @@ object Pipeline {
         f"mean luminance=${feat.feature.sum / feat.feature.length}%.3f")
     }
 
+    // 5e. decontamination + data mixing + ranked retrieval: the rest of a
+    // curation pass — strip docs overlapping the "benchmark" slice, reweight
+    // languages deterministically, then probe the corpus with BM25
+    {
+      import org.apache.spark.sql.functions.col
+      val bench = docs.where(col("doc_id") % 10 === 0)
+      val corpus = docs.where(col("doc_id") % 10 =!= 0)
+      val cleanN = graft.ext.Decontaminate.removeContaminated(corpus, bench).count()
+      val mixed = graft.ops.Splits.stratifiedSampleByHash(
+        docs, "lang", Map("en" -> 100, "de" -> 50, "fr" -> 50, "zh" -> 25, "es" -> 25))
+      val top = graft.ext.Ranking.bm25TopK(docs, Seq("join", "vector"), k = 3)
+        .collect().map(r => s"${r.getLong(0)}:${r.getDouble(1)}").mkString(" ")
+      println(s"[demo] curation: ${corpus.count()} docs -> $cleanN decontaminated; " +
+        s"mixed sample=${mixed.count()}; bm25 top-3 [join,vector]: $top")
+    }
+
+    // 5f. video decode on the bare JDK: an MJPEG AVI built in-memory,
+    // frames extracted by the RIFF walker + javax.imageio
+    {
+      val jpg = { (shade: Int) =>
+        val img = new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = img.createGraphics()
+        g2.setColor(new java.awt.Color(shade, shade, shade))
+        g2.fillRect(0, 0, 16, 16); g2.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos); bos.toByteArray
+      }
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val b = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put(id.getBytes("US-ASCII")).putInt(body.length).put(body); b.array()
+      }
+      val avih = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      avih.putInt(0, 40000); avih.putInt(16, 3); avih.putInt(32, 16); avih.putInt(36, 16)
+      val avi = chunk("RIFF", "AVI ".getBytes("US-ASCII") ++
+        chunk("LIST", "hdrl".getBytes("US-ASCII") ++ chunk("avih", avih.array())) ++
+        chunk("LIST", "movi".getBytes("US-ASCII") ++
+          Seq(40, 128, 220).flatMap(s => chunk("00dc", jpg(s))).toArray))
+      val meta = graft.ext.VideoCodecs.aviMeta(avi).get
+      val feat = graft.ext.VideoCodecs.AviVideoCodec.decodeToFeature(avi, 4)
+      println(f"[demo] video: ${meta.totalFrames} frames @${meta.width}x${meta.height}, " +
+        f"mean-luma feature=${feat.sum / feat.length}%.3f")
+    }
+
     // 6. similarity search: exact vs IVF probe over real embeddings
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val exact = graft.ext.Similarity.bruteForceTopK(emb, 0L, 5)
@@ -176,6 +221,24 @@ object Pipeline {
     println(s"[demo] bucketed join shuffle-free=${graft.ops.Layout.hasNoShuffleExchange(cojoin)} rows=${cojoin.count()}")
     spark.sql("DROP TABLE IF EXISTS demo_bt_orders")
     spark.sql("DROP TABLE IF EXISTS demo_bt_lineitem")
+
+    // 10b. shuffle reduction + data skipping: bloom-pruned join and
+    // z-ordered layout
+    {
+      import org.apache.spark.sql.functions.col
+      val hot = oTab.where(col("o_totalprice") > 400000).select(col("o_custkey"))
+      val bloomed = graft.ops.BloomPrune.prunedJoin(
+        spark.read.parquet(s"$sfDir/customer.parquet"), "c_custkey",
+        hot, "o_custkey", expectedItems = 1000, joinType = "left_semi")
+      val zDir = java.nio.file.Files.createTempDirectory("demo_z").toString
+      graft.ops.Layout.writeZOrdered(
+        lTab.select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice")),
+        s"$zDir/l", Seq("l_orderkey", "l_partkey"), nFiles = 8)
+      val zFiles = new java.io.File(s"$zDir/l").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      println(s"[demo] scale ops: bloom-pruned semi-join=${bloomed.count()} customers; " +
+        s"z-ordered lineitem into $zFiles files clustered on (orderkey, partkey)")
+    }
 
     Ddl.dropDatabaseCascade(spark, "demo_db")
     spark.stop()
