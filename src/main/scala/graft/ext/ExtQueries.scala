@@ -445,6 +445,22 @@ object ExtQueries {
         |WHERE a.doc_id < b.doc_id AND levenshtein(a.pfx, b.pfx) <= 5
         |ORDER BY id_a, id_b""".stripMargin))
 
+  // E5b ordered funnel (view → click → purchase, 48 h window anchored at
+  // first view): per-user stage reached + first-touch completion times.
+  // The DuckDB SQL is GENERATED from the same step list/window
+  // (Funnel.funnelSql); times format to seconds on both sides.
+  private val funnelSteps = Seq("view", "click", "purchase")
+  private val e19 = Q(
+    "e19_funnel",
+    (s, dir) =>
+      Funnel.funnel(graft.queries.Reference.events(s, dir), funnelSteps)
+        .select(col("user_id"), col("stage_reached"),
+          date_format(col("t_1"), "yyyy-MM-dd HH:mm:ss").as("t1"),
+          date_format(col("t_2"), "yyyy-MM-dd HH:mm:ss").as("t2"),
+          date_format(col("t_3"), "yyyy-MM-dd HH:mm:ss").as("t3"))
+        .orderBy(col("user_id")),
+    Some(Funnel.funnelSql("events", funnelSteps)))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18)
+    e12, e13, e14, e15, e16, e17, e18, e19)
 }

@@ -1,0 +1,124 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis over an event stream — the product-analytics
+  * primitive (view → click → purchase conversion): for each user, the
+  * earliest chain of the step events completed inside a window anchored at
+  * the FIRST step-1 event. Semantics are the deterministic "first touch"
+  * funnel: t₁ = first step-1 event; tᵢ₊₁ = first step-(i+1) event strictly
+  * after tᵢ and no later than t₁ + window. Greedy-earliest is the industry
+  * semantic precisely because it is deterministic — it never depends on
+  * which of several qualifying chains an engine happens to find.
+  *
+  * Scale posture: stage i is a filtered aggregate (`type = stepᵢ` pushes to
+  * the scan) joined to the previous stage's per-user row — each stage
+  * shuffles only users who SURVIVED the previous stage (monotonically
+  * shrinking), never the raw event stream twice. k steps = k filtered
+  * scans + k shrinking shuffles; no arrays of per-user events are ever
+  * collected.
+  */
+object Funnel {
+
+  /** Per-stage per-user completion frames: element i has columns
+    * (user, t_1 … t_{i+1}) — users completing the first i+1 steps.
+    */
+  def stages(
+      events: DataFrame,
+      steps: Seq[String],
+      window: String = "48 hours",
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): Seq[DataFrame] = {
+    require(steps.size >= 2, s"a funnel needs at least 2 steps, got $steps")
+    val first = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t_1"))
+    steps.tail.zipWithIndex.scanLeft(first) { case (prev, (step, i)) =>
+      val tPrev = s"t_${i + 1}"
+      val tCur = s"t_${i + 2}"
+      val carried = (1 to i + 1).map(j => col(s"t_$j"))
+      events.where(col(typeCol) === step)
+        .join(prev, userCol)
+        .where(col(tsCol) > col(tPrev) &&
+          col(tsCol) <= col("t_1") + expr(s"INTERVAL $window"))
+        .groupBy((col(userCol) +: carried): _*)
+        .agg(min(col(tsCol)).as(tCur))
+    }
+  }
+
+  /** Per-user funnel summary: (user, stage_reached, t_1 … t_k) with null
+    * times past the reached stage. Only users who entered the funnel
+    * (performed step 1) appear.
+    */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      window: String = "48 hours",
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    val st = stages(events, steps, window, userCol, tsCol, typeCol)
+    val joined = st.zipWithIndex.tail.foldLeft(st.head) { case (acc, (s, i)) =>
+      acc.join(s.select(col(userCol), col(s"t_${i + 1}")), Seq(userCol), "left")
+    }
+    // ascending fold so the HIGHEST stage's test wraps outermost — a user
+    // at stage 3 also has t_2 set, so lower tests must be the fallback
+    val stageReached = (2 to steps.size).foldLeft(lit(1)) { (els, k) =>
+      when(col(s"t_$k").isNotNull, lit(k)).otherwise(els)
+    }
+    joined.withColumn("stage_reached", stageReached)
+      .select((col(userCol) +: col("stage_reached") +:
+        steps.indices.map(i => col(s"t_${i + 1}"))): _*)
+  }
+
+  /** Funnel conversion counts: one row per step, (step, event_type,
+    * n_users) — the classic funnel chart input.
+    */
+  def counts(
+      events: DataFrame,
+      steps: Seq[String],
+      window: String = "48 hours",
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    val st = stages(events, steps, window, userCol, tsCol, typeCol)
+    st.zipWithIndex.map { case (s, i) =>
+      s.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(steps(i)).as("event_type"), col("n_users"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** DuckDB mirror of [[funnel]] (times formatted to seconds) — GENERATED
+    * from the same steps/window so the two cannot drift. The interval is
+    * spelled `n UNIT`, e.g. "48 hours".
+    */
+  def funnelSql(table: String, steps: Seq[String], window: String = "48 hours"): String = {
+    val ctes = steps.zipWithIndex.tail.map { case (step, i) =>
+      val prev = s"s$i"
+      val carried = (1 to i).map(j => s"$prev.t_$j").mkString(", ")
+      s"""s${i + 1} AS (
+         |  SELECT e.user_id, $carried, min(e.ts) AS t_${i + 1}
+         |  FROM $table e JOIN $prev ON e.user_id = $prev.user_id
+         |  WHERE e.event_type = '$step' AND e.ts > $prev.t_$i
+         |    AND e.ts <= $prev.t_1 + INTERVAL $window
+         |  GROUP BY e.user_id, $carried)""".stripMargin
+    }
+    val s1 =
+      s"""s1 AS (
+         |  SELECT user_id, min(ts) AS t_1 FROM $table
+         |  WHERE event_type = '${steps.head}' GROUP BY user_id)""".stripMargin
+    val lefts = (2 to steps.size).map(i =>
+      s"LEFT JOIN s$i ON s1.user_id = s$i.user_id").mkString("\n")
+    val stageCase = (steps.size to 2 by -1).map(k =>
+      s"WHEN s$k.t_$k IS NOT NULL THEN $k").mkString(" ")
+    val timeCols = steps.indices.map(i =>
+      s"strftime(s${i + 1}.t_${i + 1}, '%Y-%m-%d %H:%M:%S') AS t${i + 1}").mkString(",\n  ")
+    s"""WITH ${(s1 +: ctes).mkString(",\n")}
+       |SELECT s1.user_id, CASE $stageCase ELSE 1 END AS stage_reached,
+       |  $timeCols
+       |FROM s1
+       |$lefts
+       |ORDER BY s1.user_id""".stripMargin
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ext
+
+import graft.SparkTestSession
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunnelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def events = {
+    import spark.implicits._
+    Seq(
+      // u1 completes all three inside the window
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:30:00"), "click"),
+      (1L, ts("2024-01-01 11:00:00"), "purchase"),
+      // u2 clicks BEFORE viewing — order violated, stays at stage 1
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      // u3 completes but the purchase lands past the window → stage 2
+      (3L, ts("2024-01-01 00:00:00"), "view"),
+      (3L, ts("2024-01-01 00:10:00"), "click"),
+      (3L, ts("2024-01-03 00:10:00"), "purchase"),
+      // u4 never enters (no view)
+      (4L, ts("2024-01-01 12:00:00"), "purchase"),
+      // u5: first-touch anchor — SECOND view would convert, but the funnel
+      // anchors at the FIRST view, whose window the click misses
+      (5L, ts("2024-01-01 00:00:00"), "view"),
+      (5L, ts("2024-01-05 00:00:00"), "view"),
+      (5L, ts("2024-01-05 00:30:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+  }
+
+  private val steps = Seq("view", "click", "purchase")
+
+  test("funnel stages honor order, window anchor, and first-touch semantics") {
+    val out = Funnel.funnel(events, steps, window = "48 hours").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 2, 5L -> 1))
+  }
+
+  test("completion times are the earliest qualifying chain") {
+    val r1 = Funnel.funnel(events, steps, window = "48 hours")
+      .where(col("user_id") === 1L).head()
+    assert(r1.getTimestamp(2) == ts("2024-01-01 10:00:00"))
+    assert(r1.getTimestamp(3) == ts("2024-01-01 10:30:00"))
+    assert(r1.getTimestamp(4) == ts("2024-01-01 11:00:00"))
+    // u3's t_3 is null — purchase fell outside the anchored window
+    val r3 = Funnel.funnel(events, steps, window = "48 hours")
+      .where(col("user_id") === 3L).head()
+    assert(r3.getTimestamp(3) != null && r3.isNullAt(4))
+  }
+
+  test("counts emits the shrinking per-step user totals") {
+    val c = Funnel.counts(events, steps, window = "48 hours").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(c == Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("a funnel needs at least two steps") {
+    intercept[IllegalArgumentException](Funnel.funnel(events, Seq("view")))
+  }
+}
