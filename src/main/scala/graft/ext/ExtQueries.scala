@@ -461,6 +461,17 @@ object ExtQueries {
         .orderBy(col("user_id")),
     Some(Funnel.funnelSql("events", funnelSteps)))
 
+  // E5c cohort retention curve over the events table (first-seen-day
+  // cohorts, day offsets 0–30, distinct active users per cell).
+  private val e20 = Q(
+    "e20_retention",
+    (s, dir) =>
+      Funnel.retention(graft.queries.Reference.events(s, dir))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+          col("day_offset"), col("n_users"))
+        .orderBy(col("cohort"), col("day_offset")),
+    Some(Funnel.retentionSql("events")))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19)
+    e12, e13, e14, e15, e16, e17, e18, e19, e20)
 }

@@ -89,6 +89,45 @@ object Funnel {
     }.reduce(_ unionAll _)
   }
 
+  /** Cohort retention: users grouped by first-seen day (their cohort), then
+    * counted as retained on each later day-offset they were active —
+    * (cohort day, day offset, n_users), the retention-curve input. Two
+    * shuffles: per-user first-day aggregate, then the (cohort, offset)
+    * count over the DISTINCT per-user active days (`countDistinct` guards
+    * multi-event days). `maxOffsetDays` bounds the output (and lets the
+    * offset filter run before the final aggregate).
+    */
+  def retention(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      maxOffsetDays: Int = 30): DataFrame = {
+    val firstDay = events.groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("cohort_day"))
+    val active = events.select(col(userCol), to_date(col(tsCol)).as("day")).distinct()
+    active.join(firstDay, userCol)
+      .select(col(userCol), col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .where(col("day_offset").between(0, maxOffsetDays))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
+  /** DuckDB mirror of [[retention]] — cohort day formatted to a string. */
+  def retentionSql(table: String, maxOffsetDays: Int = 30): String =
+    s"""WITH first_day AS (
+       |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM $table GROUP BY user_id
+       |), active AS (
+       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM $table
+       |)
+       |SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort,
+       |  date_diff('day', f.cohort_day, a.day) AS day_offset,
+       |  COUNT(DISTINCT a.user_id) AS n_users
+       |FROM active a JOIN first_day f ON a.user_id = f.user_id
+       |WHERE date_diff('day', f.cohort_day, a.day) BETWEEN 0 AND $maxOffsetDays
+       |GROUP BY 1, 2
+       |ORDER BY cohort, day_offset""".stripMargin
+
   /** DuckDB mirror of [[funnel]] (times formatted to seconds) — GENERATED
     * from the same steps/window so the two cannot drift. The interval is
     * spelled `n UNIT`, e.g. "48 hours".

@@ -63,4 +63,31 @@ class FunnelSpec extends AnyFunSuite {
   test("a funnel needs at least two steps") {
     intercept[IllegalArgumentException](Funnel.funnel(events, Seq("view")))
   }
+
+  test("retention buckets users by first-seen day and dedups multi-event days") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:00:00")), (1L, ts("2024-01-01 09:00:00")), // day 0 twice
+      (1L, ts("2024-01-03 08:00:00")), //                                  day 2
+      (2L, ts("2024-01-01 23:00:00")), (2L, ts("2024-01-02 01:00:00")), // days 0,1
+      (3L, ts("2024-01-02 12:00:00"))) //                                  later cohort
+      .toDF("user_id", "ts")
+    val out = Funnel.retention(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 2L, // u1 (once, despite 2 events) + u2
+      ("2024-01-01", 1L) -> 1L, // u2
+      ("2024-01-01", 2L) -> 1L, // u1
+      ("2024-01-02", 0L) -> 1L)) // u3's own cohort
+  }
+
+  test("retention offset cap drops activity past the horizon") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:00:00")),
+      (1L, ts("2024-03-01 08:00:00"))) // offset 60
+      .toDF("user_id", "ts")
+    assert(Funnel.retention(ev, maxOffsetDays = 30).count() == 1)
+    assert(Funnel.retention(ev, maxOffsetDays = 90).count() == 2)
+  }
 }
