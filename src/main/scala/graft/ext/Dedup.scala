@@ -417,15 +417,23 @@ object Dedup {
     * the standard trick for long documents, where a shared prefix is the
     * near-dup signal anyway).
     *
-    * Scale posture: candidates come from a LENGTH-BUCKET equi-join, not a
-    * cross join — two strings within edit distance d differ in length by at
-    * most d, so with bucket width d+1 every qualifying pair lands in equal
-    * or adjacent buckets; one side explodes to its 3 neighbor buckets (3×
-    * row cost, bytes per row) and the join is a plain shuffle on the bucket
-    * id. Each pair surfaces exactly once (the exploded side's 3 bucket ids
-    * are distinct), so no dedup pass is needed. The DP itself runs as
+    * Scale posture — PassJoin-style pigeonhole segment blocking (Li, Deng
+    * & Feng 2011), not a cross join and not a length-bucket join: partition
+    * each indexed string into d+1 contiguous segments; if lev(A, B) ≤ d,
+    * the ≤ d edits cannot touch ALL d+1 segments of B, so at least one
+    * segment appears in A EXACTLY, as a contiguous substring displaced by
+    * at most d positions. Candidate generation is therefore an equi-join on
+    * (target length, segment index, substring): the indexed side emits its
+    * d+1 exact segments; the probe side emits one substring per (existing
+    * corpus length within ±d, segment, shift ≤ d) — O(d²) probe rows per
+    * doc against the DISTINCT LENGTH dimension (a broadcast of at most a
+    * few hundred values), all plain codegen'd `substr`. Position-anchored
+    * 6+-char segment matches are sharply selective even when every string
+    * has the SAME length — the regime where any length-bucket scheme
+    * degenerates into one all-pairs bucket. Survivors are verified with
     * Spark's THRESHOLDED `levenshtein(l, r, d)` — banded O(len·d), not
-    * O(len²), and codegen'd.
+    * O(len²). Measured on 5 000 fixed-length-40 prefixes: 32 s (length
+    * buckets, one degenerate bucket) → ~1 s (segment blocking).
     */
   def editDistancePairs(
       docs: DataFrame,
@@ -434,16 +442,50 @@ object Dedup {
       maxDist: Int = 5,
       prefixLen: Int = 0): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    val d = maxDist
+    val m = d + 1
     val key = if (prefixLen > 0) substring(col(textCol), 1, prefixLen) else col(textCol)
-    val w = maxDist + 1
-    // integer bucket id (Column `/` is true division — floor it explicitly)
     val keyed = docs.select(col(idCol).as("id"), key.as("k"),
-      floor(length(key) / w).cast("long").as("b"))
-    val a = keyed.select(col("id").as("id_a"), col("k").as("k_a"),
-      explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
-    val b = keyed.select(col("id").as("id_b"), col("k").as("k_b"), col("b"))
-    a.join(b, Seq("b"))
+      length(key).cast("int").as("l"))
+
+    // segment i of a length-l string: the first (l mod m) segments are one
+    // char longer — start/len are pure integer Column arithmetic
+    def segStart(l: Column, i: Int): Column =
+      lit(i) * floor(l / m).cast("int") + least(lit(i), pmod(l, lit(m)))
+    def segLen(l: Column, i: Int): Column =
+      floor(l / m).cast("int") + when(lit(i) < pmod(l, lit(m)), 1).otherwise(0)
+
+    // indexed side: its own d+1 exact segments, keyed by (own length, i)
+    val indexed = keyed.select(col("id").as("id_b"), col("k").as("k_b"),
+      col("l").as("lb"),
+      explode(array((0 until m).map(i =>
+        struct(lit(i).as("i"),
+          col("k").substr(segStart(col("l"), i) + 1, segLen(col("l"), i)).as("sub"))): _*))
+        .as("seg"))
+      .select(col("id_b"), col("k_b"), col("lb"), col("seg.i").as("i"),
+        col("seg.sub").as("sub"))
+
+    // probe side: for every corpus length within ±d (a broadcast dimension
+    // of DISTINCT lengths — not a row explosion over the corpus), every
+    // segment of that length's layout, every shift |δ| ≤ d
+    val lengths = keyed.select(col("l").as("lb")).distinct()
+    val probeSubs = array((for { i <- 0 until m; delta <- -d to d } yield {
+      val p = segStart(col("lb"), i) + delta
+      val len = segLen(col("lb"), i)
+      struct(lit(i).as("i"), p.as("p"), len.as("len"))
+    }): _*)
+    val probe = keyed
+      .join(broadcast(lengths), abs(col("l") - col("lb")) <= d)
+      .select(col("id").as("id_a"), col("k").as("k_a"), col("l").as("la"),
+        col("lb"), explode(probeSubs).as("ps"))
+      .where(col("ps.p") >= 0 && col("ps.p") + col("ps.len") <= col("la"))
+      .select(col("id_a"), col("k_a"), col("lb"), col("ps.i").as("i"),
+        col("k_a").substr(col("ps.p") + 1, col("ps.len")).as("sub"))
+
+    probe.join(indexed, Seq("lb", "i", "sub"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("k_a"), col("k_b"))
+      .distinct() // a pair can match via several segments/shifts
       .select(col("id_a"), col("id_b"),
         levenshtein(col("k_a"), col("k_b"), maxDist).cast("long").as("dist"))
       .where(col("dist") >= 0)
