@@ -55,6 +55,33 @@ object Decontaminate {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Collected benchmark n-gram set, for [[flagContaminated]] — eval suites
+    * are small (10³–10⁷ n-grams), so the set fits the driver and can enter
+    * plans as a literal. For benchmark sets past memory, stay with the
+    * join-based [[ngramHits]].
+    */
+  def collectBenchmarkNgrams(benchmark: DataFrame, textCol: String = "text",
+      n: Int = 3): Seq[String] =
+    benchmarkNgrams(benchmark, textCol, n).collect().map(_.getString(0)).toSeq
+
+  /** Stateless contamination flag against a literal benchmark n-gram set:
+    * adds `n_hits` and `contaminated` columns as a pure per-row projection —
+    * zero shuffle, zero join, and therefore STREAMING-SAFE (usable inside a
+    * `readStream` curation chain in append mode, where [[ngramHits]]'s
+    * aggregation is not). The per-doc shingle set is distinct, so
+    * `array_intersect` against the (deduplicated) benchmark set counts each
+    * shared n-gram once — identical semantics to [[ngramHits]].
+    */
+  def flagContaminated(corpus: DataFrame, benchGrams: Seq[String],
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    val hits = size(array_intersect(
+      Dedup.shingles(col(textCol), n),
+      typedLit(benchGrams.distinct))).cast("long")
+    corpus
+      .withColumn("n_hits", hits)
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** The clean corpus: rows of `corpus` sharing at least `minHits` distinct
     * n-grams with the benchmark are removed (left-anti on the flagged ids —
     * no row widening, original schema preserved).

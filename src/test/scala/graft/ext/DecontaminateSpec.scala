@@ -51,6 +51,44 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(lax.count() == 4)
   }
 
+  test("flagContaminated (literal set) matches the join-based ngramHits") {
+    val (corpus, bench) = frames
+    val grams = Decontaminate.collectBenchmarkNgrams(bench)
+    val inline = Decontaminate.flagContaminated(corpus, grams)
+      .select("doc_id", "n_hits", "contaminated")
+      .collect().map(_.toSeq).toSet
+    val joined = Decontaminate.ngramHits(corpus, bench)
+      .collect().map(_.toSeq).toSet
+    assert(inline == joined)
+  }
+
+  test("streaming curation: decontam flag + stratified mix run on an unbounded stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (corpus, bench) = frames
+    val grams = Decontaminate.collectBenchmarkNgrams(bench)
+    val stream = MemoryStream[(Long, String, String)]
+    val streamed = stream.toDF().toDF("doc_id", "text", "lang")
+    // the full stateless curation chain: contamination flag, then data mixing
+    val curated = graft.ops.Splits.stratifiedSampleByHash(
+      Decontaminate.flagContaminated(streamed, grams).where(!col("contaminated")),
+      stratumCol = "lang", pcts = Map("en" -> 100), idCol = "doc_id")
+    val q = curated.writeStream.format("memory").queryName("curation_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (1L, "intro text the quick brown fox jumps over something", "en"),
+        (3L, "completely unrelated material about spark plans", "en"),
+        (4L, "too short", "en"))
+      q.processAllAvailable()
+      val got = spark.table("curation_stream").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      // doc 1 is contaminated → dropped; 3 and 4 survive the en=100% mix
+      assert(got == Set(3L, 4L))
+    } finally q.stop()
+  }
+
   test("a doc sharing the same n-gram with MANY benchmark docs counts it once") {
     import spark.implicits._
     val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
