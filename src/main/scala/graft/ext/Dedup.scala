@@ -455,15 +455,15 @@ object Dedup {
     def segLen(l: Column, i: Int): Column =
       floor(l / m).cast("int") + when(lit(i) < pmod(l, lit(m)), 1).otherwise(0)
 
-    // indexed side: its own d+1 exact segments, keyed by (own length, i)
-    val indexed = keyed.select(col("id").as("id_b"), col("k").as("k_b"),
-      col("l").as("lb"),
+    // indexed side: its own d+1 exact segments, keyed by (own length, i) —
+    // id + segment only, never the whole key (the verifyExactJaccard
+    // id-only-bucket discipline)
+    val indexed = keyed.select(col("id").as("id_b"), col("l").as("lb"),
       explode(array((0 until m).map(i =>
         struct(lit(i).as("i"),
           col("k").substr(segStart(col("l"), i) + 1, segLen(col("l"), i)).as("sub"))): _*))
         .as("seg"))
-      .select(col("id_b"), col("k_b"), col("lb"), col("seg.i").as("i"),
-        col("seg.sub").as("sub"))
+      .select(col("id_b"), col("lb"), col("seg.i").as("i"), col("seg.sub").as("sub"))
 
     // probe side: for every corpus length within ±d (a broadcast dimension
     // of DISTINCT lengths — not a row explosion over the corpus), every
@@ -479,13 +479,18 @@ object Dedup {
       .select(col("id").as("id_a"), col("k").as("k_a"), col("l").as("la"),
         col("lb"), explode(probeSubs).as("ps"))
       .where(col("ps.p") >= 0 && col("ps.p") + col("ps.len") <= col("la"))
-      .select(col("id_a"), col("k_a"), col("lb"), col("ps.i").as("i"),
+      .select(col("id_a"), col("lb"), col("ps.i").as("i"),
         col("k_a").substr(col("ps.p") + 1, col("ps.len")).as("sub"))
 
-    probe.join(indexed, Seq("lb", "i", "sub"))
+    // id-only candidate pairs; keys re-join AFTER the distinct, so the
+    // multi-segment/multi-shift duplication never carries string payloads
+    val pairs = probe.join(indexed, Seq("lb", "i", "sub"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("k_a"), col("k_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct() // a pair can match via several segments/shifts
+    pairs
+      .join(keyed.select(col("id").as("id_a"), col("k").as("k_a")), Seq("id_a"))
+      .join(keyed.select(col("id").as("id_b"), col("k").as("k_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         levenshtein(col("k_a"), col("k_b"), maxDist).cast("long").as("dist"))
       .where(col("dist") >= 0)

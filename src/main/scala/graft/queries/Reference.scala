@@ -533,7 +533,36 @@ object Reference {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin))
 
+  // ------------------------- Q24: correlated scalar subquery (SQL-text path)
+  // Each customer's largest order, selected by a correlated scalar subquery
+  // run verbatim through spark.sql (q21's engine-portable-SQL posture).
+  // Catalyst decorrelates this into an aggregate + join — same plan family
+  // as the window-function formulation, but exercising the subquery
+  // rewrite machinery. max() of doubles is order-insensitive, so no msum
+  // treatment is needed; ties (two orders at the customer max) surface as
+  // multiple rows in BOTH engines identically.
+  private val q24 = Q(
+    "q24_corr_scalar",
+    (s, dir) => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      t(s, dir, "orders").createOrReplaceTempView(s"orders_q24_$tag")
+      s.sql(
+        s"""SELECT o_custkey, o_orderkey, o_totalprice
+           |FROM orders_q24_$tag o
+           |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+           |                      FROM orders_q24_$tag o2
+           |                      WHERE o2.o_custkey = o.o_custkey)
+           |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    },
+    Some(
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+        |                      FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q05, q07, q08, q09, q10, q12, q13, q14, q15, q16, q17,
-      q18, q19, q20, q21, q22, q23)
+      q18, q19, q20, q21, q22, q23, q24)
 }
