@@ -472,6 +472,25 @@ object ExtQueries {
         .orderBy(col("cohort"), col("day_offset")),
     Some(Funnel.retentionSql("events")))
 
+  // E1j per-group cap (anti-concentration): at most 40 docs per language,
+  // chosen by the engine-portable md5 rank — both engines keep the
+  // identical rows.
+  private val e21 = Q(
+    "e21_group_cap",
+    (s, dir) =>
+      graft.ops.Splits.capPerGroup(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          groupCol = "lang", k = 40)
+        .orderBy(col("doc_id")),
+    Some(
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 40
+        |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20)
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21)
 }

@@ -81,4 +81,25 @@ object Splits {
     df.withColumn("bucket", hashBucket(col(idCol), salt))
       .where(col("bucket") < pctCol)
   }
+
+  /** Deterministic per-group cap — "at most k documents per domain", the
+    * anti-concentration control of a corpus mix (one boilerplate-heavy
+    * source must not dominate training data). Rows are ranked inside each
+    * stratum by md5(salt ∥ id) with the id as tie-break, so the kept set is
+    * a uniform, engine-portable pseudo-random sample that is STABLE under
+    * reruns and repartitioning, and GROWS MONOTONICALLY with k (raising a
+    * cap only adds rows — same property as [[stratifiedSampleByHash]]).
+    * One shuffle (the window partition); the rank is bounded work per group
+    * member, no group's rows are ever collected.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, k: Int,
+      idCol: String = "doc_id", salt: String = "cap"): DataFrame = {
+    require(k > 0, s"cap must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(concat(lit(salt), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .drop("__rank")
+  }
 }

@@ -562,7 +562,41 @@ object Reference {
         |                      WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin))
 
+  // ------------------------ Q25: rolling time-window aggregate (RANGE frame)
+  // 7-day moving revenue over daily order totals — the time-series
+  // companion to q16's row-frame windows. A RANGE frame over a gap-y date
+  // axis differs from ROWS (missing days still shrink the window), which is
+  // what makes it the right operator for irregular time series. Engine
+  // determinism: the daily totals stay FIXED-POINT LONGS through the
+  // windowed sum (a segment-tree window aggregator may reorder float adds;
+  // integer adds are immune), scaled back to doubles once at the end.
+  private val q25 = Q(
+    "q25_rolling",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day_int")).rangeBetween(-6, 0)
+      t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 10000, 0).cast("long")).as("cents"))
+        .withColumn("day_int", datediff(col("day"), lit("1992-01-01")))
+        .withColumn("rev_7d", (sum(col("cents")).over(w).cast("double") / 10000))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          (col("cents").cast("double") / 10000).as("rev_day"), col("rev_7d"))
+        .orderBy(col("day"))
+    },
+    Some(
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    SUM(CAST(round(o_totalprice * 10000) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(cents AS DOUBLE) / 10000 AS rev_day,
+        |  CAST(SUM(cents) OVER (ORDER BY date_diff('day', DATE '1992-01-01', day)
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000 AS rev_7d
+        |FROM daily ORDER BY day""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q05, q07, q08, q09, q10, q12, q13, q14, q15, q16, q17,
-      q18, q19, q20, q21, q22, q23, q24)
+      q18, q19, q20, q21, q22, q23, q24, q25)
 }

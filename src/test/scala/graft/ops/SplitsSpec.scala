@@ -94,6 +94,27 @@ class SplitsSpec extends AnyFunSuite {
     assert(!lowPrefix, "sample nested inside the split's low buckets — salts are correlated")
   }
 
+  test("capPerGroup bounds every group, keeps small groups whole, grows monotonically") {
+    val capped = Splits.capPerGroup(mixFrame, "src", k = 100)
+    val sizes = capped.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en/de have 1000 rows (capped to 100); fr has 2000 (capped to 100)
+    assert(sizes.values.forall(_ == 100L), sizes.toString)
+    // under-cap groups pass through untouched
+    assert(Splits.capPerGroup(mixFrame, "src", k = 5000).count() == 4000)
+    // monotone: the k=100 keep-set is inside the k=200 keep-set
+    val small = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = Splits.capPerGroup(mixFrame, "src", k = 200)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+    // deterministic under repartitioning
+    import org.apache.spark.sql.functions.rand
+    val again = Splits.capPerGroup(mixFrame.repartition(7).orderBy(rand(3)), "src", k = 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == small)
+    intercept[IllegalArgumentException](Splits.capPerGroup(mixFrame, "src", 0))
+  }
+
   test("stratifiedSampleByHash rejects out-of-range percentages") {
     intercept[IllegalArgumentException](
       Splits.stratifiedSampleByHash(mixFrame, "src", Map("en" -> 101)))
