@@ -491,6 +491,33 @@ object ExtQueries {
         |WHERE rnk <= 40
         |ORDER BY doc_id""".stripMargin))
 
+  // E3e sliding token-window chunking (window 20, overlap 5 → stride 15):
+  // the retrieval/training context-window prep, chunk text and counts under
+  // the full hash gate. DuckDB mirrors the integer chunk-count arithmetic
+  // and slices the same token lists.
+  private val e22 = Q(
+    "e22_chunks",
+    (s, dir) =>
+      TextStats.chunkTokens(t(s, dir, "documents"),
+          windowTokens = 20, overlapTokens = 5)
+        .orderBy(col("doc_id"), col("chunk_idx")),
+    Some(
+      """WITH toksed AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents
+        |), counted AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) = 0 THEN 0
+        |         ELSE (greatest(len(toks) - 20, 0) + 14) // 15 + 1 END AS nc
+        |  FROM toksed
+        |)
+        |SELECT doc_id, CAST(s AS INT) AS chunk_idx,
+        |  len(toks[(s*15+1):(s*15+20)]) AS n_chunk_tokens,
+        |  array_to_string(toks[(s*15+1):(s*15+20)], ' ') AS chunk_text
+        |FROM (SELECT doc_id, toks, unnest(range(nc)) AS s FROM counted WHERE nc > 0)
+        |ORDER BY doc_id, chunk_idx""".stripMargin))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21)
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22)
 }

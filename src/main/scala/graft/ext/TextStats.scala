@@ -294,4 +294,38 @@ object TextStats {
     base.join(stats, Seq(idCol), "left")
       .select(col(idCol) +: col("n_tokens") +: fracs: _*)
   }
+
+  /** Sliding token-window chunking — the context-window prep for retrieval
+    * and training: each document becomes ⌈max(0, n−W)/stride⌉+1 chunks of at
+    * most `windowTokens` tokens, consecutive chunks overlapping by
+    * `overlapTokens` (stride = W − O). The final chunk may be short; a doc
+    * shorter than one window yields exactly one chunk; an empty doc yields
+    * none. Pure per-row HOFs + one explode — zero shuffle, the chunk fan-out
+    * is the only row growth, and chunk membership depends on nothing but the
+    * document text (rerun/engine stable).
+    */
+  def chunkTokens(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      windowTokens: Int = 512,
+      overlapTokens: Int = 64): DataFrame = {
+    require(windowTokens > 0 && overlapTokens >= 0 && overlapTokens < windowTokens,
+      s"need 0 <= overlap < window, got window=$windowTokens overlap=$overlapTokens")
+    val stride = windowTokens - overlapTokens
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val n = size(toks)
+    // ⌈max(0, n−W)/stride⌉ + 1 extra windows past the first, as pure integer
+    // arithmetic (floor((x + stride − 1) / stride) with x ≥ 0)
+    val nChunks = when(n === 0, 0).otherwise(
+      floor((greatest(n - windowTokens, lit(0)) + (stride - 1)) / stride).cast("int") + 1)
+    docs
+      .select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
+      .where(col("__nc") > 0)
+      .select(col(idCol), posexplode(transform(sequence(lit(0), col("__nc") - 1), s =>
+        slice(col("__toks"), s * stride + 1, lit(windowTokens)))).as(Seq("chunk_idx", "__ct")))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__ct")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("__ct")).as("chunk_text"))
+  }
 }

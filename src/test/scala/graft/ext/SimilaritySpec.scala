@@ -168,4 +168,22 @@ class SimilaritySpec extends AnyFunSuite {
     // with 8 tables on 5 vectors the near neighbors should surface
     assert(got.contains(1L), s"nearest vector missing from $got")
   }
+
+  test("int8 quantization: 4x-smaller codes recover cosines within 1e-3") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Similarity.quantizeInt8(emb)
+    // codes really are tinyint and bounded
+    assert(q.schema("embedding").dataType.simpleString == "array<tinyint>")
+    val deq = Similarity.dequantizeInt8(q)
+    val drift = deq.select(col("vec_id"), col("embedding").as("d"))
+      .join(emb.select(col("vec_id"), col("embedding").cast("array<double>").as("o")), "vec_id")
+      .select(abs(lit(1.0) - Similarity.cosine(col("d").cast("array<double>"), col("o"))).as("err"))
+      .agg(max(col("err"))).head().getDouble(0)
+    assert(drift < 1e-3, s"cosine drift $drift")
+    // all-zero vectors survive the round trip
+    val z = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val zq = Similarity.dequantizeInt8(Similarity.quantizeInt8(z))
+    assert(zq.head().getSeq[Float](1).forall(_ == 0f))
+  }
 }

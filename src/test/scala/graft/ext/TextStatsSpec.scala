@@ -178,4 +178,26 @@ class TextStatsSpec extends AnyFunSuite {
     assert(d(4L, "dup2gram_frac") == 4.0 / 5) // 5 identical bigrams
     assert(d(4L, "top2gram_frac") == 5.0 * 2 / 6)
   }
+
+  test("chunkTokens: window/overlap arithmetic, short docs, empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 35).map(i => s"t$i").mkString(" ")), // 35 toks: chunks at 0,15 -> 20+20
+      (2L, "a b c"), //                                   one short chunk
+      (3L, "   "), //                                     empty after trim -> no chunks
+      (4L, (1 to 20).map(i => s"t$i").mkString(" "))) //  exactly one window
+      .toDF("doc_id", "text")
+    val out = TextStats.chunkTokens(docs, windowTokens = 20, overlapTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet == Set(1L -> 0, 1L -> 1, 2L -> 0, 4L -> 0))
+    assert(out((1L, 0))._1 == 20L && out((1L, 1))._1 == 20L)
+    // stride 15: second chunk starts at t16, overlapping t16..t20
+    assert(out((1L, 0))._2.endsWith("t19 t20"))
+    assert(out((1L, 1))._2.startsWith("t16 t17"))
+    assert(out((1L, 1))._2.endsWith("t34 t35"))
+    assert(out((2L, 0)) == ((3L, "a b c")))
+    assert(out((4L, 0))._1 == 20L)
+    intercept[IllegalArgumentException](
+      TextStats.chunkTokens(docs, windowTokens = 10, overlapTokens = 10))
+  }
 }
