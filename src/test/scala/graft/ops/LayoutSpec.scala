@@ -127,6 +127,34 @@ class LayoutSpec extends AnyFunSuite {
       s"z layout touched ${touched(zb, 0, 6250, onY = true)}/16 files for a y-slice")
   }
 
+  test("upsertPartitions replaces only the partitions being landed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString + "/t"
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "p")
+      .write.partitionBy("p").parquet(dir)
+    val aFiles = new java.io.File(s"$dir/p=a").listFiles().map(_.getName).toSet
+    // re-land partition b only, with different content
+    Layout.upsertPartitions(Seq((9L, "b"), (10L, "b")).toDF("id", "p"), dir, "p")
+    val got = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(got == Set(1L -> "a", 2L -> "a", 9L -> "b", 10L -> "b"))
+    // partition a's files were not rewritten
+    assert(new java.io.File(s"$dir/p=a").listFiles().map(_.getName).toSet == aFiles)
+  }
+
+  test("compactTo collapses small files by on-disk bytes, preserving rows") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    (0L until 2000L).toDF("x").repartition(40).write.parquet(s"$base/src")
+    val (nIn, nOut) = Layout.compactTo(spark, s"$base/src", s"$base/dst",
+      targetFileBytes = 1L << 20)
+    assert(nIn == 40)
+    assert(nOut < 5, s"expected few output files, planned $nOut")
+    assert(spark.read.parquet(s"$base/dst").count() == 2000)
+    intercept[IllegalArgumentException](
+      Layout.compactTo(spark, s"$base/src", s"$base/dst2", targetFileBytes = 0))
+  }
+
   test("custom SQL function registration (simhash64 via extensions)") {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
