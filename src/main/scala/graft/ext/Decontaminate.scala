@@ -33,27 +33,34 @@ object Decontaminate {
     * is deduplicated, so the joined row count per doc IS the distinct
     * overlap — no count(distinct) needed.
     */
+  /** Per-doc count of distinct n-grams shared with the benchmark — ONLY
+    * docs with ≥1 hit appear (the aggregate before the zero-fill join).
+    */
+  private def hitCounts(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int, broadcastBenchmark: Boolean): DataFrame = {
+    val bench0 = benchmarkNgrams(benchmark, textCol, n)
+    val bench = if (broadcastBenchmark) broadcast(bench0) else bench0
+    corpus
+      .select(col(idCol).as("__id"), explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .join(bench, Seq("g"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   def ngramHits(
       corpus: DataFrame,
       benchmark: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       n: Int = 3,
-      broadcastBenchmark: Boolean = true): DataFrame = {
-    val bench0 = benchmarkNgrams(benchmark, textCol, n)
-    val bench = if (broadcastBenchmark) broadcast(bench0) else bench0
-    val hits = corpus
-      .select(col(idCol).as("__id"), explode(Dedup.shingles(col(textCol), n)).as("g"))
-      .join(bench, Seq("g"))
-      .groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_hits"))
+      broadcastBenchmark: Boolean = true): DataFrame =
     corpus
       .select(col(idCol).as("__id"))
-      .join(hits, Seq("__id"), "left")
+      .join(hitCounts(corpus, benchmark, textCol, idCol, n, broadcastBenchmark),
+        Seq("__id"), "left")
       .select(col("__id").as(idCol),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
-  }
 
   /** Collected benchmark n-gram set, for [[flagContaminated]] — eval suites
     * are small (10³–10⁷ n-grams), so the set fits the driver and can enter
@@ -93,9 +100,12 @@ object Decontaminate {
       idCol: String = "doc_id",
       n: Int = 3,
       minHits: Long = 1L): DataFrame = {
-    val dirty = ngramHits(corpus, benchmark, textCol, idCol, n)
+    // filter the hit AGGREGATE directly — ngramHits' zero-fill join back
+    // onto every corpus id would be a wasted corpus-wide shuffle here,
+    // since zero-hit rows are exactly the ones the anti-join keeps anyway
+    val dirty = hitCounts(corpus, benchmark, textCol, idCol, n, broadcastBenchmark = true)
       .where(col("n_hits") >= minHits)
-      .select(col(idCol))
+      .select(col("__id").as(idCol))
     corpus.join(dirty, Seq(idCol), "left_anti")
   }
 }

@@ -426,10 +426,11 @@ object ExtQueries {
     Some(Ranking.bm25Sql("documents", bm25Terms) + "\nORDER BY term, doc_id"))
 
   // E1i character-level near-dup: Levenshtein pairs over 40-char prefixes.
-  // Spark computes the thresholded banded DP through the length-bucketed
-  // candidate join; the oracle brute-forces every pair with DuckDB's own
-  // levenshtein — identical classic edit-distance metric, so the surviving
-  // (id_a, id_b, dist) rows hash-match exactly.
+  // Spark computes the thresholded banded DP over PassJoin-style pigeonhole
+  // segment candidates (see Dedup.editDistancePairs); the oracle
+  // brute-forces every pair with DuckDB's own levenshtein — identical
+  // classic edit-distance metric, so the surviving (id_a, id_b, dist) rows
+  // hash-match exactly.
   private val e18 = Q(
     "e18_editdist",
     (s, dir) =>

@@ -133,7 +133,9 @@ object Funnel {
     * spelled `n UNIT`, e.g. "48 hours".
     */
   def funnelSql(table: String, steps: Seq[String], window: String = "48 hours"): String = {
-    val ctes = steps.zipWithIndex.tail.map { case (step, i) =>
+    def lq(s: String) = s.replace("'", "''") // step names land in '…' literals
+    val ctes = steps.zipWithIndex.tail.map { case (step0, i) =>
+      val step = lq(step0)
       val prev = s"s$i"
       val carried = (1 to i).map(j => s"$prev.t_$j").mkString(", ")
       s"""s${i + 1} AS (
@@ -146,7 +148,7 @@ object Funnel {
     val s1 =
       s"""s1 AS (
          |  SELECT user_id, min(ts) AS t_1 FROM $table
-         |  WHERE event_type = '${steps.head}' GROUP BY user_id)""".stripMargin
+         |  WHERE event_type = '${lq(steps.head)}' GROUP BY user_id)""".stripMargin
     val lefts = (2 to steps.size).map(i =>
       s"LEFT JOIN s$i ON s1.user_id = s$i.user_id").mkString("\n")
     val stageCase = (steps.size to 2 by -1).map(k =>

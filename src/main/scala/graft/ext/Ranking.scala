@@ -78,14 +78,18 @@ object Ranking {
     * to 4 decimals on both sides to absorb any sub-ulp divergence).
     */
   def bm25Sql(table: String, terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): String = {
+    // escape for the single-quoted literals and double-quoted aliases the
+    // generator embeds terms in — a term like it's must not break the oracle
+    def lq(s: String) = s.replace("'", "''")
+    def aq(s: String) = s.replace("\"", "\"\"")
     val tfExprs = terms.map(t =>
-      s"len(list_filter(toks, x -> x = '$t')) AS \"tf_$t\"").mkString(",\n    ")
+      s"""len(list_filter(toks, x -> x = '${lq(t)}')) AS "tf_${aq(t)}"""").mkString(",\n    ")
     val dfExprs = terms.map(t =>
-      s"""SUM(CASE WHEN "tf_$t" > 0 THEN 1 ELSE 0 END) AS "df_$t"""").mkString(",\n    ")
+      s"""SUM(CASE WHEN "tf_${aq(t)}" > 0 THEN 1 ELSE 0 END) AS "df_${aq(t)}"""").mkString(",\n    ")
     val perTerm = terms.map(t =>
-      s"""SELECT '$t' AS term, doc_id, "tf_$t" AS tf, dl FROM tf WHERE "tf_$t" > 0""")
+      s"""SELECT '${lq(t)}' AS term, doc_id, "tf_${aq(t)}" AS tf, dl FROM tf WHERE "tf_${aq(t)}" > 0""")
       .mkString("\n  UNION ALL\n  ")
-    val dfCase = terms.map(t => s"""WHEN term = '$t' THEN "df_$t"""").mkString(" ")
+    val dfCase = terms.map(t => s"""WHEN term = '${lq(t)}' THEN "df_${aq(t)}"""").mkString(" ")
     s"""WITH tf AS (
        |  SELECT doc_id, len(toks) AS dl,
        |    $tfExprs

@@ -296,13 +296,18 @@ object Similarity {
     val v = col(vecCol).cast("array<double>")
     val absmax = aggregate(v, lit(0.0), (m, x) => greatest(m, abs(x)))
     val scale = (absmax / 127.0).cast("float")
+    // codes divide by the STORED float scale (so dequantize inverts the
+    // exact same value), clamped to ±127: float rounding of a subnormal
+    // scale may push x/scale past 127, which ANSI's byte cast would throw on
+    val code = (x: Column) =>
+      least(lit(127.0), greatest(lit(-127.0),
+        round(x / col(s"${vecCol}_scale"), 0))).cast("byte")
     emb
       .withColumn(s"${vecCol}_scale", scale)
       .withColumn(vecCol,
         when(col(s"${vecCol}_scale") === 0f,
           transform(v, _ => lit(0).cast("byte")))
-          .otherwise(transform(v, x =>
-            round(x / col(s"${vecCol}_scale"), 0).cast("byte"))))
+          .otherwise(transform(v, code)))
   }
 
   /** Inverse of [[quantizeInt8]]: int8 codes × the stored scale back to an

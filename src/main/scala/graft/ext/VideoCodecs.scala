@@ -50,7 +50,12 @@ object VideoCodecs {
         buf.slice(buf.position(), size).get(payload)
         sink(id, payload)
       }
-      buf.position(buf.position() + size + (size & 1)) // chunks are even-aligned
+      // chunks are even-aligned, but a final odd chunk may legally omit the
+      // pad byte at EOF — advancing past the limit must end the walk, not
+      // throw out of ByteBuffer.position
+      val next = buf.position() + size + (size & 1)
+      if (next > buf.limit()) return
+      buf.position(next)
     }
   }
 
@@ -100,16 +105,19 @@ object VideoCodecs {
     aviMeta(payload) match {
       case Some(m) => Some((m.width, m.height, m.totalFrames))
       case None =>
-        val frames = imageIoFrames(payload)
+        // metadata must report the TRUE frame count — no sampling cap here
+        val frames = imageIoFrames(payload, maxFrames = Int.MaxValue)
         if (frames.isEmpty) None
         else Some((frames.head.getWidth, frames.head.getHeight, frames.size))
     }
 
   /** Decoded frames of a multi-image container (animated GIF; any format
-    * whose ImageIO reader is sequence-aware), capped at `maxFrames`.
+    * whose ImageIO reader is sequence-aware): every `everyK`-th frame, at
+    * most `maxFrames` KEPT — skipped indices are never passed to `read`, so
+    * sampling cost follows frames kept, matching the AVI path's contract.
     */
-  def imageIoFrames(payload: Array[Byte],
-      maxFrames: Int = 64): Vector[java.awt.image.BufferedImage] = {
+  def imageIoFrames(payload: Array[Byte], maxFrames: Int = 64,
+      everyK: Int = 1): Vector[java.awt.image.BufferedImage] = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {
@@ -123,9 +131,10 @@ object VideoCodecs {
           val declared = r.getNumImages(false)
           val out = Vector.newBuilder[java.awt.image.BufferedImage]
           var i = 0
+          var kept = 0
           var done = false
-          while (!done && i < maxFrames && (declared < 0 || i < declared)) {
-            try { out += r.read(i); i += 1 }
+          while (!done && kept < maxFrames && (declared < 0 || i < declared)) {
+            try { out += r.read(i); kept += 1; i += everyK }
             catch { case _: IndexOutOfBoundsException | _: java.io.IOException => done = true }
           }
           out.result()
@@ -149,8 +158,7 @@ object VideoCodecs {
         .flatMap(f => Option(Multimodal.ImageIoCodec.decode(f)))
         .take(maxFrames).toVector
     else
-      imageIoFrames(payload, maxFrames)
-        .zipWithIndex.collect { case (f, i) if i % everyK == 0 => f }
+      imageIoFrames(payload, maxFrames, everyK)
   }
 
   /** REAL video feature codec: mean of the per-frame luminance grids

@@ -84,7 +84,9 @@ object BloomPrune {
       s"bloom pruning preserves only inner/left_semi join results, not $joinType " +
         "(an outer join's unmatched rows would be dropped by the pre-filter)")
     val bloom = bloomOf(small, smallKey, expectedItems, fpp)
-    big.where(mightContain(bloom, col(bigKey)))
-      .join(small, col(bigKey) === small(smallKey), joinType)
+    val pruned = big.where(mightContain(bloom, col(bigKey)))
+    // bind each side explicitly — with the SAME key name on both frames an
+    // unqualified col() would be an ambiguous reference post-join
+    pruned.join(small, pruned(bigKey) === small(smallKey), joinType)
   }
 }

@@ -185,5 +185,10 @@ class SimilaritySpec extends AnyFunSuite {
     val z = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
     val zq = Similarity.dequantizeInt8(Similarity.quantizeInt8(z))
     assert(zq.head().getSeq[Float](1).forall(_ == 0f))
+    // subnormal-range vectors: float-scale rounding may push x/scale past
+    // 127 — codes must clamp, not throw ANSI CAST_OVERFLOW
+    val tiny = Seq((1L, Array(2.6e-43f, -1.0e-43f, 0.0f))).toDF("vec_id", "embedding")
+    val codes = Similarity.quantizeInt8(tiny).head().getSeq[Byte](1)
+    assert(codes.forall(c => c >= -127 && c <= 127), codes.toString)
   }
 }

@@ -136,6 +136,38 @@ class VideoCodecsSpec extends AnyFunSuite {
     assert(f1.length == dim)
   }
 
+  test("an odd-sized final chunk with no pad byte ends the walk cleanly") {
+    // writers may omit the even-pad at EOF: declared size is valid but the
+    // aligned next-chunk position is one past the buffer — must not throw
+    val odd = Array[Byte]('j', 'u', 'n') // 3 bytes, odd
+    val noPadChunk = java.nio.ByteBuffer
+      .allocate(8 + odd.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("00dc".getBytes("US-ASCII")).putInt(odd.length).put(odd).array()
+    val movi = "movi".getBytes("US-ASCII") ++ noPadChunk
+    val avi2 = java.nio.ByteBuffer.allocate(12 + 8 + movi.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + movi.length)
+      .put("AVI ".getBytes("US-ASCII"))
+      .put("LIST".getBytes("US-ASCII")).putInt(movi.length).put(movi)
+      .array()
+    val frames = VideoCodecs.aviFrames(avi2)
+    assert(frames.size == 1 && frames.head.sameElements(odd))
+    VideoCodecs.AviVideoCodec.decodeToFeature(avi2, 4) // junk frame → stub, no throw
+  }
+
+  test("GIF path samples BEFORE decoding: everyK and maxFrames match the AVI semantics") {
+    assert(VideoCodecs.decodeFrames(gif, everyK = 2).size == 2) // frames 0, 2
+    val sampled = VideoCodecs.decodeFrames(gif, everyK = 2)
+    assert(math.abs((sampled.head.getRGB(8, 8) & 0xff) - shades.head) < 16)
+    assert(math.abs((sampled(1).getRGB(8, 8) & 0xff) - shades(2)) < 16)
+    assert(VideoCodecs.decodeFrames(gif, maxFrames = 1).size == 1)
+  }
+
+  test("videoMeta reports the true GIF frame count past the sampling cap") {
+    val long = animatedGif((0 until 70).map(i => frameImage(8, 8, (i * 3) % 255)))
+    assert(VideoCodecs.videoMeta(long).contains((8, 8, 70)))
+  }
+
   test("truncated AVI degrades to the frames that fit, not an exception") {
     val cut = avi.take(avi.length / 2)
     val frames = VideoCodecs.aviFrames(cut)

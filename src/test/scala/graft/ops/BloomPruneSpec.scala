@@ -34,6 +34,15 @@ class BloomPruneSpec extends AnyFunSuite {
       BloomPrune.prunedJoin(big, "k", small, "sk", 200, joinType = "left_outer"))
   }
 
+  test("prunedJoin works when both sides use the SAME key column name") {
+    import spark.implicits._
+    val big = (0L until 1000L).map(i => (i, s"r$i")).toDF("k", "payload")
+    val small = (0L until 1000L by 100L).toDF("k")
+    val got = BloomPrune.prunedJoin(big, "k", small, "k", expectedItems = 10)
+      .select(big("k"), col("payload")).collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 1000L by 100L).toSet)
+  }
+
   test("the bloom pre-filter actually prunes the big side before the join") {
     val (big, small) = bigSmall
     val bloom = BloomPrune.bloomOf(small, "sk", expectedItems = 200)
