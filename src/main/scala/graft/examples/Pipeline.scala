@@ -119,6 +119,15 @@ object Pipeline {
         .collect().map(r => s"${r.getLong(0)}:${r.getDouble(1)}").mkString(" ")
       println(s"[demo] curation: ${corpus.count()} docs -> $cleanN decontaminated; " +
         s"mixed sample=${mixed.count()}; bm25 top-3 [join,vector]: $top")
+      // per-source caps + context-window chunking + funnel/retention slices
+      val capped = graft.ops.Splits.capPerGroup(docs, "lang", k = 50).count()
+      val chunks = graft.ext.TextStats.chunkTokens(docs,
+        windowTokens = 20, overlapTokens = 5).count()
+      val funnelCounts = graft.ext.Funnel.counts(
+          graft.queries.Reference.events(spark, sfDir), Seq("view", "click", "purchase"))
+        .collect().map(r => s"${r.getString(1)}=${r.getLong(2)}").mkString(" ")
+      println(s"[demo] prep: capped corpus=$capped docs (<=50/lang); " +
+        s"$chunks chunks of <=20 tokens; funnel $funnelCounts")
     }
 
     // 5f. video decode on the bare JDK: an MJPEG AVI built in-memory,
