@@ -433,8 +433,43 @@ object Dedup {
     * degenerates into one all-pairs bucket. Survivors are verified with
     * Spark's THRESHOLDED `levenshtein(l, r, d)` — banded O(len·d), not
     * O(len²). Measured on 5 000 fixed-length-40 prefixes: 32 s (length
-    * buckets, one degenerate bucket) → ~1 s (segment blocking).
+    * buckets, one degenerate bucket) → ~4.5 s (segment blocking).
+    *
+    * Candidate volume is governed by segment-bucket sizes: corpora with
+    * BOILERPLATE AT ALIGNED POSITIONS (shared headers, templated prefixes)
+    * produce hot buckets whose products dominate — on this synthetic
+    * template corpus 930 k candidates verify down to 256 pairs. Audit with
+    * [[editDistanceHotSegments]] (same arguments) before tuning: a longer
+    * `prefixLen`, a later prefix offset, or upstream exact-dedup of the
+    * boilerplate all shrink the hot buckets without touching recall.
     */
+  // --- PassJoin segment machinery shared by editDistancePairs + its audit.
+  // segment i of a length-l string: the first (l mod m) segments are one
+  // char longer — start/len are pure integer Column arithmetic
+  private def edSegStart(l: Column, i: Int, m: Int): Column =
+    lit(i) * floor(l / m).cast("int") + least(lit(i), pmod(l, lit(m)))
+  private def edSegLen(l: Column, i: Int, m: Int): Column =
+    floor(l / m).cast("int") + when(lit(i) < pmod(l, lit(m)), 1).otherwise(0)
+
+  /** (id, k, l) projection of the comparison key. */
+  private def edKeyed(docs: DataFrame, textCol: String, idCol: String,
+      prefixLen: Int): DataFrame = {
+    val key = if (prefixLen > 0) substring(col(textCol), 1, prefixLen) else col(textCol)
+    docs.select(col(idCol).as("id"), key.as("k"), length(key).cast("int").as("l"))
+  }
+
+  /** Indexed side of the segment join: each doc's d+1 exact segments keyed
+    * by (own length, segment index) — id + segment only, never the whole
+    * key (the verifyExactJaccard id-only-bucket discipline).
+    */
+  private def edSegments(keyed: DataFrame, m: Int): DataFrame =
+    keyed.select(col("id").as("id_b"), col("l").as("lb"),
+      explode(array((0 until m).map(i =>
+        struct(lit(i).as("i"),
+          col("k").substr(edSegStart(col("l"), i, m) + 1, edSegLen(col("l"), i, m)).as("sub"))): _*))
+        .as("seg"))
+      .select(col("id_b"), col("lb"), col("seg.i").as("i"), col("seg.sub").as("sub"))
+
   def editDistancePairs(
       docs: DataFrame,
       textCol: String = "text",
@@ -444,34 +479,16 @@ object Dedup {
     require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
     val d = maxDist
     val m = d + 1
-    val key = if (prefixLen > 0) substring(col(textCol), 1, prefixLen) else col(textCol)
-    val keyed = docs.select(col(idCol).as("id"), key.as("k"),
-      length(key).cast("int").as("l"))
-
-    // segment i of a length-l string: the first (l mod m) segments are one
-    // char longer — start/len are pure integer Column arithmetic
-    def segStart(l: Column, i: Int): Column =
-      lit(i) * floor(l / m).cast("int") + least(lit(i), pmod(l, lit(m)))
-    def segLen(l: Column, i: Int): Column =
-      floor(l / m).cast("int") + when(lit(i) < pmod(l, lit(m)), 1).otherwise(0)
-
-    // indexed side: its own d+1 exact segments, keyed by (own length, i) —
-    // id + segment only, never the whole key (the verifyExactJaccard
-    // id-only-bucket discipline)
-    val indexed = keyed.select(col("id").as("id_b"), col("l").as("lb"),
-      explode(array((0 until m).map(i =>
-        struct(lit(i).as("i"),
-          col("k").substr(segStart(col("l"), i) + 1, segLen(col("l"), i)).as("sub"))): _*))
-        .as("seg"))
-      .select(col("id_b"), col("lb"), col("seg.i").as("i"), col("seg.sub").as("sub"))
+    val keyed = edKeyed(docs, textCol, idCol, prefixLen)
+    val indexed = edSegments(keyed, m)
 
     // probe side: for every corpus length within ±d (a broadcast dimension
     // of DISTINCT lengths — not a row explosion over the corpus), every
     // segment of that length's layout, every shift |δ| ≤ d
     val lengths = keyed.select(col("l").as("lb")).distinct()
     val probeSubs = array((for { i <- 0 until m; delta <- -d to d } yield {
-      val p = segStart(col("lb"), i) + delta
-      val len = segLen(col("lb"), i)
+      val p = edSegStart(col("lb"), i, m) + delta
+      val len = edSegLen(col("lb"), i, m)
       struct(lit(i).as("i"), p.as("p"), len.as("len"))
     }): _*)
     val probe = keyed
@@ -495,6 +512,28 @@ object Dedup {
         levenshtein(col("k_a"), col("k_b"), maxDist).cast("long").as("dist"))
       .where(col("dist") >= 0)
   }
+
+  /** Audit for [[editDistancePairs]]'s candidate volume: segment buckets
+    * shared by more than `minBucket` documents, as (length, segment index,
+    * segment text, n_docs), hottest first. A bucket of B docs contributes
+    * ~B² candidate DPs, so the top of this list IS the cost driver —
+    * aligned boilerplate (templated prefixes, shared headers) shows up
+    * verbatim in the `sub` column, telling the pipeline author what to
+    * exact-dedup or skip (prefix offset) upstream. Same argument set as the
+    * operator — never a silent cost.
+    */
+  def editDistanceHotSegments(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxDist: Int = 5,
+      prefixLen: Int = 0,
+      minBucket: Int = 64): DataFrame =
+    edSegments(edKeyed(docs, textCol, idCol, prefixLen), maxDist + 1)
+      .groupBy(col("lb"), col("i"), col("sub"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > minBucket)
+      .orderBy(col("n_docs").desc, col("lb"), col("i"), col("sub"))
 
   /** Transitive duplicate groups from a near-dup pair list: connected
     * components over the similarity graph (duplicate clusters are rarely

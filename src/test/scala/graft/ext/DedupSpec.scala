@@ -305,6 +305,18 @@ class DedupSpec extends AnyFunSuite {
     assert(got.contains((1L, 2L)), "bucket-straddling pair lost")
   }
 
+  test("editDistanceHotSegments surfaces aligned boilerplate buckets") {
+    import spark.implicits._
+    // 5 docs share the identical 12-char prefix (template boilerplate)
+    val frame = (1L to 5L).map(i => (i, s"SHARED-HEAD-$i-unique-tail-$i"))
+      .toDF("doc_id", "text")
+    val hot = Dedup.editDistanceHotSegments(frame, maxDist = 3, minBucket = 3)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getLong(3)))
+    // at least the first segment (inside the shared prefix) is a hot bucket
+    assert(hot.exists { case (i, sub, n) => i == 0 && n == 5 && sub.nonEmpty },
+      hot.mkString(","))
+  }
+
   test("editDistancePairs prefixLen compares only the prefix") {
     import spark.implicits._
     val frame = Seq(
