@@ -570,6 +570,10 @@ object Reference {
   // determinism: the daily totals stay FIXED-POINT LONGS through the
   // windowed sum (a segment-tree window aggregator may reorder float adds;
   // integer adds are immune), scaled back to doubles once at the end.
+  // Plan note: the unpartitioned window runs on ONE partition by design —
+  // its input is the per-DAY aggregate (calendar-bounded: ~37 k rows per
+  // century), not the fact table; the heavy reduction happened in the
+  // partial+final groupBy before it.
   private val q25 = Q(
     "q25_rolling",
     (s, dir) => {
