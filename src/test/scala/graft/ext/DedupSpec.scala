@@ -328,6 +328,43 @@ class DedupSpec extends AnyFunSuite {
     assert(full == 0 && pfx == 1)
   }
 
+  test("editDistancePairs ≡ brute force on 80 randomized strings (seeded)") {
+    import spark.implicits._
+    // adversarial shape for segment blocking: tiny alphabet (hash-collision
+    // heavy buckets), mixed lengths, and explicit mutated near-dups
+    val rnd = new scala.util.Random(1234)
+    def randStr(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      (1 to edits).foreach { _ =>
+        val op = rnd.nextInt(3)
+        val p = if (cur.isEmpty) 0 else rnd.nextInt(cur.length)
+        cur = op match {
+          case 0 if cur.nonEmpty => cur.updated(p, ('a' + rnd.nextInt(3)).toChar) // sub
+          case 1 => cur.take(p) + ('a' + rnd.nextInt(3)).toChar + cur.drop(p) // ins
+          case _ if cur.nonEmpty => cur.take(p) + cur.drop(p + 1) // del
+          case _ => cur
+        }
+      }
+      cur
+    }
+    val bases = (0 until 60).map(i => (i.toLong, randStr(5 + rnd.nextInt(20))))
+    val mutants = (0 until 20).map { j =>
+      val (_, base) = bases(rnd.nextInt(bases.size))
+      (100L + j, mutate(base, 1 + rnd.nextInt(4)))
+    }
+    val all = bases ++ mutants
+    val got = Dedup.editDistancePairs(all.toDF("doc_id", "text"), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val brute = (for {
+      (ia, ta) <- all; (ib, tb) <- all if ia < ib
+      dd = levenshteinRef(ta, tb) if dd <= 3
+    } yield (ia, ib) -> dd.toLong).toMap
+    assert(got == brute,
+      s"missing=${(brute.keySet -- got.keySet).take(5)} extra=${(got.keySet -- brute.keySet).take(5)}")
+    assert(brute.nonEmpty, "seeded corpus produced no near pairs — test is vacuous")
+  }
+
   /** Textbook Wagner–Fischer reference implementation for the spec. */
   private def levenshteinRef(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
