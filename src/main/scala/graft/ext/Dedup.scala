@@ -470,17 +470,35 @@ object Dedup {
         .as("seg"))
       .select(col("id_b"), col("lb"), col("seg.i").as("i"), col("seg.sub").as("sub"))
 
+  /** `maxSegmentBucket = 0` (default) is fully exact. With a positive cap,
+    * segment buckets shared by MORE than that many documents are dropped
+    * from CANDIDATE GENERATION (the e11 `maxDocFreq` discipline): surviving
+    * pairs still verify with the exact DP, so reported distances never
+    * change — the only semantic difference is that a pair whose EVERY
+    * matching segment is capped boilerplate is not considered. Audit what a
+    * cap excludes with [[editDistanceHotSegments]] — never silent.
+    */
   def editDistancePairs(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       maxDist: Int = 5,
-      prefixLen: Int = 0): DataFrame = {
+      prefixLen: Int = 0,
+      maxSegmentBucket: Int = 0): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
     val d = maxDist
     val m = d + 1
     val keyed = edKeyed(docs, textCol, idCol, prefixLen)
-    val indexed = edSegments(keyed, m)
+    val indexed0 = edSegments(keyed, m)
+    val indexed =
+      if (maxSegmentBucket <= 0) indexed0
+      else {
+        val hot = indexed0.groupBy(col("lb"), col("i"), col("sub"))
+          .agg(count(lit(1)).as("__n"))
+          .where(col("__n") > maxSegmentBucket)
+          .select(col("lb"), col("i"), col("sub"))
+        indexed0.join(hot, Seq("lb", "i", "sub"), "left_anti")
+      }
 
     // probe side: for every corpus length within ±d (a broadcast dimension
     // of DISTINCT lengths — not a row explosion over the corpus), every

@@ -328,6 +328,30 @@ class DedupSpec extends AnyFunSuite {
     assert(full == 0 && pfx == 1)
   }
 
+  test("editDistancePairs segment-bucket cap: scores unchanged, boilerplate-only pairs dropped") {
+    import spark.implicits._
+    // 6 docs: identical 'TEMPLATE-HEADER-' prefix (hot segments) + distinct
+    // tails; docs 1 and 2 also share a near-identical TAIL (a real near-dup
+    // signal that survives the cap via their uncapped tail segments)
+    val frame = Seq(
+      (1L, "aaaaaaaaaaaaaaaaaaaaaaaa-tail-one"),
+      (2L, "aaaaaaaaaaaaaaaaaaaaaaaa-tail-onX"),
+      (3L, "aaaaaaaaaaaaaaaaaaaaaaaa-qqqqqqqq"),
+      (4L, "aaaaaaaaaaaaaaaaaaaaaaaa-wwwwwwww"),
+      (5L, "aaaaaaaaaaaaaaaaaaaaaaaa-eeeeeeee"),
+      (6L, "aaaaaaaaaaaaaaaaaaaaaaaa-rrrrrrrr"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.editDistancePairs(frame, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val capped = Dedup.editDistancePairs(frame, maxDist = 5, maxSegmentBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // capped is a subset with IDENTICAL distances on surviving pairs
+    assert(capped.keySet.subsetOf(exact.keySet))
+    capped.foreach { case (k, v) => assert(exact(k) == v) }
+    // the genuine near-dup (1,2) must survive: its tail segments are unique
+    assert(capped.contains((1L, 2L)), capped.toString)
+  }
+
   test("editDistancePairs ≡ brute force on 80 randomized strings (seeded)") {
     import spark.implicits._
     // adversarial shape for segment blocking: tiny alphabet (hash-collision

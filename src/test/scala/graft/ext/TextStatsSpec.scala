@@ -151,6 +151,25 @@ class TextStatsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chunkTokens runs unchanged on a streaming Dataset") {
+    // per-row HOFs + posexplode only — streaming-safe in append mode
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val chunked = TextStats.chunkTokens(
+      ms.toDS().toDF("doc_id", "text"), windowTokens = 3, overlapTokens = 1)
+    val q = chunked.writeStream.outputMode("append").format("memory")
+      .queryName("stream_chunks").start()
+    try {
+      ms.addData((1L, "a b c d e"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_chunks").collect()
+        .map(r => r.getInt(1) -> r.getString(3)).toMap
+      assert(rows == Map(0 -> "a b c", 1 -> "c d e"))
+    } finally q.stop()
+  }
+
   test("repetitionStats: hand-computed top/dup n-gram fractions") {
     import spark.implicits._
     val df = Seq(
