@@ -598,9 +598,19 @@ object Dedup {
     * min-id keeper rows. The full training-pipeline dedup pass.
     */
   def nearDedupRows(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", minJaccard: Double = 0.7): DataFrame = {
-    val pairs = minhashNearDupNative(docs, textCol, idCol, minJaccard = minJaccard)
-    val groups = dupGroups(docs.select(col(idCol)), pairs, idCol)
+      idCol: String = "doc_id", minJaccard: Double = 0.7): DataFrame =
+    nearDedupRowsFrom(docs,
+      minhashNearDupNative(docs, textCol, idCol, minJaccard = minJaccard), idCol)
+
+  /** The same groups→keepers tail for ANY pair generator — every near-dup
+    * family here emits the same (id_a, id_b, …) pair shape, so
+    * [[ngramJaccardPairs]], [[simhashNearDup]], [[editDistancePairs]],
+    * [[embeddingNearDup]], or a union of several can drive the pass:
+    * `nearDedupRowsFrom(docs, editDistancePairs(docs, maxDist = 2))`.
+    */
+  def nearDedupRowsFrom(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val groups = dupGroups(docs.select(col(idCol)), pairs.select(col("id_a"), col("id_b")), idCol)
     val keepers = groups.groupBy(col("group_id")).agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     docs.join(keepers, Seq(idCol), "left_semi").dropDuplicates(idCol)

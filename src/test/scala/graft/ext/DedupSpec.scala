@@ -389,6 +389,19 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "seeded corpus produced no near pairs — test is vacuous")
   }
 
+  test("nearDedupRowsFrom composes with any pair family (edit-distance source)") {
+    import spark.implicits._
+    val frame = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gammaX"), // 1 edit from doc 1
+      (3L, "totally different text"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.nearDedupRowsFrom(frame,
+        Dedup.editDistancePairs(frame, maxDist = 2))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L)) // doc 2 collapses into doc 1's group
+  }
+
   /** Textbook Wagner–Fischer reference implementation for the spec. */
   private def levenshteinRef(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
