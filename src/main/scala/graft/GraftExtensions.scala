@@ -75,6 +75,15 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           s"shingle_set takes 1 or 2 arguments, got ${exprs.length}")
       }),
+    // cosine_sim(a, b) — fused-loop cosine over two array<double> vectors,
+    // SQL-text parity with graft.ext.Similarity.cosine
+    ("cosine_sim",
+      new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => graft.functions.CosineSim(a, b)
+        case _ => throw new IllegalArgumentException(
+          s"cosine_sim takes 2 arguments, got ${exprs.length}")
+      }),
     // scrub_pii(text) — the C4-style email/URL/phone redaction chain,
     // SQL-text parity with graft.ext.TextStats.scrubPii (same patterns,
     // same order; built from RegExpReplace so it stays codegen'd)

@@ -20,11 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two array<double> columns — pure higher-order
-    * Catalyst functions (zip_with + aggregate), codegen-friendly, no UDF.
-    * Sequential left-to-right fold → deterministic across runs and engines.
+  /** Cosine similarity of two array<double> columns — served by the native
+    * fused-loop [[graft.functions.CosineSim]] expression (one codegen'd
+    * pass for dot + both norms). The HOF twin below is the readable spec it
+    * is pinned bit-identical against in SimilaritySpec; sequential
+    * index-order accumulation in both → deterministic across runs and
+    * engines. One deliberate divergence: a zero-norm input yields NaN here
+    * (Java division semantics) where the HOF's Divide throws under ANSI —
+    * the native form is strictly more total, which is what a corpus-scale
+    * operator needs on degenerate vectors.
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosineSim(a, b)
+
+  /** HOF reference formulation of [[cosine]] — kept as the readable spec
+    * the native expression is bit-identity-pinned against.
+    */
+  private[ext] def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

@@ -191,4 +191,42 @@ class SimilaritySpec extends AnyFunSuite {
     val codes = Similarity.quantizeInt8(tiny).head().getSeq[Byte](1)
     assert(codes.forall(c => c >= -127 && c <= 127), codes.toString)
   }
+
+  test("native cosine_sim is bit-identical to the HOF spec on real embeddings") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = emb.as("a"); val b = emb.as("b")
+    val joined = a.join(b, col("a.vec_id") + 1 === col("b.vec_id"))
+    val diff = joined.select(
+        Similarity.cosine(col("a.v"), col("b.v")).as("native"),
+        Similarity.cosineHof(col("a.v"), col("b.v")).as("hof"))
+      .where(col("native") =!= col("hof")) // bitwise: NaN never equals, none expected here
+      .count()
+    assert(diff == 0)
+    // edge cases: mismatched lengths -> null in both forms (zip_with
+    // null-pad parity); zero-norm inputs -> native NaN where the HOF's
+    // Divide throws under ANSI (the native form is strictly more total)
+    val edge = Seq((Array(1.0, 2.0), Array(1.0)))
+      .toDF("x", "y")
+      .select(Similarity.cosine(col("x"), col("y")).as("n"),
+        Similarity.cosineHof(col("x"), col("y")).as("h"))
+      .head()
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+    val empty = Seq((Array.empty[Double], Array.empty[Double])).toDF("x", "y")
+    assert(empty.select(Similarity.cosine(col("x"), col("y"))).head().getDouble(0).isNaN)
+    val thrown = intercept[Exception] {
+      empty.select(Similarity.cosineHof(col("x"), col("y"))).head()
+    }
+    assert(thrown.getMessage.contains("DIVIDE_BY_ZERO"), thrown.getMessage)
+  }
+
+  test("cosine_sim reaches SQL text via GraftExtensions") {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((Array(1.0, 0.0), Array(0.6, 0.8))).toDF("a", "b")
+      .createOrReplaceTempView("cos_docs")
+    val viaSql = spark.sql("SELECT cosine_sim(a, b) AS c FROM cos_docs").head().getDouble(0)
+    assert(math.abs(viaSql - 0.6) < 1e-12)
+  }
 }
