@@ -219,4 +219,37 @@ class TextStatsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       TextStats.chunkTokens(docs, windowTokens = 10, overlapTokens = 10))
   }
+
+  test("chunkTokens invariants hold on randomized documents (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val docs = (0 until 40).map { i =>
+      val n = rnd.nextInt(60) // includes 0-token docs
+      (i.toLong, (1 to n).map(k => s"w$k").mkString("  ")) // ragged whitespace
+    }
+    val (w, o) = (7, 3)
+    val out = TextStats.chunkTokens(docs.toDF("doc_id", "text"),
+        windowTokens = w, overlapTokens = o)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.sortBy(_.getInt(1)).map(_.getString(3)) }
+    docs.foreach { case (id, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val chunks = out.getOrElse(id, Array.empty[String]).toSeq
+      if (toks.isEmpty) assert(chunks.isEmpty, s"doc $id")
+      else {
+        // concatenating chunks with the overlap removed reconstructs the doc
+        val rebuilt = chunks.head.split(" ").toSeq ++
+          chunks.tail.flatMap(_.split(" ").drop(o))
+        assert(rebuilt == toks, s"doc $id: $rebuilt != $toks")
+        // every full window has exactly w tokens; only the last may be short
+        chunks.dropRight(1).foreach(c => assert(c.split(" ").length == w))
+        // consecutive chunks overlap by exactly o tokens
+        chunks.sliding(2).foreach {
+          case Seq(a, b) => assert(a.split(" ").takeRight(o).toSeq == b.split(" ").take(o).toSeq)
+          case _ =>
+        }
+      }
+    }
+  }
 }
