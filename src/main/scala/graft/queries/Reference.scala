@@ -600,7 +600,41 @@ object Reference {
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000 AS rev_7d
         |FROM daily ORDER BY day""".stripMargin))
 
+  // --------------------- Q26: LATERAL correlated subquery (top-n per group)
+  // The last member of the subquery family (q10 IN, q23 NOT EXISTS, q24
+  // correlated scalar): a per-row LATERAL derived table — top-2 customers
+  // by balance for EACH nation. Catalyst plans the correlated LIMIT as a
+  // per-key window under a join, the same physical family as a
+  // rank-and-filter, so no nation's customers are ever collected. The
+  // identical engine-portable SQL runs on both engines (spark.sql text
+  // path, q21 posture); raw doubles compare exactly (no aggregation).
+  private val q26 = Q(
+    "q26_lateral",
+    (s, dir) => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      t(s, dir, "nation").createOrReplaceTempView(s"nation_q26_$tag")
+      t(s, dir, "customer").createOrReplaceTempView(s"customer_q26_$tag")
+      s.sql(
+        s"""SELECT n.n_name, t.c_custkey, t.c_acctbal
+           |FROM nation_q26_$tag n,
+           |LATERAL (
+           |  SELECT c_custkey, c_acctbal FROM customer_q26_$tag c
+           |  WHERE c.c_nationkey = n.n_nationkey
+           |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+           |) t
+           |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
+    },
+    Some(
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        |) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q05, q07, q08, q09, q10, q12, q13, q14, q15, q16, q17,
-      q18, q19, q20, q21, q22, q23, q24, q25)
+      q18, q19, q20, q21, q22, q23, q24, q25, q26)
 }
