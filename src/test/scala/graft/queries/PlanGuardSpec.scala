@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural guard over EVERY declared query's physical plan — the
+  * plan-shape review (`graft.examples.Explain`) as a regression test.
+  * Catches the silent scale-killers a green hash-compare cannot: a join
+  * degrading to a cartesian product, or a one-row-broadcast nested loop
+  * appearing where an equi-join belongs.
+  */
+class PlanGuardSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // queries whose DESIGN includes a broadcast nested-loop join against a
+  // deliberately tiny dimension (e02: the one-row query vector; e17/e15:
+  // one-row stats or benchmark-set cross join; e18: the distinct-lengths
+  // dimension) — anything NOT listed here sprouting a BNLJ is a regression
+  private val bnljByDesign =
+    Set("e02_cosine_topk", "e15_decontam", "e17_bm25", "e18_editdist")
+
+  test("no declared query plans a CartesianProduct; BNLJ only where designed") {
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    graft.SparkEntry.queries.foreach { case (name, run) =>
+      val plan = run(spark, dir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljByDesign(name))
+        offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
+  test("parquet scans stay column-pruned on the heavy queries") {
+    // a scan reading every lineitem column for a narrow aggregate means
+    // projection pushdown broke — check the widest-table queries
+    Seq("q07_groupsum", "q02_count", "q14_minmax").foreach { name =>
+      val qe = graft.SparkEntry.queries(name)(spark, dir).queryExecution
+      // sparkPlan, not executedPlan: AQE wraps the tree before execution
+      // and hides the scans from a plain collect
+      val scans = qe.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, s"$name: no FileSourceScanExec found")
+      scans.foreach { f =>
+        if (f.relation.location.rootPaths.mkString.contains("lineitem"))
+          assert(f.requiredSchema.fields.length <= 6,
+            s"$name reads ${f.requiredSchema.fields.length} lineitem columns: " +
+              f.requiredSchema.fieldNames.mkString(","))
+      }
+    }
+  }
+}
