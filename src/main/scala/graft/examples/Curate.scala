@@ -1,0 +1,87 @@
+package graft.examples
+
+import graft.ext.{Decontaminate, Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.Splits
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The complete LLM training-data curation pass, end to end — every stage a
+  * library operator, every count printed, so the whole pipeline story runs
+  * as one binary:
+  *
+  *   raw docs → quality gate → PII scrub → exact dedup → near-dedup
+  *   (MinHash clusters) → benchmark decontamination → language mixing →
+  *   per-source caps → deterministic train/val/test split → context-window
+  *   chunks → (int8-quantized) embeddings + ANN sanity probe.
+  *
+  * Run: `sbt "runMain graft.examples.Curate /root/testdata/sf0.001"`.
+  * Every stage is a pure DataFrame transform: the same code curates 500
+  * documents here and 100 TB on a cluster — partitioning, shuffles, and
+  * caps are the operators' concern, not the pipeline author's.
+  */
+object Curate {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-curate")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    println(s"[curate] raw: ${raw.count()} docs")
+
+    // 1. quality gate (Gopher/C4-style signals, named fail reasons) + scrub
+    val gated = TextStats.qualityFilter(
+        raw.withColumn("text", TextStats.scrubPii(col("text"))))
+      .where(col("quality_pass"))
+      .drop("quality_pass", "quality_fail_reasons")
+    println(s"[curate] quality+scrub: ${gated.count()} docs")
+
+    // 2. exact dedup, then transitive near-dedup (MinHash → GraphX groups)
+    val exact = Dedup.exactRows(gated)
+    val near = Dedup.nearDedupRows(exact, minJaccard = 0.7)
+    println(s"[curate] dedup: exact ${exact.count()} -> near ${near.count()} docs")
+
+    // 3. benchmark decontamination (docs doc_id%10==0 stand in for evals)
+    val bench = raw.where(col("doc_id") % 10 === 0)
+    val clean = Decontaminate.removeContaminated(near, bench, n = 8)
+    println(s"[curate] decontaminated (8-gram): ${clean.count()} docs")
+
+    // 4. language mixing + per-source caps (deterministic, monotone)
+    val mixed = Splits.stratifiedSampleByHash(clean, "lang",
+      Map("en" -> 100, "de" -> 70, "fr" -> 70, "es" -> 50, "zh" -> 50))
+    val capped = Splits.capPerGroup(mixed.drop("bucket"), "lang", k = 120)
+    println(s"[curate] mixed ${mixed.count()} -> capped ${capped.count()} docs")
+
+    // 5. content-hash split + context-window chunking
+    val split = Splits.splitByHash(capped)
+    val splitCounts = split.groupBy("split").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    val chunks = TextStats.chunkTokens(split.where(col("split") === "train"),
+      windowTokens = 32, overlapTokens = 4)
+    println(s"[curate] split: $splitCounts; train chunks: ${chunks.count()}")
+
+    // 6. embeddings: int8 quantization (4x storage) + ANN sanity probe
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q8 = Similarity.quantizeInt8(emb)
+    val deq = Similarity.dequantizeInt8(q8)
+    val exactTop = Similarity.bruteForceTopK(emb, 0L, 5).collect().map(_.getLong(0)).toSeq
+    val quantTop = Similarity.bruteForceTopK(deq, 0L, 5).collect().map(_.getLong(0)).toSeq
+    println(s"[curate] embeddings: ${q8.count()} int8 vectors; " +
+      s"top-5 after quantization ${if (exactTop == quantTop) "UNCHANGED" else s"$quantTop vs $exactTop"}")
+
+    // 7. multimodal sidecar: features for synthetic media rows (real JDK
+    // codecs for image/audio/video payloads when present)
+    val media = Multimodal.syntheticMedia(spark, raw.limit(100))
+    val feats = Multimodal.extractFeatures(media, Multimodal.ImageIoCodec, dim = 16)
+    println(s"[curate] media features: ${feats.count()} rows")
+
+    println("[curate] OK")
+    spark.stop()
+  }
+}
