@@ -519,6 +519,45 @@ object ExtQueries {
         |FROM (SELECT doc_id, toks, unnest(range(nc)) AS s FROM counted WHERE nc > 0)
         |ORDER BY doc_id, chunk_idx""".stripMargin))
 
+  // E-ops dataset profiling (datasheet pass): per-column row/null/distinct
+  // counts + min/max over the orders table — one aggregation job, one row
+  // per column. The DuckDB SQL is GENERATED from the same column list
+  // (Profile.profileSql) so metric definitions cannot drift. Timestamp
+  // column excluded: its string rendering differs across engines; numeric
+  // renderings below 1e7 with ≤2 decimals are identical shortest-decimal.
+  private val profileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderpriority")
+  private val profileNum = Set("o_orderkey", "o_custkey", "o_totalprice")
+  private val e25 = Q(
+    "e25_profile",
+    (s, dir) =>
+      graft.ops.Profile.profile(t(s, dir, "orders"), profileCols),
+    Some(graft.ops.Profile.profileSql("orders", profileCols, profileNum)))
+
+  // E-ops bounded-memory heavy hitters: the Misra-Gries sketch
+  // (functions.FreqSketch) run in its EXACT regime — capacity 256 over a
+  // ≤-hundreds-distinct token vocabulary means no decrement ever fires, so
+  // the sketch's estimates equal true counts and max_undercount is 0; the
+  // oracle is the plain exact word frequency. The sub-capacity regime
+  // (lower-bound counts, N/(m+1) survival guarantee) is deterministic only
+  // up to merge order and is pinned in FreqSketchSpec instead.
+  private val e26 = Q(
+    "e26_heavy_hitters",
+    (s, dir) =>
+      graft.functions.FreqSketch.heavyHitters(
+          t(s, dir, "documents")
+            .select(explode(TextStats.tokens(lower(col("text")))).as("w"))
+            .where(length(col("w")) > 0),
+          itemCol = "w", capacity = 256)
+        .orderBy(col("est").desc, col("item")),
+    Some(
+      """SELECT token AS item, COUNT(*) AS est, CAST(0 AS BIGINT) AS max_undercount
+        |FROM (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token ORDER BY est DESC, item""".stripMargin))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22)
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e25, e26)
 }

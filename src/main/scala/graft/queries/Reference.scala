@@ -634,7 +634,50 @@ object Reference {
         |) t
         |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin))
 
+  // ------------------------------------------------ Q27: FULL OUTER JOIN
+  // The one join type the suite didn't yet cover (q12 left, q10 semi, q23
+  // anti): per-customer order stats FULL OUTER JOIN the high-balance
+  // customer roster. Rows survive from BOTH unmatched sides — customers
+  // whose every order is small but whose balance is high, and heavy
+  // orderers with a low balance — so coalesce()-over-null is load-bearing,
+  // not decorative. Physically this is one shuffle per side on the join
+  // key (no broadcast: full outer cannot broadcast either side and keep
+  // unmatched rows), which is exactly the plan a 100 TB reconciliation
+  // between two fact extracts wants. Sums stay fixed-point (msum).
+  private val q27 = Q(
+    "q27_fullouter",
+    (s, dir) => {
+      val big = t(s, dir, "orders")
+        .where(col("o_totalprice") > 250000)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_big"), msum(col("o_totalprice")).as("big_rev"))
+      val rich = t(s, dir, "customer")
+        .where(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      big.join(rich, col("o_custkey") === col("c_custkey"), "full_outer")
+        .select(
+          coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"),
+          coalesce(col("big_rev"), lit(0.0)).as("big_rev"),
+          col("c_acctbal").isNotNull.as("is_rich"))
+        .orderBy(col("custkey"))
+    },
+    Some(
+      s"""WITH big AS (
+         |  SELECT o_custkey, COUNT(*) AS n_big,
+         |    ${msumSql("o_totalprice")} AS big_rev
+         |  FROM orders WHERE o_totalprice > 250000 GROUP BY o_custkey
+         |), rich AS (
+         |  SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000
+         |)
+         |SELECT coalesce(o_custkey, c_custkey) AS custkey,
+         |  coalesce(n_big, 0) AS n_big,
+         |  coalesce(big_rev, 0.0) AS big_rev,
+         |  c_acctbal IS NOT NULL AS is_rich
+         |FROM big FULL OUTER JOIN rich ON o_custkey = c_custkey
+         |ORDER BY custkey""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q05, q07, q08, q09, q10, q12, q13, q14, q15, q16, q17,
-      q18, q19, q20, q21, q22, q23, q24, q25, q26)
+      q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
 }
