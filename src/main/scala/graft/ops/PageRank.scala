@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative PageRank as a DataFrame loop — the graph-analytics operator a
+  * link/citation/co-occurrence corpus needs (reference scope has no graph
+  * ops; this rounds out the engine the same way the GraphX connected
+  * components in `ext.Dedup.dupGroups` did for clustering).
+  *
+  * Engine-deterministic by construction: ranks are FIXED-POINT LONGS
+  * (micro-units, 1.0 ≡ 1 000 000), per-edge contributions are integer
+  * `div`s, and the damping step is `base + (d·mass) div 100` — every
+  * operation is associative integer arithmetic, so the result is identical
+  * regardless of partitioning, reduction order, or engine (the DuckDB
+  * oracle unrolls the same recurrence; see [[pageRankSql]]). This is the
+  * same determinism discipline as `Reference.msum`, applied to an iterative
+  * algorithm. Convention matches GraphX's unnormalized form: every node
+  * starts with mass 1.0, new = (1−d) + d·Σ incoming (total mass ≈ N, not 1).
+  *
+  * Scale shape: each iteration is ONE shuffle (groupBy dst of the
+  * contribution stream); the edge⋈degree frame is computed once and
+  * persisted so iterations re-read a materialized compact edge list, not
+  * the source scan. `checkpointEvery` truncates lineage for long runs
+  * (localCheckpoint) — at 100 TB graph scale you run this exactly like
+  * GraphX's Pregel: materialize per iteration, shuffle contributions only.
+  * Dangling nodes (out-degree 0) keep their base mass but leak the damped
+  * share, as in the classic simplified formulation; on a symmetrized graph
+  * (the common co-occurrence case, and the e23 query) none exist.
+  */
+object PageRank {
+
+  private val Micro = 1000000L
+
+  /** Run `iters` damped iterations over directed (src, dst) edges.
+    * Output: (node, rank_micro, rank) totally ordered by node.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5, dampingPct: Int = 85,
+      checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val base = (100 - dampingPct) * Micro / 100
+
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long")).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // compact (src, dst, deg) edge list, reused every iteration
+    val ew = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+
+    var ranks = nodes.withColumn("rank_micro", lit(Micro))
+    for (i <- 1 to iters) {
+      // disjoint column names (not dataset-qualified refs): iteration ≥ 2
+      // joins ranks against its own lineage, where qualified resolution
+      // can trip Spark's ambiguous-self-join detection
+      val contribs = ew
+        .join(ranks.withColumnRenamed("node", "pr_node"),
+          col("src") === col("pr_node"))
+        .select(col("dst").as("node"), expr("rank_micro div deg").as("contrib"))
+        .groupBy(col("node"))
+        .agg(sum(col("contrib")).as("in_mass"))
+      // left join keeps rank mass on nodes nothing points at
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($dampingPct * coalesce(in_mass, 0L)) div 100"))
+            .as("rank_micro"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+      .select(col("node"), col("rank_micro"),
+        (col("rank_micro").cast("double") / Micro).as("rank"))
+      .orderBy(col("node"))
+  }
+
+  /** DuckDB mirror of [[pageRank]] for a symmetrized edge CTE: unrolls the
+    * identical integer recurrence (`//` = integer div; sums re-cast to
+    * BIGINT because DuckDB widens SUM(BIGINT) to HUGEINT). GENERATED from
+    * the same (iters, dampingPct) so the recurrences cannot drift.
+    * `edgesCte` must define columns (src, dst) and be symmetric (so every
+    * node has in- and out-edges — the left-join-free join below then keeps
+    * every node, exactly as the Spark side does).
+    */
+  def pageRankSql(edgesCte: String, iters: Int = 5, dampingPct: Int = 85): String = {
+    val base = (100 - dampingPct) * Micro / 100
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |    $base + ($dampingPct * CAST(SUM(r${i - 1}.rank_micro // deg.deg) AS BIGINT)) // 100 AS rank_micro
+         |  FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.node = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesCte),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |r0 AS (SELECT DISTINCT src AS node, CAST($Micro AS BIGINT) AS rank_micro FROM e),
+       |$steps
+       |SELECT node, rank_micro, CAST(rank_micro AS DOUBLE) / $Micro AS rank
+       |FROM r$iters ORDER BY node""".stripMargin
+  }
+}
