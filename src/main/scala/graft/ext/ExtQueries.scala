@@ -519,6 +519,34 @@ object ExtQueries {
         |FROM (SELECT doc_id, toks, unnest(range(nc)) AS s FROM counted WHERE nc > 0)
         |ORDER BY doc_id, chunk_idx""".stripMargin))
 
+  // E-ops graph centrality: PageRank over the symmetrized user↔property
+  // bipartite co-occurrence graph from events (user node = user_id, item
+  // node = 1000000 + props.k). Both engines run the identical fixed-point
+  // integer recurrence — the Spark loop (ops.PageRank.pageRank) and the
+  // GENERATED unrolled SQL (PageRank.pageRankSql) share (iters, dampingPct)
+  // constants, so ranks hash-match exactly, not approximately.
+  private val e23EdgesCte =
+    """WITH ue AS (
+      |  SELECT DISTINCT user_id AS u,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL)
+      |SELECT u AS src, 1000000 + k AS dst FROM ue
+      |UNION ALL
+      |SELECT 1000000 + k AS src, u AS dst FROM ue""".stripMargin
+  private val e23 = Q(
+    "e23_pagerank",
+    (s, dir) => {
+      val ue = graft.queries.Reference.events(s, dir)
+        .select(col("user_id").as("u"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .where(col("k").isNotNull)
+        .distinct()
+      val edges = ue.select(col("u").as("src"), (lit(1000000L) + col("k")).as("dst"))
+        .unionAll(ue.select((lit(1000000L) + col("k")).as("src"), col("u").as("dst")))
+      graft.ops.PageRank.pageRank(edges, iters = 5)
+    },
+    Some(graft.ops.PageRank.pageRankSql(e23EdgesCte, iters = 5)))
+
   // E-ops dataset profiling (datasheet pass): per-column row/null/distinct
   // counts + min/max over the orders table — one aggregation job, one row
   // per column. The DuckDB SQL is GENERATED from the same column list
@@ -559,5 +587,5 @@ object ExtQueries {
         |GROUP BY token ORDER BY est DESC, item""".stripMargin))
 
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e25, e26)
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e25, e26)
 }

@@ -22,9 +22,12 @@ import org.apache.spark.storage.StorageLevel
   * Scale shape: each iteration is ONE shuffle (groupBy dst of the
   * contribution stream); the edge⋈degree frame is computed once and
   * persisted so iterations re-read a materialized compact edge list, not
-  * the source scan. `checkpointEvery` truncates lineage for long runs
-  * (localCheckpoint) — at 100 TB graph scale you run this exactly like
-  * GraphX's Pregel: materialize per iteration, shuffle contributions only.
+  * the source scan. `checkpointEvery` (default 5) truncates lineage with
+  * `localCheckpoint` — each iteration's plan embeds the previous one, so
+  * without truncation analyzer cost grows multiplicatively and a 30–50
+  * iteration run stalls the driver before a task launches. At 100 TB graph
+  * scale you run this exactly like GraphX's Pregel: materialize per
+  * iteration, shuffle contributions only.
   * Dangling nodes (out-degree 0) keep their base mass but leak the damped
   * share, as in the classic simplified formulation; on a symmetrized graph
   * (the common co-occurrence case, and the e23 query) none exist.
@@ -37,8 +40,11 @@ object PageRank {
     * Output: (node, rank_micro, rank) totally ordered by node.
     */
   def pageRank(edges: DataFrame, iters: Int = 5, dampingPct: Int = 85,
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 5): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    require(iters <= 10 || checkpointEvery > 0,
+      s"iters=$iters without lineage truncation: each iteration's plan embeds " +
+        "the previous one, so long runs need checkpointEvery > 0")
     val base = (100 - dampingPct) * Micro / 100
 
     val e = edges.select(col("src").cast("long"), col("dst").cast("long")).distinct()
@@ -73,26 +79,34 @@ object PageRank {
       .orderBy(col("node"))
   }
 
-  /** DuckDB mirror of [[pageRank]] for a symmetrized edge CTE: unrolls the
-    * identical integer recurrence (`//` = integer div; sums re-cast to
-    * BIGINT because DuckDB widens SUM(BIGINT) to HUGEINT). GENERATED from
-    * the same (iters, dampingPct) so the recurrences cannot drift.
-    * `edgesCte` must define columns (src, dst) and be symmetric (so every
-    * node has in- and out-edges — the left-join-free join below then keeps
-    * every node, exactly as the Spark side does).
+  /** DuckDB mirror of [[pageRank]]: unrolls the identical integer
+    * recurrence (`//` = integer div; sums re-cast to BIGINT because DuckDB
+    * widens SUM(BIGINT) to HUGEINT). GENERATED from the same
+    * (iters, dampingPct) so the recurrences cannot drift. `edgesCte` must
+    * define columns (src, dst); it does NOT need to be symmetric or
+    * duplicate-free — like the Spark side, edges are DISTINCT'd, the node
+    * universe is src ∪ dst, and each step LEFT JOINs contributions onto
+    * that universe, so sink-only nodes keep their base mass in both
+    * engines (this mirror previously inner-joined through the edge list,
+    * which silently dropped in-edge-less nodes on asymmetric graphs).
     */
   def pageRankSql(edgesCte: String, iters: Int = 5, dampingPct: Int = 85): String = {
     val base = (100 - dampingPct) * Micro / 100
     val steps = (1 to iters).map { i =>
-      s"""r$i AS (
+      s"""c$i AS (
          |  SELECT e.dst AS node,
-         |    $base + ($dampingPct * CAST(SUM(r${i - 1}.rank_micro // deg.deg) AS BIGINT)) // 100 AS rank_micro
+         |    CAST(SUM(r${i - 1}.rank_micro // deg.deg) AS BIGINT) AS in_mass
          |  FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.node = e.src
-         |  GROUP BY e.dst)""".stripMargin
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT n.node,
+         |    $base + ($dampingPct * COALESCE(c$i.in_mass, CAST(0 AS BIGINT))) // 100 AS rank_micro
+         |  FROM nodes n LEFT JOIN c$i ON c$i.node = n.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS ($edgesCte),
+    s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesCte)),
        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
-       |r0 AS (SELECT DISTINCT src AS node, CAST($Micro AS BIGINT) AS rank_micro FROM e),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT node, CAST($Micro AS BIGINT) AS rank_micro FROM nodes),
        |$steps
        |SELECT node, rank_micro, CAST(rank_micro AS DOUBLE) / $Micro AS rank
        |FROM r$iters ORDER BY node""".stripMargin
