@@ -623,6 +623,76 @@ object Dedup {
     * are a pure function of (p, i), so hashing them per ROW was O(dim ×
     * nPlanes) wasted hash evals on every vector in the corpus.
     */
+  // ---- substring-level dedup: repeated spans ACROSS documents ----
+
+  /** Flag every word-level `n`-token span that occurs verbatim in at least
+    * `minDocs` distinct documents — substring-level dedup, the companion to
+    * doc-level near-dup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": memorized spans repeat across documents long
+    * before whole documents do; the within-doc signal is
+    * [[TextStats.repetitionStats]]).
+    *
+    * Output: one row per (doc, position) covered by a cross-document span —
+    * (idCol, pos, span, n_docs), `pos` the 0-based token offset.
+    *
+    * Scale shape: posexplode of per-doc sliding windows (no shuffle), one
+    * hash-aggregate shuffle on the span text to count distinct docs, one
+    * shuffle back to join survivors. Span text as the shuffle key is the
+    * oracle-exact form; at 100 TB pre-hash the key (`xxhash64(span)`) to cut
+    * shuffle bytes ~n× — the 2⁻⁶⁴ collision rate only ever FLAGS an extra
+    * span, it cannot miss one.
+    */
+  def repeatedSpans(docs: DataFrame, n: Int = 10, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 2 && minDocs >= 2, s"need n >= 2 and minDocs >= 2: n=$n minDocs=$minDocs")
+    val toks = docs.select(col(idCol),
+      filter(split(normText(col(textCol)), "\\s+"), t => length(t) > 0).as("__toks"))
+    val spans = toks
+      .where(size(col("__toks")) >= n)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("__toks")) - n),
+        i => array_join(slice(col("__toks"), i + 1, lit(n)), " "))).as(Seq("pos", "span")))
+    // rename the grouped key: joining an aggregate back onto its own input
+    // on the SAME attribute trips Spark's ambiguous-self-join detection
+    val shared = spans
+      .groupBy(col("span").as("__span"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+    spans.join(shared, col("span") === col("__span"))
+      .select(col(idCol), col("pos"), col("span"), col("n_docs"))
+  }
+
+  /** Remove cross-document repeated spans from the text: every token covered
+    * by a [[repeatedSpans]] hit is dropped, the survivors re-joined with
+    * single spaces as `clean_text` (normalized casing/whitespace — same
+    * [[normText]] canonicalization the span detection ran on). Documents
+    * with no repeated span pass through with their normalized text intact.
+    * The curation-pipeline step after doc-level dedup: dedup removes whole
+    * near-copies, this removes boilerplate/license/template spans embedded
+    * in otherwise-unique documents.
+    *
+    * Adds one groupBy on the doc id (span starts per doc) and a left join;
+    * the cover test is a codegen'd HOF over per-row arrays, no UDF.
+    */
+  def maskRepeatedSpans(docs: DataFrame, n: Int = 10, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val starts = repeatedSpans(docs, n, minDocs, idCol, textCol)
+      .groupBy(col(idCol).as("__mask_id"))
+      .agg(collect_set(col("pos")).as("__starts"))
+    docs.join(starts, col(idCol) === col("__mask_id"), "left")
+      .withColumn("__toks",
+        filter(split(normText(col(textCol)), "\\s+"), t => length(t) > 0))
+      .withColumn("__starts", coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("clean_text",
+        when(size(col("__toks")) === 0, lit(""))
+          .otherwise(array_join(expr(
+            s"""filter(
+               |  transform(sequence(0, size(__toks) - 1),
+               |    i -> IF(exists(__starts, s -> i >= s AND i < s + $n), NULL, __toks[i])),
+               |  x -> x IS NOT NULL)""".stripMargin), " ")))
+      .drop("__mask_id", "__starts", "__toks")
+  }
+
   private[ext] def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
     (0 until nPlanes).map { p =>
       (0 until dim).map { i =>

@@ -547,6 +547,34 @@ object ExtQueries {
     },
     Some(graft.ops.PageRank.pageRankSql(e23EdgesCte, iters = 5)))
 
+  // E1k substring-level dedup (Lee et al. 2022): every 10-token span that
+  // appears verbatim in >= 2 distinct documents, with its per-doc position.
+  // The DuckDB mirror rebuilds the same sliding windows with the e11/e22
+  // list-slice machinery; both sides join span survivors back by exact span
+  // text, so the (doc_id, pos, span, n_docs) frames hash-match.
+  private val e24 = Q(
+    "e24_repeated_spans",
+    (s, dir) =>
+      Dedup.repeatedSpans(t(s, dir, "documents"), n = 10, minDocs = 2)
+        .orderBy(col("doc_id"), col("pos")),
+    Some(
+      """WITH toksed AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents
+        |), spans AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |    array_to_string(toks[(i+1):(i+10)], ' ') AS span
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 9)) AS i
+        |        FROM toksed WHERE len(toks) >= 10)
+        |), shared AS (
+        |  SELECT span, COUNT(DISTINCT doc_id) AS n_docs
+        |  FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+        |)
+        |SELECT doc_id, pos, span, n_docs
+        |FROM spans JOIN shared USING (span)
+        |ORDER BY doc_id, pos""".stripMargin))
+
   // E-ops dataset profiling (datasheet pass): per-column row/null/distinct
   // counts + min/max over the orders table — one aggregation job, one row
   // per column. The DuckDB SQL is GENERATED from the same column list
@@ -587,5 +615,5 @@ object ExtQueries {
         |GROUP BY token ORDER BY est DESC, item""".stripMargin))
 
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e25, e26)
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26)
 }

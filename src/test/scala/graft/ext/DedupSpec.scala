@@ -412,4 +412,60 @@ class DedupSpec extends AnyFunSuite {
         dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
     dp(a.length)(b.length)
   }
+
+  // ---- substring-level dedup: repeatedSpans / maskRepeatedSpans ----
+
+  private def spanCorpus = {
+    import spark.implicits._
+    val common = (1 to 12).map(i => s"t$i").mkString(" ") // 12 shared tokens
+    Seq(
+      (1L, s"$common xx yy"),   // shared block at offset 0, 14 tokens
+      (2L, s"zz $common"),      // shared block at offset 1, 13 tokens
+      (3L, "totally unrelated words that never repeat anywhere else at all")
+    ).toDF("doc_id", "text")
+  }
+
+  test("repeatedSpans finds every cross-document 10-token span with positions") {
+    val got = Dedup.repeatedSpans(spanCorpus, n = 10, minDocs = 2)
+      .orderBy("doc_id", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    // 12 shared tokens -> three 10-gram spans (offsets 0/1/2 of the block):
+    // doc 1 hosts them at pos 0,1,2; doc 2 at pos 1,2,3
+    val common = (1 to 12).map(i => s"t$i")
+    def span(off: Int) = common.slice(off, off + 10).mkString(" ")
+    assert(got.toSeq == Seq(
+      (1L, 0, span(0), 2L), (1L, 1, span(1), 2L), (1L, 2, span(2), 2L),
+      (2L, 1, span(0), 2L), (2L, 2, span(1), 2L), (2L, 3, span(2), 2L)))
+  }
+
+  test("repeatedSpans is stable under adversarial repartitioning") {
+    val base = Dedup.repeatedSpans(spanCorpus, n = 10, minDocs = 2)
+      .orderBy("doc_id", "pos").collect().toSeq
+    val shuffled = Dedup.repeatedSpans(spanCorpus.repartition(7).orderBy(rand(3)),
+        n = 10, minDocs = 2)
+      .orderBy("doc_id", "pos").collect().toSeq
+    assert(base == shuffled && base.nonEmpty)
+  }
+
+  test("maskRepeatedSpans strips covered tokens, leaves unique docs intact") {
+    val got = Dedup.maskRepeatedSpans(spanCorpus, n = 10, minDocs = 2)
+      .select("doc_id", "clean_text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1: spans at 0,1,2 cover token indices 0..11 -> "xx yy" survives
+    // doc 2: spans at 1,2,3 cover 1..12 -> leading "zz" survives
+    // doc 3: untouched (normalized text == original, already lowercase)
+    assert(got(1L) == "xx yy")
+    assert(got(2L) == "zz")
+    assert(got(3L) == "totally unrelated words that never repeat anywhere else at all")
+  }
+
+  test("maskRepeatedSpans handles empty and sub-n documents") {
+    import spark.implicits._
+    val tiny = Seq((1L, ""), (2L, "short doc"), (3L, "short doc")).toDF("doc_id", "text")
+    // identical 2-token docs are BELOW the span width -> nothing flagged
+    val got = Dedup.maskRepeatedSpans(tiny, n = 10, minDocs = 2)
+      .select("doc_id", "clean_text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "", 2L -> "short doc", 3L -> "short doc"))
+  }
 }
