@@ -1,6 +1,6 @@
 package graft.examples
 
-import graft.ext.{Decontaminate, Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Decontaminate, Dedup, Multimodal, Packing, Similarity, TextStats}
 import graft.ops.Splits
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -65,6 +65,15 @@ object Curate {
     val chunks = TextStats.chunkTokens(split.where(col("split") === "train"),
       windowTokens = 32, overlapTokens = 4)
     println(s"[curate] split: $splitCounts; train chunks: ${chunks.count()}")
+
+    // 5b. sequence packing: bin the chunks into 128-token training
+    // sequences (deterministic md5-bucketed next-fit, ext.Packing)
+    val packed = Packing.packSequences(
+      chunks.select((col("doc_id") * 100000L + col("chunk_idx")).as("chunk_id"),
+        col("n_chunk_tokens").as("n_tokens")),
+      budget = 128, numBuckets = 16, idCol = "chunk_id")
+    val nSeqs = packed.select(col("bucket") * 1000000L + col("seq")).distinct().count()
+    println(s"[curate] packed ${packed.count()} chunks into $nSeqs sequences of <= 128 tokens")
 
     // 6. embeddings: int8 quantization (4x storage) + ANN sanity probe
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

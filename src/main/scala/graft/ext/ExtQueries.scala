@@ -614,6 +614,50 @@ object ExtQueries {
         |WHERE length(token) > 0
         |GROUP BY token ORDER BY est DESC, item""".stripMargin))
 
+  // E3f sequence packing (training-batch prep): documents binned into
+  // 128-token sequences by a deterministic md5-bucketed NEXT-FIT scan
+  // (ext.Packing). The DuckDB mirror replays the identical scan as a
+  // per-bucket recursive CTE — one recursion step per rank advances every
+  // bucket at once, so depth = max bucket size, and the (bucket, seq)
+  // assignment matches row-for-row.
+  private val e27 = Q(
+    "e27_pack_sequences",
+    (s, dir) =>
+      Packing.packSequences(
+          t(s, dir, "documents").select(col("doc_id"),
+            size(TextStats.tokens(col("text"))).cast("long").as("n_tokens")),
+          budget = 128, numBuckets = 16)
+        .orderBy(col("doc_id")),
+    Some(
+      """WITH RECURSIVE b AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    md5('pack' || CAST(doc_id AS VARCHAR)) AS m
+        |  FROM documents
+        |), bk AS (
+        |  SELECT doc_id, n_tokens, m,
+        |    ((((strpos('0123456789abcdef', substr(m,1,1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(m,2,1)) - 1)) * 16
+        |      + (strpos('0123456789abcdef', substr(m,3,1)) - 1)) * 16
+        |      + (strpos('0123456789abcdef', substr(m,4,1)) - 1)) % 16 AS bucket
+        |  FROM b
+        |), ranked AS (
+        |  SELECT doc_id, n_tokens, bucket,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY m, doc_id) AS rnk
+        |  FROM bk
+        |), pack AS (
+        |  SELECT bucket, rnk, doc_id, n_tokens,
+        |    CAST(0 AS BIGINT) AS seq, n_tokens AS fill
+        |  FROM ranked WHERE rnk = 1
+        |  UNION ALL
+        |  SELECT r.bucket, r.rnk, r.doc_id, r.n_tokens,
+        |    CASE WHEN p.fill + r.n_tokens <= 128 THEN p.seq ELSE p.seq + 1 END,
+        |    CASE WHEN p.fill + r.n_tokens <= 128 THEN p.fill + r.n_tokens ELSE r.n_tokens END
+        |  FROM pack p JOIN ranked r ON r.bucket = p.bucket AND r.rnk = p.rnk + 1
+        |)
+        |SELECT doc_id, n_tokens, bucket, seq FROM pack ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26)
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
+    e27)
 }
