@@ -636,14 +636,17 @@ object Dedup {
     * (idCol, pos, span, n_docs), `pos` the 0-based token offset.
     *
     * Scale shape: posexplode of per-doc sliding windows (no shuffle), one
-    * hash-aggregate shuffle on the span text to count distinct docs, one
-    * shuffle back to join survivors. Span text as the shuffle key is the
-    * oracle-exact form; at 100 TB pre-hash the key (`xxhash64(span)`) to cut
-    * shuffle bytes ~n× — the 2⁻⁶⁴ collision rate only ever FLAGS an extra
-    * span, it cannot miss one.
+    * hash-aggregate shuffle to count distinct docs, one shuffle back to
+    * join survivors. `hashSpanKey=false` (the oracle-exact form) shuffles
+    * the span TEXT as the aggregate key; `hashSpanKey=true` is the 100 TB
+    * default-in-spirit — the aggregate and join key is `xxhash64(span)`
+    * (8 bytes vs ~n tokens), cutting the aggregate's shuffle bytes ~n×. A
+    * 2⁻⁶⁴ hash collision can only ever FLAG an extra span, never miss one
+    * (spec-pinned equal to the exact form on real corpora).
     */
   def repeatedSpans(docs: DataFrame, n: Int = 10, minDocs: Int = 2,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      hashSpanKey: Boolean = false): DataFrame = {
     require(n >= 2 && minDocs >= 2, s"need n >= 2 and minDocs >= 2: n=$n minDocs=$minDocs")
     val toks = docs.select(col(idCol),
       filter(split(normText(col(textCol)), "\\s+"), t => length(t) > 0).as("__toks"))
@@ -654,11 +657,13 @@ object Dedup {
         i => array_join(slice(col("__toks"), i + 1, lit(n)), " "))).as(Seq("pos", "span")))
     // rename the grouped key: joining an aggregate back onto its own input
     // on the SAME attribute trips Spark's ambiguous-self-join detection
+    val key: Column => Column =
+      if (hashSpanKey) c => xxhash64(c) else identity
     val shared = spans
-      .groupBy(col("span").as("__span"))
+      .groupBy(key(col("span")).as("__span_key"))
       .agg(countDistinct(col(idCol)).as("n_docs"))
       .where(col("n_docs") >= minDocs)
-    spans.join(shared, col("span") === col("__span"))
+    spans.join(shared, key(col("span")) === col("__span_key"))
       .select(col(idCol), col("pos"), col("span"), col("n_docs"))
   }
 
@@ -671,12 +676,28 @@ object Dedup {
     * near-copies, this removes boilerplate/license/template spans embedded
     * in otherwise-unique documents.
     *
+    * `keepFirst=true` is the Lee et al. 2022 "all but one occurrence"
+    * semantic: each span's globally-first occurrence (min doc id, then min
+    * position) survives, so ONE copy of the repeated content stays in the
+    * corpus instead of vanishing from it. One extra window over the span
+    * hits (tiny frame — hits only, not the corpus).
+    *
     * Adds one groupBy on the doc id (span starts per doc) and a left join;
     * the cover test is a codegen'd HOF over per-row arrays, no UDF.
     */
   def maskRepeatedSpans(docs: DataFrame, n: Int = 10, minDocs: Int = 2,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val starts = repeatedSpans(docs, n, minDocs, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text",
+      hashSpanKey: Boolean = false, keepFirst: Boolean = false): DataFrame = {
+    val hits = repeatedSpans(docs, n, minDocs, idCol, textCol, hashSpanKey)
+    val flagged =
+      if (!keepFirst) hits
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("span")).orderBy(col(idCol), col("pos"))
+        hits.withColumn("__occ", row_number().over(w))
+          .where(col("__occ") > 1).drop("__occ")
+      }
+    val starts = flagged
       .groupBy(col(idCol).as("__mask_id"))
       .agg(collect_set(col("pos")).as("__starts"))
     docs.join(starts, col(idCol) === col("__mask_id"), "left")

@@ -51,8 +51,12 @@ object PageRank {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // compact (src, dst, deg) edge list, reused every iteration
     val ew = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    // the node universe is ALSO hit every iteration (the left join that
+    // keeps in-edge-less nodes) — unpersisted it re-runs the edge scan and
+    // two distincts per iteration, which dominated e23's first bench
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     var ranks = nodes.withColumn("rank_micro", lit(Micro))
     for (i <- 1 to iters) {

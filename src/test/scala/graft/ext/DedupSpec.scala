@@ -459,6 +459,31 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == "totally unrelated words that never repeat anywhere else at all")
   }
 
+  test("hashSpanKey aggregate path is exactly the span-text path") {
+    import spark.implicits._
+    // spanCorpus plus extra shared material so several distinct spans exist
+    val blockA = (1 to 15).map(i => s"a$i").mkString(" ")
+    val corpus = spanCorpus.unionAll(Seq(
+      (10L, s"$blockA tail one"), (11L, s"head $blockA"), (12L, blockA)
+    ).toDF("doc_id", "text"))
+    val exactR = Dedup.repeatedSpans(corpus, n = 10, minDocs = 2)
+      .orderBy("doc_id", "pos").collect().toSeq
+    val hashed = Dedup.repeatedSpans(corpus, n = 10, minDocs = 2, hashSpanKey = true)
+      .orderBy("doc_id", "pos").collect().toSeq
+    assert(hashed == exactR && exactR.size > 10)
+  }
+
+  test("maskRepeatedSpans keepFirst retains each span's first occurrence") {
+    val got = Dedup.maskRepeatedSpans(spanCorpus, n = 10, minDocs = 2, keepFirst = true)
+      .select("doc_id", "clean_text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 hosts the first occurrence of every shared span -> untouched
+    val common = (1 to 12).map(i => s"t$i").mkString(" ")
+    assert(got(1L) == s"$common xx yy")
+    // doc 2's occurrences are all non-first -> masked down to "zz"
+    assert(got(2L) == "zz")
+  }
+
   test("maskRepeatedSpans handles empty and sub-n documents") {
     import spark.implicits._
     val tiny = Seq((1L, ""), (2L, "short doc"), (3L, "short doc")).toDF("doc_id", "text")
