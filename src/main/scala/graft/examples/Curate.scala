@@ -47,9 +47,15 @@ object Curate {
     val near = Dedup.nearDedupRows(exact, minJaccard = 0.7)
     println(s"[curate] dedup: exact ${exact.count()} -> near ${near.count()} docs")
 
+    // 2b. substring-level dedup: strip cross-doc repeated spans, keeping
+    // each span's first occurrence (Lee et al. "all but one")
+    val unrep = Dedup.maskRepeatedSpans(near, n = 10, minDocs = 2, keepFirst = true)
+      .withColumn("text", col("clean_text")).drop("clean_text")
+    println(s"[curate] repeated-span mask (keep-first): ${unrep.count()} docs")
+
     // 3. benchmark decontamination (docs doc_id%10==0 stand in for evals)
     val bench = raw.where(col("doc_id") % 10 === 0)
-    val clean = Decontaminate.removeContaminated(near, bench, n = 8)
+    val clean = Decontaminate.removeContaminated(unrep, bench, n = 8)
     println(s"[curate] decontaminated (8-gram): ${clean.count()} docs")
 
     // 4. language mixing + per-source caps (deterministic, monotone)

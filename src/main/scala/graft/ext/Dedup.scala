@@ -667,6 +667,36 @@ object Dedup {
       .select(col(idCol), col("pos"), col("span"), col("n_docs"))
   }
 
+  /** MAXIMAL repeated regions per document: overlapping/adjacent
+    * [[repeatedSpans]] hits merged into (start_pos, end_pos) token ranges —
+    * the fixed-window seeds coalesced toward Lee et al. 2022's
+    * arbitrary-length repeated-substring output (their suffix-array
+    * "maximal match" without the non-distributable suffix array: a region
+    * is maximal up to the n-token seed resolution at its edges).
+    *
+    * Gaps-and-islands over each doc's hit positions: a region continues
+    * while the next seed starts within `n` tokens of the previous (its
+    * coverage overlaps or touches), i.e. one lag + running-sum window over
+    * the HITS frame (tiny — hits only, not the corpus), then one group-by.
+    * `end_pos` is exclusive: the region covers tokens [start_pos, end_pos).
+    */
+  def repeatedSpanRanges(docs: DataFrame, n: Int = 10, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text",
+      hashSpanKey: Boolean = false): DataFrame = {
+    val hits = repeatedSpans(docs, n, minDocs, idCol, textCol, hashSpanKey)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    hits
+      .withColumn("__gap",
+        when(col("pos") - lag(col("pos"), 1).over(w) > n, 1).otherwise(0))
+      .withColumn("__island", sum(col("__gap")).over(w))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("start_pos"),
+        (max(col("pos")) + lit(n)).as("end_pos"),
+        count(lit(1)).as("n_spans"))
+      .select(col(idCol), col("start_pos"), col("end_pos"), col("n_spans"))
+  }
+
   /** Remove cross-document repeated spans from the text: every token covered
     * by a [[repeatedSpans]] hit is dropped, the survivors re-joined with
     * single spaces as `clean_text` (normalized casing/whitespace — same

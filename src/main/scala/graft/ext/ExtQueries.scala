@@ -657,7 +657,43 @@ object ExtQueries {
         |)
         |SELECT doc_id, n_tokens, bucket, seq FROM pack ORDER BY doc_id""".stripMargin))
 
+  // E1l maximal repeated regions: e24's fixed-window hits coalesced into
+  // (start, end) token ranges by the gaps-and-islands trick (lag + running
+  // sum), identical integer arithmetic in both engines.
+  private val e28 = Q(
+    "e28_span_ranges",
+    (s, dir) =>
+      Dedup.repeatedSpanRanges(t(s, dir, "documents"), n = 10, minDocs = 2)
+        .orderBy(col("doc_id"), col("start_pos")),
+    Some(
+      """WITH toksed AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents
+        |), spans AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |    array_to_string(toks[(i+1):(i+10)], ' ') AS span
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 9)) AS i
+        |        FROM toksed WHERE len(toks) >= 10)
+        |), shared AS (
+        |  SELECT span FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+        |), hits AS (
+        |  SELECT doc_id, pos FROM spans JOIN shared USING (span)
+        |), g AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+        |         THEN 1 ELSE 0 END AS gap
+        |  FROM hits
+        |), isl AS (
+        |  SELECT doc_id, pos, SUM(gap) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM g
+        |)
+        |SELECT doc_id, MIN(pos) AS start_pos, MAX(pos) + 10 AS end_pos,
+        |  COUNT(*) AS n_spans
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, start_pos""".stripMargin))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
-    e27)
+    e27, e28)
 }

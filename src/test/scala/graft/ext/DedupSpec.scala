@@ -484,6 +484,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got(2L) == "zz")
   }
 
+  test("repeatedSpanRanges merges overlapping hits; separated blocks stay apart") {
+    import spark.implicits._
+    val block1 = (1 to 12).map(i => s"t$i").mkString(" ")   // 12 shared tokens
+    val block2 = (1 to 10).map(i => s"u$i").mkString(" ")   // 10 shared tokens
+    val sep = (1 to 15).map(i => s"f$i").mkString(" ")      // 15 unique fillers
+    val corpus = Seq(
+      (1L, s"$block1 $sep $block2"),  // two repeated regions, separated
+      (2L, block1),
+      (3L, block2)
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpanRanges(corpus, n = 10, minDocs = 2)
+      .orderBy("doc_id", "start_pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // doc 1: block1 hits at pos 0,1,2 -> [0,12); block2 hits at pos 27 -> [27,37)
+    // doc 2: [0,12); doc 3: [0,10)
+    assert(got.toSeq == Seq(
+      (1L, 0, 12, 3L), (1L, 27, 37, 1L),
+      (2L, 0, 12, 3L),
+      (3L, 0, 10, 1L)))
+  }
+
   test("maskRepeatedSpans handles empty and sub-n documents") {
     import spark.implicits._
     val tiny = Seq((1L, ""), (2L, "short doc"), (3L, "short doc")).toDF("doc_id", "text")
