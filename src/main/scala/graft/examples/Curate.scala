@@ -76,8 +76,8 @@ object Curate {
     // sequences (deterministic md5-bucketed next-fit, ext.Packing)
     val packed = Packing.packSequences(
       chunks.select((col("doc_id") * 100000L + col("chunk_idx")).as("chunk_id"),
-        col("n_chunk_tokens").as("n_tokens")),
-      budget = 128, numBuckets = 16, idCol = "chunk_id")
+        col("doc_id"), col("n_chunk_tokens").as("n_tokens")),
+      budget = 128, numBuckets = 16, idCol = "chunk_id", docCol = "doc_id")
     val nSeqs = packed.select(col("bucket") * 1000000L + col("seq")).distinct().count()
     println(s"[curate] packed ${packed.count()} chunks into $nSeqs sequences of <= 128 tokens")
 

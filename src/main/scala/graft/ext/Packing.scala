@@ -36,17 +36,26 @@ object Packing {
     * tokens. Output: (idCol, n_tokens, bucket, seq) — a sequence is the
     * (bucket, seq) pair, `seq` numbered from 0 within its bucket. Ids must
     * be integral (same contract as `Dedup.dupGroups`).
+    *
+    * `docCol` preserves DOCUMENT BOUNDARIES when the items are chunks: the
+    * md5 bucket/order key is computed from the document id instead of the
+    * item id, so all of a document's chunks land in one bucket and appear
+    * consecutively in the scan (ordered by `idCol` within the document) —
+    * a trainer reading a packed sequence sees each document's chunks
+    * contiguous and in order, split across adjacent sequences only when a
+    * document exceeds the remaining budget (unavoidable).
     */
   def packSequences(items: DataFrame, budget: Long, numBuckets: Int = 1024,
       idCol: String = "doc_id", tokensCol: String = "n_tokens",
-      salt: String = "pack"): DataFrame = {
+      salt: String = "pack", docCol: String = null): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     require(numBuckets >= 1 && numBuckets <= 65536,
       s"numBuckets must be in [1, 65536] (md5 bucket space is 4 hex digits): $numBuckets")
     val spark = items.sparkSession
     import spark.implicits._
 
-    val key = md5(concat(lit(salt), col(idCol).cast("string")))
+    val keySrc = if (docCol == null) idCol else docCol
+    val key = md5(concat(lit(salt), col(keySrc).cast("string")))
     val keyed = items.select(
       (conv(substring(key, 1, 4), 16, 10).cast("long") % numBuckets).as("bucket"),
       key.as("__key"),

@@ -71,6 +71,27 @@ class PackingSpec extends AnyFunSuite {
       .foreach(b => assert(b.map(_._2).sum <= 100))
   }
 
+  test("docCol keeps a document's chunks contiguous and in order") {
+    import spark.implicits._
+    // 40 docs x 1..5 chunks of 30 tokens, chunk_id = doc*100 + idx
+    val chunks = (1 to 40).flatMap { d =>
+      (0 until (d % 5 + 1)).map(i => (d * 100L + i, d.toLong, 30L))
+    }.toDF("chunk_id", "doc_id", "n_tokens")
+    val got = Packing.packSequences(chunks, budget = 100, numBuckets = 4,
+        idCol = "chunk_id", docCol = "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // per doc: one bucket, seq non-decreasing along chunk order
+    got.groupBy(_._1 / 100).foreach { case (doc, rows) =>
+      val inOrder = rows.sortBy(_._1)
+      assert(inOrder.map(_._2).distinct.length == 1, s"doc $doc spans buckets")
+      val seqs = inOrder.map(_._3)
+      assert(seqs.zip(seqs.tail).forall { case (a, b) => b == a || b == a + 1 },
+        s"doc $doc chunks not contiguous: ${seqs.toSeq}")
+    }
+    // budget still respected (30-token chunks -> at most 3 per sequence)
+    got.groupBy(r => (r._2, r._3)).values.foreach(b => assert(b.length * 30 <= 100))
+  }
+
   test("packing wastes little: bins are well filled on a uniform corpus") {
     val got = collectPack(Packing.packSequences(items(500), budget = 128, numBuckets = 4))
     val bins = got.groupBy(r => (r._3, r._4)).view.mapValues(_.map(_._2).sum).toMap
