@@ -484,6 +484,18 @@ class DedupSpec extends AnyFunSuite {
     assert(got(2L) == "zz")
   }
 
+  test("repeatedSpans minDocs=3 drops spans shared by only two documents") {
+    import spark.implicits._
+    val block = (1 to 10).map(i => s"t$i").mkString(" ")
+    val trio = Seq((1L, block), (2L, block), (3L, block),
+      (4L, (1 to 10).map(i => s"u$i").mkString(" ")),
+      (5L, (1 to 10).map(i => s"u$i").mkString(" "))) // pair only
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(trio, n = 10, minDocs = 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L)) // the u-block pair is below minDocs
+  }
+
   test("repeatedSpanRanges merges overlapping hits; separated blocks stay apart") {
     import spark.implicits._
     val block1 = (1 to 12).map(i => s"t$i").mkString(" ")   // 12 shared tokens

@@ -87,4 +87,18 @@ class PageRankSpec extends AnyFunSuite {
       PageRank.pageRank(e, iters = 25, checkpointEvery = 0)
     }
   }
+
+  test("self-loops feed a node's own rank back through the recurrence") {
+    // 1⇄2 plus a self-loop on 1: deg(1)=2, deg(2)=1
+    val edges = Seq(1L -> 2L, 2L -> 1L, 1L -> 1L)
+    val got = ranks(PageRank.pageRank(edgesDf(edges: _*), iters = 3))
+    assert(got == reference(edges, iters = 3))
+    assert(got.keySet == Set(1L, 2L))
+  }
+
+  test("empty edge frame yields an empty result, not a failure") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(PageRank.pageRank(empty, iters = 2).collect().isEmpty)
+  }
 }
