@@ -656,11 +656,21 @@ object Dedup {
         sequence(lit(0), size(col("__toks")) - n),
         i => array_join(slice(col("__toks"), i + 1, lit(n)), " "))).as(Seq("pos", "span")))
     // rename the grouped key: joining an aggregate back onto its own input
-    // on the SAME attribute trips Spark's ambiguous-self-join detection
+    // on the SAME attribute trips Spark's ambiguous-self-join detection.
+    // Hashed mode counts over the native SpanHashes expression — the
+    // aggregate branch never materializes a span string (8-byte longs
+    // explode instead of n-token text); only the survivor branch carries
+    // text. SpanHashes ≡ xxhash64(span) bit-for-bit (DedupSpec pin).
     val key: Column => Column =
       if (hashSpanKey) c => xxhash64(c) else identity
-    val shared = spans
-      .groupBy(key(col("span")).as("__span_key"))
+    val countSide =
+      if (hashSpanKey)
+        docs.select(col(idCol),
+          explode(graft.functions.SpanHash.spanHashes(col(textCol), n))
+            .as("__span_key"))
+      else spans.select(col(idCol), col("span").as("__span_key"))
+    val shared = countSide
+      .groupBy(col("__span_key"))
       .agg(countDistinct(col(idCol)).as("n_docs"))
       .where(col("n_docs") >= minDocs)
     spans.join(shared, key(col("span")) === col("__span_key"))

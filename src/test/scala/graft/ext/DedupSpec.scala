@@ -459,6 +459,31 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == "totally unrelated words that never repeat anywhere else at all")
   }
 
+  test("native SpanHashes is bit-identical to xxhash64 over the HOF spans") {
+    import spark.implicits._
+    // real corpus rows + adversarial edges: empty, whitespace, sub-n,
+    // multi-byte UTF-8, repeated runs of spaces
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).limit(50)
+      .unionAll(Seq("", "   ", "a b", "über die brücke und zurück über die brücke geht es weiter",
+        "x " * 30, "一 二 三 四 五 六 七 八 九 十 十一 十二").toDF("text"))
+    Seq(2, 3, 10).foreach { n =>
+      val toksCol = filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0)
+      val hofHashes = docs
+        .select(when(size(toksCol) >= n,
+          transform(sequence(lit(0), size(toksCol) - n),
+            i => xxhash64(array_join(slice(toksCol, i + 1, lit(n)), " "))))
+          .otherwise(array().cast("array<bigint>")).as("h"))
+        .collect().map(_.getSeq[Long](0))
+      val native = docs
+        .select(graft.functions.SpanHash.spanHashes(col("text"), n).as("h"))
+        .collect().map(_.getSeq[Long](0))
+      hofHashes.zip(native).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(a == b, s"n=$n row $i")
+      }
+    }
+  }
+
   test("hashSpanKey aggregate path is exactly the span-text path") {
     import spark.implicits._
     // spanCorpus plus extra shared material so several distinct spans exist
