@@ -74,7 +74,9 @@ object PageRank {
         .select(col("node"),
           (lit(base) + expr(s"($dampingPct * coalesce(in_mass, 0L)) div 100"))
             .as("rank_micro"))
-      if (checkpointEvery > 0 && i % checkpointEvery == 0)
+      // truncating the FINAL frame is pointless (nothing builds on it) and
+      // would eagerly materialize the whole result once for nothing
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint(true)
     }
     ranks
