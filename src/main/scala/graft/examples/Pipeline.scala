@@ -249,6 +249,22 @@ object Pipeline {
         s"z-ordered lineitem into $zFiles files clustered on (orderkey, partkey)")
     }
 
+    // 11. graph centrality: PageRank over the user↔event-property
+    // co-occurrence graph (fixed-point integer recurrence, ops.PageRank)
+    locally {
+      import org.apache.spark.sql.functions.{col, get_json_object, lit}
+      val ue = Reference.events(spark, sfDir)
+        .select(col("user_id").as("u"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .where(col("k").isNotNull).distinct()
+      val prEdges = ue.select(col("u").as("src"), (lit(1000000L) + col("k")).as("dst"))
+        .unionAll(ue.select((lit(1000000L) + col("k")).as("src"), col("u").as("dst")))
+      val pr = graft.ops.PageRank.pageRank(prEdges, iters = 5)
+      val topNodes = pr.orderBy(col("rank_micro").desc, col("node")).limit(3)
+        .collect().map(r => s"${r.getLong(0)}:${r.getDouble(2)}").mkString(" ")
+      println(s"[demo] pagerank over ${pr.count()} nodes; top-3: $topNodes")
+    }
+
     Ddl.dropDatabaseCascade(spark, "demo_db")
     spark.stop()
     println("[demo] OK")
