@@ -693,7 +693,39 @@ object ExtQueries {
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, start_pos""".stripMargin))
 
+  // E3g bigram-LM corpus fluency (CCNet-style quality signal): add-1
+  // smoothed bigram log-probs, 1e-4 fixed-point per-token rounding, exact
+  // long sums per doc. The DuckDB SQL is GENERATED from the same constants
+  // (LangModel.lmScoreSql) so the formula cannot drift; the one float
+  // division per doc is on integer-derived values — bit-identical.
+  private val e29 = Q(
+    "e29_lm_score",
+    (s, dir) =>
+      LangModel.lmScore(t(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+    Some(LangModel.lmScoreSql("documents")))
+
+  // E3h DSIR data selection (importance resampling toward a target domain):
+  // the doc_id % 10 = 0 slice stands in for the target (the e15 convention),
+  // log-weights are exact integer differences of the two fixed-point LM
+  // scores, and the Gumbel top-k noise is md5-derived — the selected set is
+  // a property of the data, so both engines pick the identical 50 docs.
+  private val e30 = Q(
+    "e30_dsir_select",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      LangModel.dsirSample(
+          d.where(col("doc_id") % 10 =!= 0),
+          d.where(col("doc_id") % 10 === 0),
+          k = 50)
+        .orderBy(col("key_e4").desc, col("doc_id"))
+    },
+    Some(LangModel.dsirSampleSql(
+      "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0)",
+      "(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0)",
+      k = 50)))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
-    e27, e28)
+    e27, e28, e29, e30)
 }
