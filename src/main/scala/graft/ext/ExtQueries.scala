@@ -725,7 +725,26 @@ object ExtQueries {
       "(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0)",
       k = 50)))
 
+  // E2b SemDeDup semantic near-dup pairs over the doubled embeddings table:
+  // at minCosine 0.95 only exact vector copies can pair (max non-identical
+  // cosine in this corpus is ~0.6), and exact copies ALWAYS share a k-means
+  // cell, so the operator must recover exactly the 500 planted (i, i+100000)
+  // pairs at cosine 1.0 — the k-means candidate generation's exact-recall
+  // contract under the full hash oracle (the boundary-straddling approximate
+  // regime is pinned in SemDedupSpec).
+  private val e31 = Q(
+    "e31_semdedup",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val doubled = e.unionAll(e.withColumn("vec_id", col("vec_id") + 100000L))
+      Similarity.semDedupPairs(doubled, nClusters = 16, minCosine = 0.95)
+        .orderBy(col("id_a"))
+    },
+    Some(
+      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
+        |FROM embeddings ORDER BY id_a""".stripMargin))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
-    e27, e28, e29, e30)
+    e27, e28, e29, e30, e31)
 }

@@ -291,6 +291,67 @@ object Similarity {
       .select(col(idCol), (lit(1.0) - col("distCol") * col("distCol") / 2).as("cosine_approx"))
   }
 
+  /** SemDeDup semantic near-duplicate pairs (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * k-means-cluster the embeddings (same seeded fit as [[ivfTopK]]), then
+    * compare pairs ONLY within a cluster — semantically unrelated points
+    * never meet, so the quadratic term is Σ cell² instead of n². Returns
+    * (id_a, id_b, cosine) with id_a < id_b and cosine (4dp-rounded, the e02
+    * discipline — the threshold applies to the rounded value) ≥ `minCosine`.
+    *
+    * Scale posture: one k-means fit (sampled sweeps over the corpus), one
+    * shuffle on the cell id for the self-join. Size `nClusters` so the mean
+    * cell is a few thousand rows (the paper uses ~10⁵ clusters for web
+    * scale); candidate recall is what the cluster assignment trades away —
+    * near-dups split across a centroid boundary are missed, which the paper
+    * accepts by construction (true for THIS operator too: exact copies
+    * always share a cell, boundary-straddling near-dups may not).
+    */
+  def semDedupPairs(
+      emb: DataFrame,
+      nClusters: Int = 16,
+      minCosine: Double = 0.95,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val v = withUnitVec(
+      emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")),
+      "v", "features")
+    if (v.isEmpty)
+      return v.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("cosine")).where(lit(false))
+    // nClusters = 1 is the exhaustive (all-pairs) mode: spark.ml's KMeans
+    // rejects k = 1, and a single cell needs no fit anyway
+    val assigned =
+      if (nClusters == 1) v.select(col("id"), col("v"), lit(0).as("cell"))
+      else {
+        val model = new KMeans().setK(nClusters).setSeed(42L)
+          .setFeaturesCol("features").setPredictionCol("cell")
+          .fit(v)
+        model.transform(v).select(col("id"), col("v"), col("cell"))
+      }
+    val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 4).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
+  /** SemDeDup keeper rows: [[semDedupPairs]] → transitive groups → min-id
+    * keeper per group ([[Dedup.nearDedupRowsFrom]] tail — the paper keeps
+    * the point with lowest centroid distance; min id is this repo's
+    * deterministic convention, documented divergence).
+    */
+  def semDedupRows(
+      emb: DataFrame,
+      nClusters: Int = 16,
+      minCosine: Double = 0.95,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame =
+    Dedup.nearDedupRowsFrom(emb,
+      semDedupPairs(emb, nClusters, minCosine, vecCol, idCol), idCol)
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * absolute-max scale, values rounded to [−127, 127] tinyints plus one
     * float scale — a 4× storage/shuffle cut (float32 → int8 + 4 bytes/row),
