@@ -1,6 +1,6 @@
 package graft.examples
 
-import graft.ext.{Decontaminate, Dedup, Multimodal, Packing, Similarity, TextStats}
+import graft.ext.{Decontaminate, Dedup, LangModel, Multimodal, Packing, Similarity, TextStats}
 import graft.ops.Splits
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -53,10 +53,28 @@ object Curate {
       .withColumn("text", col("clean_text")).drop("clean_text")
     println(s"[curate] repeated-span mask (keep-first): ${unrep.count()} docs")
 
+    // 2c. LM fluency gate: drop the corpus's least-fluent tail (CCNet-style
+    // bigram-LM score, fixed-point — the score is a property of the data).
+    // The cut is corpus-calibrated (≈ bottom 5% of this synthetic corpus);
+    // a real pipeline buckets by LM-score percentiles the way CCNet does.
+    val lm = LangModel.lmScore(unrep).select(col("doc_id").as("__lm_id"),
+      col("avg_logprob"))
+    val fluent = unrep.join(lm, col("doc_id") === col("__lm_id"))
+      .where(col("avg_logprob") > -3.45 || col("avg_logprob") === 0.0)
+      .drop("__lm_id", "avg_logprob")
+    println(s"[curate] LM fluency gate (avg logprob > -3.45): ${fluent.count()} docs")
+
     // 3. benchmark decontamination (docs doc_id%10==0 stand in for evals)
     val bench = raw.where(col("doc_id") % 10 === 0)
-    val clean = Decontaminate.removeContaminated(unrep, bench, n = 8)
+    val clean = Decontaminate.removeContaminated(fluent, bench, n = 8)
     println(s"[curate] decontaminated (8-gram): ${clean.count()} docs")
+
+    // 3b. DSIR probe: how many of the cleaned docs would an importance
+    // resample toward the benchmark-like slice select? (deterministic
+    // Gumbel top-k — reported, not applied: mixing below stays the demo's
+    // selection mechanism)
+    val dsirN = LangModel.dsirSample(clean, bench, k = 50).count()
+    println(s"[curate] DSIR toward benchmark slice would select $dsirN/50 requested docs")
 
     // 4. language mixing + per-source caps (deterministic, monotone)
     val mixed = Splits.stratifiedSampleByHash(clean, "lang",

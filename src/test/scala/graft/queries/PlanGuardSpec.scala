@@ -16,9 +16,11 @@ class PlanGuardSpec extends AnyFunSuite {
   // queries whose DESIGN includes a broadcast nested-loop join against a
   // deliberately tiny dimension (e02: the one-row query vector; e17/e15:
   // one-row stats or benchmark-set cross join; e18: the distinct-lengths
-  // dimension) — anything NOT listed here sprouting a BNLJ is a regression
+  // dimension; e29/e30: the one-row vocabulary-size frame) — anything NOT
+  // listed here sprouting a BNLJ is a regression
   private val bnljByDesign =
-    Set("e02_cosine_topk", "e15_decontam", "e17_bm25", "e18_editdist")
+    Set("e02_cosine_topk", "e15_decontam", "e17_bm25", "e18_editdist",
+      "e29_lm_score", "e30_dsir_select")
 
   test("no declared query plans a CartesianProduct; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
