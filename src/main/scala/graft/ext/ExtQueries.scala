@@ -744,7 +744,48 @@ object ExtQueries {
       """SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
         |FROM embeddings ORDER BY id_a""".stripMargin))
 
+  // E5b batch sessionization under the hash oracle: gaps-and-islands with a
+  // (ts, event_id) total order, session_end = last event + gap (the
+  // session_window contract), per-session value sums fixed-point. The
+  // streaming twins (session_window / flatMapGroupsWithState) are pinned
+  // equivalent in EventStreamSpec; this puts the island arithmetic itself
+  // under DuckDB's independent replay.
+  private val e32 = Q(
+    "e32_sessions",
+    (s, dir) =>
+      graft.streaming.EventStream.sessionizeBatch(
+          graft.queries.Reference.events(s, dir), "30 minutes",
+          valueAgg = graft.queries.Reference.msum)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start")),
+    Some(
+      s"""WITH lagged AS (
+         |  SELECT user_id, ts, value, event_id,
+         |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         |  FROM events
+         |), flagged AS (
+         |  SELECT user_id, ts, value, event_id,
+         |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM lagged
+         |), isl AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM flagged
+         |)
+         |SELECT user_id,
+         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |  strftime(make_timestamp(MAX(epoch_us(ts)) + 1800000000),
+         |    '%Y-%m-%d %H:%M:%S') AS session_end,
+         |  COUNT(*) AS n_events, ${msumSql("value")} AS sum_value
+         |FROM isl GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
-    e27, e28, e29, e30, e31)
+    e27, e28, e29, e30, e31, e32)
 }

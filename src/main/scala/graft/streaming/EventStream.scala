@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -76,6 +76,49 @@ object EventStream {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Batch sessionization by the classic gaps-and-islands recurrence: a new
+    * session starts when the gap since the user's previous event is >= `gap`
+    * (exactly `session_window`'s merge rule — windows [t, t+gap) merge only
+    * while they overlap), the session index is a running sum of those
+    * start-flags, and one aggregate per (user, session) yields the summary.
+    * `session_end` = last event + gap, matching [[sessions]]' output shape,
+    * so the two forms are interchangeable (pinned in EventStreamSpec).
+    *
+    * Determinism: the window order is (ts, event_id) — a total order even
+    * when a user has simultaneous events — so the island assignment is a
+    * property of the data, not of partitioning.
+    *
+    * Scale: ONE shuffle. The two window functions and the final groupBy all
+    * cluster on `user_id` — Catalyst reuses the window's HashPartitioning
+    * for the aggregate (hash(user_id) satisfies the (user_id, session_idx)
+    * clustering), so the plan is scan → exchange(user_id) → sort → window →
+    * window → partial+final agg with no second exchange. State per user is
+    * the sort run, not a driver-side structure.
+    */
+  def sessionizeBatch(events: DataFrame, gap: String = "30 minutes",
+      valueAgg: Column => Column = sum(_)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapMicros = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val gapUs = gapMicros.microseconds + gapMicros.days * 86400000000L
+    require(gapMicros.months == 0, "sessionizeBatch: gap must be a fixed duration")
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("__prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("__new",
+        when(col("__prev_us").isNull ||
+          unix_micros(col("ts")) - col("__prev_us") >= gapUs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        timestamp_micros(max(unix_micros(col("ts"))) + gapUs).as("session_end"),
+        count(lit(1)).as("n_events"),
+        valueAgg(col("value")).as("sum_value"))
+      .drop("__sid")
+  }
 
   /** Streaming exact dedup: drop duplicate event ids as they arrive, with
     * state bounded by the watermark (`dropDuplicatesWithinWatermark` evicts

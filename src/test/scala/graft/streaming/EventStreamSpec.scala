@@ -140,4 +140,58 @@ class EventStreamSpec extends AnyFunSuite {
     assert(s.session_start == java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
     assert(s.session_end == java.sql.Timestamp.valueOf("2024-01-01 10:10:00"))
   }
+
+  test("sessionizeBatch ≡ the session_window aggregation on real events") {
+    import graft.queries.Reference
+    val ev = Reference.events(spark, sfDir)
+    val cols = Seq("user_id", "session_start", "session_end", "n_events", "sum_value")
+    val got = EventStream.sessionizeBatch(ev, "30 minutes", valueAgg = Reference.msum)
+      .selectExpr(cols: _*)
+    val want = ev
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), Reference.msum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+      .selectExpr(cols: _*)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0, "gaps-and-islands row session_window lacks")
+    assert(want.exceptAll(got).count() == 0, "session_window row gaps-and-islands lacks")
+  }
+
+  test("sessionizeBatch: an event at exactly the gap starts a new session") {
+    import spark.implicits._
+    // session_window's merge rule is overlap of [t, t+gap) — an event at
+    // exactly prev+gap does NOT merge; the >= in the island flag mirrors it
+    val base = Seq(
+      (1L, "2024-01-01 10:00:00", 7L, 1.0),
+      (2L, "2024-01-01 10:30:00", 7L, 2.0), // exactly 30 min later
+      (3L, "2024-01-01 10:59:00", 7L, 4.0)) // 29 min after that -> merges
+      .toDF("event_id", "tss", "user_id", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val got = EventStream.sessionizeBatch(base, "30 minutes")
+      .orderBy("session_start")
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("session_start").toString,
+        r.getAs[java.sql.Timestamp]("session_end").toString,
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+    assert(got.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", "2024-01-01 10:30:00.0", 1L, 1.0),
+      ("2024-01-01 10:30:00.0", "2024-01-01 11:29:00.0", 2L, 6.0)), got.mkString(", "))
+  }
+
+  test("sessionizeBatch is stable under adversarial repartitioning and plans one exchange") {
+    import graft.queries.Reference
+    val ev = Reference.events(spark, sfDir)
+    val a = EventStream.sessionizeBatch(ev, "30 minutes", valueAgg = Reference.msum)
+    val b = EventStream.sessionizeBatch(ev.repartition(7), "30 minutes",
+      valueAgg = Reference.msum)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "island assignment changed under repartitioning")
+    // the window's hash(user_id) partitioning must be reused by the final
+    // aggregate — a second exchange here becomes the bottleneck at scale
+    val plan = a.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
 }
