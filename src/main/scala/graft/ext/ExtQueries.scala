@@ -785,7 +785,18 @@ object ExtQueries {
          |FROM isl GROUP BY user_id, sid
          |ORDER BY user_id, session_start""".stripMargin))
 
+  // E3i PMI collocations (phrase mining): top-100 adjacent pairs by
+  // pointwise mutual information, minCount 5. The SQL is GENERATED from the
+  // same constants (Collocations.pmiBigramsSql) so formula/thresholds can't
+  // drift; counts are exact longs, the ratio uses a fixed association, and
+  // round(ln, 4) fixed-points the one libm call (the e17/e29 discipline).
+  private val e33 = Q(
+    "e33_pmi_bigrams",
+    (s, dir) =>
+      Collocations.pmiBigrams(t(s, dir, "documents"), minCount = 5L, topK = 100),
+    Some(Collocations.pmiBigramsSql("documents", minCount = 5L, topK = 100)))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
-    e27, e28, e29, e30, e31, e32)
+    e27, e28, e29, e30, e31, e32, e33)
 }
