@@ -796,7 +796,50 @@ object ExtQueries {
       Collocations.pmiBigrams(t(s, dir, "documents"), minCount = 5L, topK = 100),
     Some(Collocations.pmiBigramsSql("documents", minCount = 5L, topK = 100)))
 
+  // E1d snapshot diff between pipeline runs: the "new" snapshot is a
+  // deterministic perturbation of documents (doc_id%7 removed, %5 text
+  // edited, %11 re-added under shifted ids), and diffByKey must classify
+  // every key. Spark compares 8-byte xxhash64 fingerprints (what ships
+  // through the shuffle at scale); the oracle compares the columns
+  // directly — agreement pins the fingerprint semantics to the portable
+  // column-compare contract.
+  private val e34 = Q(
+    "e34_snapshot_diff",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newDf = docs.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(docs.where(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      graft.ops.Diff.diffByKey(docs, newDf, Seq("doc_id"))
+        .orderBy(col("doc_id"), col("status"))
+    },
+    Some(
+      """WITH newt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    lang, source, n_chars
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 11 = 0
+        |), d AS (
+        |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN o.text IS DISTINCT FROM n.text
+        |           OR o.lang IS DISTINCT FROM n.lang
+        |           OR o.source IS DISTINCT FROM n.source
+        |           OR o.n_chars IS DISTINCT FROM n.n_chars THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM documents o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id
+        |)
+        |SELECT doc_id, status FROM d WHERE status <> 'unchanged'
+        |ORDER BY doc_id, status""".stripMargin))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
-    e27, e28, e29, e30, e31, e32, e33)
+    e27, e28, e29, e30, e31, e32, e33, e34)
 }
