@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift diagnostics for corpus mixing: how far each source's
+  * token distribution sits from the corpus mixture — the signal behind
+  * mixture reweighting decisions (upweight a source, cap another) and the
+  * audit that a new crawl didn't shift the language of a slice.
+  *
+  * Determinism (Reference scaladoc rules): all counts are exact longs; each
+  * KL term fixes its float association
+  * `(c_st·N_c) / (N_s·c_ct)` before the ONE libm `ln`, is scaled by the
+  * exact count and 1e-6-fixed-pointed, and per-source terms sum as longs —
+  * the e29 discipline, so both engines produce bit-identical divergences.
+  *
+  * Scale: one corpus scan into a (source, token) count table — that table
+  * is |sources|×|vocab| (not corpus-sized), so it is persisted and every
+  * derived frame (per-token totals, per-source totals, the grand total, the
+  * term join) reads the cache. The per-token totals broadcast (vocab-sized),
+  * per-source totals broadcast (|sources| rows), so the term computation is
+  * shuffle-free after the count pass.
+  */
+object Drift {
+
+  /** KL(P_source ‖ P_corpus) in nats over unigram distributions, one row
+    * per source: `(source, n_tokens, kl_nats)`. The corpus mixture includes
+    * the source itself, so every source token has corpus support and the
+    * divergence is finite; a source that IS the whole corpus scores 0.
+    */
+  def sourceTokenKl(docs: DataFrame, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val tk = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val cst = docs
+      .select(col(sourceCol).as("source"), explode(tk).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cct = cst.groupBy(col("w")).agg(sum(col("c")).as("ct"))
+    val ns = cst.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val nc = cct.agg(sum(col("ct")).as("n_c"))
+    cst
+      .join(broadcast(cct), "w")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(nc))
+      .select(col("source"), col("n_s"),
+        round(col("c").cast("double") *
+          log((col("c").cast("double") * col("n_c")) /
+            (col("n_s").cast("double") * col("ct"))), 6).as("term"))
+      .groupBy(col("source"), col("n_s"))
+      .agg(round(
+        sum(round(col("term") * lit(1000000), 0).cast("long")).cast("double")
+          / lit(1000000) / col("n_s").cast("double"), 6).as("kl_nats"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("kl_nats"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB mirror of [[sourceTokenKl]] — generated so the formula, the
+    * association order, and the 1e-6 fixed-point scale cannot drift.
+    */
+  def sourceTokenKlSql(table: String, textCol: String = "text",
+      sourceCol: String = "source"): String =
+    s"""WITH toks AS (
+       |  SELECT $sourceCol AS source,
+       |    unnest(list_filter(string_split_regex(lower(trim($textCol)), '\\s+'),
+       |      t -> length(t) > 0)) AS w
+       |  FROM $table
+       |), cst AS (
+       |  SELECT source, w, COUNT(*) AS c FROM toks GROUP BY 1, 2
+       |), cct AS (
+       |  SELECT w, CAST(SUM(c) AS BIGINT) AS ct FROM cst GROUP BY 1
+       |), ns AS (
+       |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM cst GROUP BY 1
+       |), nc AS (
+       |  SELECT CAST(SUM(ct) AS BIGINT) AS n_c FROM cct
+       |), terms AS (
+       |  SELECT s.source, x.n_s,
+       |    round(CAST(s.c AS DOUBLE) *
+       |      ln((CAST(s.c AS DOUBLE) * t.n_c) / (CAST(x.n_s AS DOUBLE) * c.ct)),
+       |      6) AS term
+       |  FROM cst s
+       |  JOIN cct c ON s.w = c.w
+       |  JOIN ns x ON s.source = x.source
+       |  CROSS JOIN nc t
+       |)
+       |SELECT source, n_s AS n_tokens,
+       |  round(CAST(SUM(CAST(round(term * 1000000) AS BIGINT)) AS DOUBLE)
+       |    / 1000000 / CAST(n_s AS DOUBLE), 6) AS kl_nats
+       |FROM terms GROUP BY source, n_s
+       |ORDER BY source""".stripMargin
+}

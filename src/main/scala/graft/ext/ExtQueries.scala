@@ -839,7 +839,15 @@ object ExtQueries {
         |SELECT doc_id, status FROM d WHERE status <> 'unchanged'
         |ORDER BY doc_id, status""".stripMargin))
 
+  // E3j mixing drift: KL(source ‖ corpus) over unigram distributions, one
+  // row per source — the mixture-reweighting diagnostic. SQL GENERATED from
+  // the same formula/association/fixed-point scale (Drift.sourceTokenKlSql).
+  private val e35 = Q(
+    "e35_source_kl",
+    (s, dir) => Drift.sourceTokenKl(t(s, dir, "documents")),
+    Some(Drift.sourceTokenKlSql("documents")))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
-    e27, e28, e29, e30, e31, e32, e33, e34)
+    e27, e28, e29, e30, e31, e32, e33, e34, e35)
 }

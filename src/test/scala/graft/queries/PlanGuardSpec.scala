@@ -20,7 +20,7 @@ class PlanGuardSpec extends AnyFunSuite {
   // listed here sprouting a BNLJ is a regression
   private val bnljByDesign =
     Set("e02_cosine_topk", "e15_decontam", "e17_bm25", "e18_editdist",
-      "e29_lm_score", "e30_dsir_select", "e33_pmi_bigrams")
+      "e29_lm_score", "e30_dsir_select", "e33_pmi_bigrams", "e35_source_kl")
 
   test("no declared query plans a CartesianProduct; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
