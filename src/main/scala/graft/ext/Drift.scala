@@ -55,6 +55,76 @@ object Drift {
       .orderBy(col("source"))
   }
 
+  /** Daily volume anomaly scores per event type: each (day, type) count is
+    * z-scored against the trailing `lookback` OBSERVED days (a ROWS frame —
+    * missing days don't pad the window), needing at least `minPrior` prior
+    * days before a score is emitted; a zero-variance history yields null
+    * rather than ±∞. The monitoring twin of the forecaster: no model fit,
+    * just "is today's volume off its recent distribution".
+    *
+    * Determinism: daily counts are exact longs; trailing sum / sum-of-
+    * squares stay exact under the window; mean/variance/z fix their float
+    * association (`ss/cnt - mean·mean`, clamped at 0 against negative
+    * epsilon) so both engines agree bit-for-bit, and z rounds at 4dp.
+    *
+    * Scale: the raw scan aggregates down to |days|×|types| rows in one
+    * shuffle with map-side partials; the window pass then runs over that
+    * tiny rollup partitioned by type. `n·n·lookback` must stay below 2^63 —
+    * daily counts up to ~8·10^8 are safe.
+    */
+  def dailyAnomalies(events: DataFrame, lookback: Int = 14,
+      minPrior: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-lookback, -1)
+    val mean = col("s").cast("double") / col("cnt")
+    val variance = greatest(
+      col("ss").cast("double") / col("cnt") - mean * mean, lit(0.0))
+    daily
+      .withColumn("cnt", count(col("n")).over(w))
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("ss", sum(col("n") * col("n")).over(w))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"),
+        when(col("cnt") >= minPrior, round(mean, 4)).as("mean_trailing"),
+        when(col("cnt") >= minPrior && variance > 0,
+          round((col("n").cast("double") - mean) / sqrt(variance), 4)).as("z"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** DuckDB mirror of [[dailyAnomalies]] — generated from the same
+    * lookback/minPrior and the same association order.
+    */
+  def dailyAnomaliesSql(table: String, lookback: Int = 14,
+      minPrior: Int = 7): String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+       |  FROM $table GROUP BY 1, 2
+       |), win AS (
+       |  SELECT day, event_type, n,
+       |    COUNT(n) OVER w AS cnt,
+       |    CAST(SUM(n) OVER w AS BIGINT) AS s,
+       |    CAST(SUM(n*n) OVER w AS BIGINT) AS ss
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN $lookback PRECEDING AND 1 PRECEDING)
+       |)
+       |SELECT strftime(day, '%Y-%m-%d') AS day, event_type, n,
+       |  CASE WHEN cnt >= $minPrior
+       |       THEN round(CAST(s AS DOUBLE) / cnt, 4) END AS mean_trailing,
+       |  CASE WHEN cnt >= $minPrior AND
+       |    GREATEST(CAST(ss AS DOUBLE)/cnt -
+       |      (CAST(s AS DOUBLE)/cnt)*(CAST(s AS DOUBLE)/cnt), 0.0) > 0
+       |  THEN round((CAST(n AS DOUBLE) - CAST(s AS DOUBLE)/cnt) /
+       |    sqrt(GREATEST(CAST(ss AS DOUBLE)/cnt -
+       |      (CAST(s AS DOUBLE)/cnt)*(CAST(s AS DOUBLE)/cnt), 0.0)), 4)
+       |  END AS z
+       |FROM win ORDER BY day, event_type""".stripMargin
+
   /** DuckDB mirror of [[sourceTokenKl]] — generated so the formula, the
     * association order, and the 1e-6 fixed-point scale cannot drift.
     */

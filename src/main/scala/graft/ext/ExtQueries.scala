@@ -847,7 +847,15 @@ object ExtQueries {
     (s, dir) => Drift.sourceTokenKl(t(s, dir, "documents")),
     Some(Drift.sourceTokenKlSql("documents")))
 
+  // E5c daily volume anomaly z-scores per event type (trailing-14-day ROWS
+  // frame, ≥7 prior days) — the monitoring companion to the forecaster.
+  // SQL GENERATED from the same constants (Drift.dailyAnomaliesSql).
+  private val e36 = Q(
+    "e36_daily_anomaly",
+    (s, dir) => Drift.dailyAnomalies(graft.queries.Reference.events(s, dir)),
+    Some(Drift.dailyAnomaliesSql("events")))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
-    e27, e28, e29, e30, e31, e32, e33, e34, e35)
+    e27, e28, e29, e30, e31, e32, e33, e34, e35, e36)
 }

@@ -32,6 +32,39 @@ class DriftSpec extends AnyFunSuite {
     assert(klA > 0)
   }
 
+  test("dailyAnomalies flags a planted spike and withholds scores without history") {
+    // 14 calm days of 10 events, then a 30-event spike on day 15
+    val rows = (1 to 14).flatMap { d =>
+      (1 to 10).map(i => (f"2024-03-$d%02d 12:${i}%02d:00", "click"))
+    } ++ (1 to 30).map(i => (f"2024-03-15 12:${i}%02d:00", "click"))
+    val ev = rows.toDF("tss", "event_type")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val got = Drift.dailyAnomalies(ev, lookback = 14, minPrior = 7).collect()
+      .map(r => (r.getString(0), r.getLong(2), Option(r.get(4)).map(_.asInstanceOf[Double])))
+    // first 7 days: no score (insufficient history)
+    assert(got.take(7).forall(_._3.isEmpty), got.mkString(", "))
+    // calm days 8-14 with a constant history: zero variance -> null, not ±inf
+    assert(got.slice(7, 14).forall(_._3.isEmpty), got.mkString(", "))
+    // the spike day has 14 prior days of exactly 10 -> still zero variance
+    // history; perturb instead with one 12-event day in the middle
+    val rows2 = rows ++ (11 to 12).map(i => (f"2024-03-05 13:$i%02d:00", "click"))
+    val ev2 = rows2.toDF("tss", "event_type")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val got2 = Drift.dailyAnomalies(ev2, lookback = 14, minPrior = 7).collect()
+      .map(r => (r.getString(0), r.getLong(2), Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toSeq
+    val spike = got2.find(_._1 == "2024-03-15").get
+    assert(spike._2 == 30 && spike._3.exists(_ > 3.0), spike.toString)
+  }
+
+  test("dailyAnomalies is repartition-stable on real events") {
+    val ev = graft.queries.Reference.events(spark, "/root/testdata/sf0.001")
+    val a = Drift.dailyAnomalies(ev).collect().toSeq
+    val b = Drift.dailyAnomalies(ev.repartition(7)).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("sourceTokenKl is repartition-stable on real documents") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = Drift.sourceTokenKl(docs).collect().toSeq
