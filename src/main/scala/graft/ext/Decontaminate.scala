@@ -89,6 +89,57 @@ object Decontaminate {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** SEMANTIC decontamination — the embedding-space companion to the n-gram
+    * probe above: a corpus document is contaminated when its embedding's
+    * cosine against ANY benchmark embedding reaches `minCosine` (paraphrased
+    * eval leakage that shares no exact n-gram still sits next to the
+    * benchmark in embedding space). Output: one row per corpus vector with
+    * `max_cosine` (4dp-rounded, the e02/e31 discipline — the threshold
+    * applies to the rounded value) and a `contaminated` flag.
+    *
+    * Scale posture: identical to [[ngramHits]] — eval suites are thousands
+    * of vectors against a 100 TB corpus, so the benchmark broadcasts and the
+    * corpus side never shuffles for the probe (a broadcast nested-loop scan
+    * with the fused-loop [[graft.functions.CosineSim]] inside whole-stage
+    * codegen). The only shuffle is the per-id max re-aggregation, which is
+    * partial-aggregated to one 12-byte row per corpus vector before the
+    * exchange. An empty benchmark yields an empty result (nothing to test
+    * against — callers wanting "all clean" semantics zero-fill themselves).
+    */
+  def semanticHits(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      minCosine: Double = 0.99,
+      broadcastBenchmark: Boolean = true): DataFrame = {
+    val b0 = benchmark.select(col(vecCol).cast("array<double>").as("__b_v"))
+    val bench = if (broadcastBenchmark) broadcast(b0) else b0
+    corpus
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .crossJoin(bench)
+      .groupBy(col("__id"))
+      .agg(max(round(Similarity.cosine(col("__v"), col("__b_v")), 4)).as("max_cosine"))
+      .select(col("__id").as(idCol), col("max_cosine"),
+        (col("max_cosine") >= minCosine).as("contaminated"))
+  }
+
+  /** The semantically clean corpus: rows whose embedding reaches `minCosine`
+    * against any benchmark vector are removed (left-anti on the flagged ids,
+    * original schema preserved — the [[removeContaminated]] shape).
+    */
+  def removeSemanticContaminated(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      minCosine: Double = 0.99): DataFrame = {
+    val dirty = semanticHits(corpus, benchmark, vecCol, idCol, minCosine)
+      .where(col("contaminated"))
+      .select(col(idCol))
+    corpus.join(dirty, Seq(idCol), "left_anti")
+  }
+
   /** The clean corpus: rows of `corpus` sharing at least `minHits` distinct
     * n-grams with the benchmark are removed (left-anti on the flagged ids —
     * no row widening, original schema preserved).

@@ -855,7 +855,112 @@ object ExtQueries {
     (s, dir) => Drift.dailyAnomalies(graft.queries.Reference.events(s, dir)),
     Some(Drift.dailyAnomaliesSql("events")))
 
+  // E2c semantic decontamination: the benchmark is the vec_id%10=0 slice
+  // (the e15/e30 convention) probed against the FULL table, so the 50
+  // benchmark vectors find themselves at cosine 1.0 (planted leakage) while
+  // the corpus max cross-slice cosine in this data is ~0.49 — a wide
+  // deterministic margin around the 0.99 threshold. The threshold applies
+  // to the 4dp-rounded max (the e02/e31 discipline) in both engines.
+  private val e37 = Q(
+    "e37_semantic_decontam",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Decontaminate.semanticHits(e, e.where(col("vec_id") % 10 === 0), minCosine = 0.99)
+        .orderBy(col("vec_id"))
+    },
+    Some(
+      """SELECT c.vec_id AS vec_id,
+        |  max(round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 4)) AS max_cosine,
+        |  max(round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 4)) >= 0.99
+        |    AS contaminated
+        |FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id % 10 = 0) b
+        |GROUP BY c.vec_id
+        |ORDER BY vec_id""".stripMargin))
+
+  // E1f SCD Type-2 history build: consecutive runs of each user's
+  // event_type collapsed into validity intervals — gaps-and-islands with
+  // the (ts, event_id) total order (the e32 discipline), half-open
+  // [valid_from, valid_to) with null = current run. run_idx makes the
+  // ordering total; CASTs pin DuckDB's HUGEINT window sum back to BIGINT.
+  private val e38 = Q(
+    "e38_scd2",
+    (s, dir) =>
+      graft.ops.Scd.changeIntervals(graft.queries.Reference.events(s, dir),
+          "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id"), col("event_type"), col("run_idx"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("run_idx")),
+    Some(
+      """WITH lagged AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN rn = 1 OR prev_t <> event_type THEN 1 ELSE 0 END AS is_new
+        |  FROM lagged
+        |), isl AS (
+        |  SELECT user_id, event_type, ts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_idx
+        |  FROM flagged
+        |), runs AS (
+        |  SELECT user_id, MIN(event_type) AS event_type, run_idx,
+        |    MIN(ts) AS vf, COUNT(*) AS n_events
+        |  FROM isl GROUP BY user_id, run_idx
+        |)
+        |SELECT user_id, event_type, run_idx,
+        |  strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(LEAD(vf) OVER (PARTITION BY user_id ORDER BY run_idx),
+        |    '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  n_events
+        |FROM runs ORDER BY user_id, run_idx""".stripMargin))
+
+  // E-ops exact-size deterministic sample: the 100 smallest md5(salt ∥ id)
+  // keys — membership is a property of the data (monotone-nesting, engine
+  // portable), and the plan is TakeOrderedAndProject, never a global sort
+  // (asserted in SplitsSpec).
+  private val e39 = Q(
+    "e39_sample_exact",
+    (s, dir) =>
+      graft.ops.Splits.sampleExactK(
+          t(s, dir, "documents").select(col("doc_id"), col("source")), k = 100)
+        .orderBy(col("sample_key"), col("doc_id")),
+    Some(
+      """SELECT doc_id, source,
+        |  md5('sample' || CAST(doc_id AS VARCHAR)) AS sample_key
+        |FROM documents ORDER BY sample_key, doc_id LIMIT 100""".stripMargin))
+
+  // E-ops winsorization: l_extendedprice clipped into its [p05, p95]
+  // percentile bounds. The bounds are 4dp-rounded (the e10 contract — exact
+  // `percentile` and `quantile_cont` agree at 4dp), so clipped values are
+  // the identical fixed-point bound in both engines and unclipped values
+  // pass through bit-identical from the same parquet.
+  private val e40 = Q(
+    "e40_winsorize",
+    (s, dir) =>
+      graft.ops.Normalize.winsorize(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+          "l_extendedprice", pLow = 0.05, pHigh = 0.95)
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some(
+      """WITH b AS (
+        |  SELECT round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+        |         round(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+        |  FROM lineitem
+        |)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  least(greatest(l_extendedprice, lo), hi) AS l_extendedprice_w
+        |FROM lineitem, b
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
-    e27, e28, e29, e30, e31, e32, e33, e34, e35, e36)
+    e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40)
 }

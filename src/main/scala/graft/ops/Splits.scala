@@ -82,6 +82,35 @@ object Splits {
       .where(col("bucket") < pctCol)
   }
 
+  /** Deterministic EXACT-SIZE uniform sample: the k rows with the smallest
+    * md5(salt ∥ id), id as tie-break. The percentage forms above can't hit
+    * an exact row count ("give me exactly 100k eval docs"); ranking the
+    * whole corpus by the same engine-portable hash can, and keeps their
+    * properties: membership is a property of the DATA (stable under reruns,
+    * repartitioning, engines), and the sample NESTS monotonically — the
+    * k-sample is a strict prefix of the (k+1)-sample, so growing a held-out
+    * set never swaps rows already in it.
+    *
+    * Scale posture: ORDER BY + LIMIT compiles to TakeOrderedAndProject —
+    * a bounded k-heap per partition, then a k·partitions merge at the
+    * driver; the corpus is never globally sorted and never shuffled
+    * (asserted in SplitsSpec). That makes k a DRIVER-memory parameter:
+    * the guard refuses past `maxK` (raise it deliberately, or take a
+    * percentage split at that scale instead).
+    *
+    * Output keeps the original schema plus `sample_key` (the hex rank key,
+    * auditable and re-derivable from the id alone).
+    */
+  def sampleExactK(df: DataFrame, k: Int, idCol: String = "doc_id",
+      salt: String = "sample", maxK: Int = 10000000): DataFrame = {
+    require(k > 0 && k <= maxK,
+      s"sampleExactK gathers k rows to the driver: k=$k outside (0, $maxK]. " +
+        "Raise maxK deliberately or use splitByHash percentages at this scale.")
+    df.withColumn("sample_key", md5(concat(lit(salt), col(idCol).cast("string"))))
+      .orderBy(col("sample_key"), col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic per-group cap — "at most k documents per domain", the
     * anti-concentration control of a corpus mix (one boilerplate-heavy
     * source must not dominate training data). Rows are ranked inside each

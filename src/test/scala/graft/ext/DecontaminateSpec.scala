@@ -89,6 +89,32 @@ class DecontaminateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("semanticHits flags embedding-space leakage the n-gram probe cannot see") {
+    import spark.implicits._
+    // doc 1 IS a benchmark vector (paraphrase leakage: identical embedding,
+    // different id); doc 2 is near it; doc 3 is orthogonal
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.7, 0.7, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0))).toDF("vec_id", "embedding")
+    val bench = Seq((100L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val got = Decontaminate.semanticHits(corpus, bench, minCosine = 0.99)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(got(1L) == ((1.0, true)), got.toString)
+    assert(got(2L)._1 > 0.5 && got(2L)._1 < 0.99 && !got(2L)._2, got.toString)
+    assert(got(3L) == ((0.0, false)))
+    assert(got.size == 3)
+    // shuffled-join variant matches the broadcast default
+    val b = Decontaminate.semanticHits(corpus, bench, minCosine = 0.99,
+      broadcastBenchmark = false).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(b == got)
+    // removal drops exactly the flagged row, schema untouched
+    val clean = Decontaminate.removeSemanticContaminated(corpus, bench)
+    assert(clean.columns.toSeq == corpus.columns.toSeq)
+    assert(clean.select("vec_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
   test("a doc sharing the same n-gram with MANY benchmark docs counts it once") {
     import spark.implicits._
     val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")

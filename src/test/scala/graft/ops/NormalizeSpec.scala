@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class NormalizeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("winsorize clips exactly to the 4dp-rounded percentile bounds") {
+    import spark.implicits._
+    // values 1..100 → p05 = 5.95, p95 = 95.05 under the interpolated
+    // (continuous) definition: pos = p·(n−1), lo + frac·(hi−lo)
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val out = Normalize.winsorize(df, "v", pLow = 0.05, pHigh = 0.95)
+      .orderBy("v").collect().map(r => r.getDouble(0) -> r.getDouble(1))
+    assert(out.length == 100)
+    assert(out.filter(_._1 <= 5).forall(_._2 == 5.95), out.take(8).mkString(","))
+    assert(out.filter(_._1 >= 96).forall(_._2 == 95.05))
+    // interior values pass through untouched
+    assert(out.filter(p => p._1 > 5.95 && p._1 < 95.05).forall(p => p._1 == p._2))
+  }
+
+  test("nulls pass through and row count is preserved") {
+    import spark.implicits._
+    val df = Seq[Option[Double]](Some(1.0), None, Some(50.0), Some(1e12))
+      .toDF("v")
+    val out = Normalize.winsorize(df, "v", pLow = 0.0, pHigh = 0.5)
+    assert(out.count() == 4)
+    assert(out.where(col("v").isNull).select(col("v_w")).collect()
+      .forall(_.isNullAt(0)))
+    // the 1e12 outlier lands on the median bound (p50 of [1, 50, 1e12] = 50)
+    assert(out.where(col("v") === 1e12).head().getDouble(1) == 50.0)
+  }
+
+  test("approx bounds track exact bounds on real data") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val ex = Normalize.clipBounds(li, "l_extendedprice", 0.05, 0.95).head()
+    val ap = Normalize.clipBounds(li, "l_extendedprice", 0.05, 0.95, exact = false).head()
+    // GK sketch at default accuracy: rank error ≤ 1e-4 of n — bounds land
+    // within a fraction of a percent of the exact percentile on this column
+    assert(math.abs(ex.getDouble(0) - ap.getDouble(0)) / ex.getDouble(0) < 0.01,
+      s"exact=$ex approx=$ap")
+    assert(math.abs(ex.getDouble(1) - ap.getDouble(1)) / ex.getDouble(1) < 0.01)
+  }
+
+  test("invalid probability ranges are refused") {
+    import spark.implicits._
+    val df = Seq(1.0).toDF("v")
+    intercept[IllegalArgumentException](Normalize.winsorize(df, "v", 0.9, 0.1))
+    intercept[IllegalArgumentException](Normalize.winsorize(df, "v", -0.1, 0.5))
+  }
+}

@@ -121,4 +121,27 @@ class SplitsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Splits.stratifiedSampleByHash(mixFrame, "src", Map("en" -> 50), defaultPct = -1))
   }
+
+  test("sampleExactK is exact-size, nested, repartition-stable, and heap-planned") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.rand
+    val ids = (0L until 5000L).toDF("doc_id")
+    val s100 = Splits.sampleExactK(ids, 100)
+    assert(s100.count() == 100)
+    val set100 = s100.select("doc_id").collect().map(_.getLong(0)).toSet
+    // monotone nesting: the 100-sample is a prefix of the 150-sample
+    val set150 = Splits.sampleExactK(ids, 150).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(set100.subsetOf(set150) && set150.size == 150)
+    // membership is a property of the data, not the partitioning
+    val again = Splits.sampleExactK(ids.repartition(7).orderBy(rand(11)), 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == set100)
+    // the plan is a per-partition k-heap (TakeOrderedAndProject), never a
+    // global sort — the property that keeps this runnable on 100 TB
+    val plan = Splits.sampleExactK(ids, 100).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    intercept[IllegalArgumentException](Splits.sampleExactK(ids, 0))
+    intercept[IllegalArgumentException](Splits.sampleExactK(ids, 200, maxK = 100))
+  }
 }

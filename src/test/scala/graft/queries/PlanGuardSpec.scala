@@ -17,10 +17,12 @@ class PlanGuardSpec extends AnyFunSuite {
   // deliberately tiny dimension (e02: the one-row query vector; e17/e15:
   // one-row stats or benchmark-set cross join; e18: the distinct-lengths
   // dimension; e29/e30: the one-row vocabulary-size frame) — anything NOT
-  // listed here sprouting a BNLJ is a regression
+  // listed here sprouting a BNLJ is a regression (e37: the broadcast
+  // benchmark embedding set; e40: the one-row clip-bounds frame)
   private val bnljByDesign =
     Set("e02_cosine_topk", "e15_decontam", "e17_bm25", "e18_editdist",
-      "e29_lm_score", "e30_dsir_select", "e33_pmi_bigrams", "e35_source_kl")
+      "e29_lm_score", "e30_dsir_select", "e33_pmi_bigrams", "e35_source_kl",
+      "e37_semantic_decontam", "e40_winsorize")
 
   test("no declared query plans a CartesianProduct; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
