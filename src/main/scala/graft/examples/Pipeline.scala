@@ -265,6 +265,25 @@ object Pipeline {
       println(s"[demo] pagerank over ${pr.count()} nodes; top-3: $topNodes")
     }
 
+    // 12. classical stats + CDC diagnostics: correlation/independence over
+    // the fact tables (exact decimal moments, ops.Stats) and an SCD2
+    // history with a point-in-time lookup (ops.Scd)
+    locally {
+      import org.apache.spark.sql.functions.col
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val corr = graft.ops.Stats.corrMatrix(li,
+          Seq("l_quantity" -> "l_extendedprice", "l_extendedprice" -> "l_discount"))
+        .collect().map(r => s"${r.getString(0)}~${r.getString(1)}=${r.get(3)}")
+        .mkString(" ")
+      val chi = graft.ops.Stats.chiSquare(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "source", "lang").head()
+      val hist = graft.ops.Scd.changeIntervals(
+        Reference.events(spark, sfDir), "user_id", "event_type", "ts", "event_id")
+      println(s"[demo] stats: corr $corr; " +
+        s"chi2(source,lang)=${chi.getDouble(3)} dof=${chi.getLong(2)}; " +
+        s"scd2 intervals=${hist.count()}")
+    }
+
     Ddl.dropDatabaseCascade(spark, "demo_db")
     spark.stop()
     println("[demo] OK")

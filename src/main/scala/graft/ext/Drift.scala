@@ -158,4 +158,50 @@ object Drift {
        |    / 1000000 / CAST(n_s AS DOUBLE), 6) AS kl_nats
        |FROM terms GROUP BY source, n_s
        |ORDER BY source""".stripMargin
+
+  /** Daily gap filling (time-series resampling): per-series daily counts
+    * with every missing calendar day between the series' first and last
+    * observation zero-filled — the step that makes [[dailyAnomalies]]'s
+    * trailing frames and the forecaster's regular grid honest on sparse
+    * streams (an unobserved day IS a zero-count observation, not a hole to
+    * silently skip).
+    *
+    * Scale posture: ONE count shuffle ((series, day) — bounded by
+    * series × days, never corpus-sized); the day spine explodes from the
+    * |series|-row min/max frame via `sequence()` and the fill join runs on
+    * the two bounded frames. Output: (series, day 'yyyy-MM-dd', n).
+    */
+  def fillDailyGaps(events: DataFrame, seriesCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .groupBy(col(seriesCol).as("series"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = daily
+      .groupBy(col("series"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("series"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    spine.join(daily, Seq("series", "day"), "left")
+      .select(col("series"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("series"), col("day"))
+  }
+
+  /** DuckDB mirror of [[fillDailyGaps]] — generated, same spine semantics. */
+  def fillDailyGapsSql(table: String, seriesCol: String = "event_type",
+      tsCol: String = "ts"): String =
+    s"""WITH daily AS (
+       |  SELECT $seriesCol AS series, CAST($tsCol AS DATE) AS day, COUNT(*) AS n
+       |  FROM $table GROUP BY 1, 2
+       |), mm AS (
+       |  SELECT series, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+       |), spine AS (
+       |  SELECT series, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+       |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM mm
+       |)
+       |SELECT s.series, strftime(s.day, '%Y-%m-%d') AS day,
+       |  COALESCE(d.n, 0) AS n
+       |FROM spine s LEFT JOIN daily d ON s.series = d.series AND s.day = d.day
+       |ORDER BY s.series, s.day""".stripMargin
 }

@@ -960,7 +960,69 @@ object ExtQueries {
         |FROM lineitem, b
         |ORDER BY l_orderkey, l_linenumber""".stripMargin))
 
+  // E-stats Pearson correlation matrix: three lineitem pairs in ONE
+  // aggregation pass over exact decimal moments (1e4 fixed-point atoms,
+  // DECIMAL(38,0) sums) — Spark's own `corr` accumulates doubles in
+  // partition order and can't hash-match an independent engine. SQL
+  // GENERATED from the same constants/formula (Stats.corrMatrixSql).
+  private val statPairs = Seq(
+    "l_quantity" -> "l_extendedprice",
+    "l_extendedprice" -> "l_discount",
+    "l_quantity" -> "l_discount")
+  private val e41 = Q(
+    "e41_corr_matrix",
+    (s, dir) =>
+      graft.ops.Stats.corrMatrix(t(s, dir, "lineitem"), statPairs)
+        .orderBy(col("col_x"), col("col_y")),
+    Some(s"""SELECT * FROM (${graft.ops.Stats.corrMatrixSql("lineitem", statPairs)})
+            |ORDER BY col_x, col_y""".stripMargin))
+
+  // E-stats OLS fit l_extendedprice ~ l_quantity — same exact-moment
+  // machinery, textbook closed form in a fixed association; generated SQL.
+  private val e42 = Q(
+    "e42_linear_fit",
+    (s, dir) =>
+      graft.ops.Stats.linearFit(t(s, dir, "lineitem"), "l_quantity", "l_extendedprice"),
+    Some(graft.ops.Stats.linearFitSql("lineitem", "l_quantity", "l_extendedprice")))
+
+  // E-stats chi-square independence of documents source × lang: exact
+  // integer contingency counts (one cell-key shuffle, corpus scanned once),
+  // per-cell terms 1e-6 fixed-pointed and summed exactly (the e35 KL
+  // discipline); generated SQL.
+  private val e43 = Q(
+    "e43_chi_square",
+    (s, dir) =>
+      graft.ops.Stats.chiSquare(t(s, dir, "documents"), "source", "lang"),
+    Some(graft.ops.Stats.chiSquareSql("documents", "source", "lang")))
+
+  // E-ops quantile bucketing (feature binning): quartile assignment over
+  // l_extendedprice — cuts 4dp-rounded (the e10/e40 contract), bucket =
+  // codegen'd sum of ≥-comparisons against the broadcast cuts. SQL
+  // GENERATED from the same constants (Normalize.quantileBucketsSql).
+  private val e44 = Q(
+    "e44_quantile_buckets",
+    (s, dir) =>
+      graft.ops.Normalize.quantileBuckets(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+          "l_extendedprice", k = 4)
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some(s"""SELECT * FROM (${graft.ops.Normalize.quantileBucketsSql(
+               "(SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem)",
+               "l_extendedprice", 4)})
+            |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  // E5d daily gap filling (time-series resampling): per-type daily counts
+  // with missing calendar days zero-filled between each series' first and
+  // last observation — sequence() spine vs DuckDB generate_series. SQL
+  // GENERATED (Drift.fillDailyGapsSql).
+  private val e45 = Q(
+    "e45_fill_gaps",
+    (s, dir) => Drift.fillDailyGaps(graft.queries.Reference.events(s, dir)),
+    Some(Drift.fillDailyGapsSql("events")))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
-    e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40)
+    e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
+    e42, e43, e44, e45)
 }

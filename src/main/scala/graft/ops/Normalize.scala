@@ -60,4 +60,55 @@ object Normalize {
           .otherwise(least(greatest(col(valueCol), col("lo")), col("hi"))))
       .drop("lo", "hi")
   }
+
+  /** Quantile bucketing (feature binning / stratification key): append
+    * `{valueCol}_bucket` ∈ [0, k) — the row's position among the k−1
+    * interior percentile cut points (bucket = number of cuts ≤ value, so
+    * ties at a cut land in the upper bucket deterministically). The same
+    * two-job shape as [[winsorize]]: one percentile pass for the cuts
+    * (4dp-rounded — the portable fixed-point contract), then a broadcast
+    * into a per-row codegen'd sum of comparisons; the fact table never
+    * shuffles. Equal cut points (heavy ties in the data) simply leave some
+    * buckets empty rather than failing. Null values → null bucket.
+    */
+  def quantileBuckets(df: DataFrame, valueCol: String, k: Int,
+      exact: Boolean = true, knownRows: Long = -1L): DataFrame = {
+    require(k >= 2, s"quantileBuckets needs k >= 2 buckets, got $k")
+    val probs = (1 until k).map(_.toDouble / k)
+    val pcts =
+      if (exact) graft.ext.Percentiles.exact(df, Seq(valueCol -> probs),
+        knownRows = knownRows)
+      else graft.ext.Percentiles.approx(df, Seq(valueCol -> probs))
+    val cuts = pcts.select(
+      (1 until k).map(i =>
+        round(element_at(col(s"${valueCol}_pcts"), i), 4).as(s"__c$i")): _*)
+    val bucket = (1 until k)
+      .map(i => when(col(valueCol) >= col(s"__c$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    df.crossJoin(broadcast(cuts))
+      .withColumn(s"${valueCol}_bucket",
+        when(col(valueCol).isNull, lit(null).cast("int"))
+          .otherwise(bucket.cast("int")))
+      .drop((1 until k).map(i => s"__c$i"): _*)
+  }
+
+  /** DuckDB mirror of [[quantileBuckets]] — generated from the same
+    * constants (probabilities, 4dp rounding, ≥-comparison sum) so the
+    * bucket contract cannot drift. `table` may be any FROM-able SQL.
+    */
+  def quantileBucketsSql(table: String, valueCol: String, k: Int): String = {
+    val cutDefs = (1 until k)
+      .map(i => s"round(quantile_cont($valueCol, ${i.toDouble / k}), 4) AS c$i")
+      .mkString(",\n    ")
+    val sumTerms = (1 until k)
+      .map(i => s"CASE WHEN $valueCol >= c$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH cuts AS (
+       |  SELECT $cutDefs
+       |  FROM $table
+       |)
+       |SELECT t.*, CASE WHEN $valueCol IS NULL THEN NULL
+       |  ELSE CAST($sumTerms AS INTEGER) END AS ${valueCol}_bucket
+       |FROM $table t CROSS JOIN cuts""".stripMargin
+  }
 }

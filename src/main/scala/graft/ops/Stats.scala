@@ -1,0 +1,239 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classical statistics over fact tables — correlation, least squares,
+  * independence — computed with the repo's exactness discipline so the
+  * results are bit-identical across engines, runs, and partitionings.
+  *
+  * The moment problem: Pearson/OLS need Σx, Σx², Σxy. Spark's own
+  * `corr`/`covar_pop` accumulate doubles in partition order — nondeterministic
+  * at the last ulp under repartitioning, and unverifiable against an
+  * independent engine. Here every moment is an EXACT integer: values are
+  * fixed-pointed at 1e4 (`round(x·10⁴)`, the msum discipline) as
+  * DECIMAL(19,0), products are DECIMAL(38,0), and sums run in DECIMAL(38,0)
+  * (associative, exact — a Long would overflow at Σx² ≈ rows·10¹⁸; width
+  * 19 atoms keep DuckDB in INT128 and the product inside both engines'
+  * 38-digit decimal ceiling). The closed-form
+  * formula then runs ONCE on doubles cast from exactly-agreed decimals in a
+  * fixed association, so its result is bit-identical everywhere.
+  *
+  * Scale posture: corrMatrix/linearFit are ONE partial+final hash aggregate
+  * over a column-pruned scan — no shuffle of the fact table, no second
+  * pass, k pairs in one job. DECIMAL(38,0) headroom holds while
+  * rows · (|x|·10⁴)² < 10³⁸ — e.g. 10¹² rows of values up to 10⁹ in fixed
+  * point; past that, lower the fixed-point scale deliberately.
+  *
+  * Each operator ships a GENERATED DuckDB mirror (the Profile.profileSql
+  * pattern) so formula and constants cannot drift between engines.
+  */
+object Stats {
+
+  private val Scale = 10000L
+  private val TermScale = 1000000L
+
+  /** `round(x·10⁴)` as DECIMAL(19,0) — the exact fixed-point atom. Width 19
+    * (not 18) deliberately: DuckDB stores DECIMAL(≤18) in INT64 and its
+    * multiply overflows at ~10⁹ atoms, while width ≥19 runs in INT128 —
+    * 19+19 = 38 keeps the product inside both engines' decimal ceiling.
+    */
+  private def fx(c: Column): Column =
+    round(c * Scale, 0).cast("decimal(19,0)")
+
+  private def fxSql(c: String): String =
+    s"CAST(round($c * $Scale, 0) AS DECIMAL(19,0))"
+
+  /** Pearson correlation for each requested column pair: one row per pair
+    * with (col_x, col_y, n, corr), corr 4dp-rounded. ALL pairs are computed
+    * in a single aggregation job (every pair's moments are columns of one
+    * agg — the Profile one-pass pattern), so k pairs cost one scan, not k.
+    * A zero-variance side yields null corr (division guarded).
+    */
+  def corrMatrix(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "corrMatrix: no column pairs given")
+    val moments = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
+      Seq(
+        count(lit(1)).as(s"n_$i"),
+        sum(fx(col(x))).as(s"sx_$i"),
+        sum(fx(col(y))).as(s"sy_$i"),
+        sum(fx(col(x)) * fx(col(x))).as(s"sxx_$i"),
+        sum(fx(col(y)) * fx(col(y))).as(s"syy_$i"),
+        sum(fx(col(x)) * fx(col(y))).as(s"sxy_$i"))
+    }
+    val m = df.agg(moments.head, moments.tail: _*)
+    val rows = pairs.zipWithIndex.map { case ((x, y), i) =>
+      struct(lit(x).as("col_x"), lit(y).as("col_y"),
+        col(s"n_$i").as("n"),
+        corrFromMoments(col(s"n_$i"), col(s"sx_$i"), col(s"sy_$i"),
+          col(s"sxx_$i"), col(s"syy_$i"), col(s"sxy_$i")).as("corr"))
+    }
+    m.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.col_x"), col("r.col_y"), col("r.n"), col("r.corr"))
+  }
+
+  /** corr = (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²)), computed
+    * on doubles CAST from the exact decimal moments — identical inputs and
+    * a fixed association make the result bit-identical across engines.
+    */
+  private def corrFromMoments(n: Column, sx: Column, sy: Column,
+      sxx: Column, syy: Column, sxy: Column): Column = {
+    val nd = n.cast("double")
+    val (dx, dy) = (sx.cast("double"), sy.cast("double"))
+    val cov = nd * sxy.cast("double") - dx * dy
+    val vx = nd * sxx.cast("double") - dx * dx
+    val vy = nd * syy.cast("double") - dy * dy
+    when(vx <= 0.0 || vy <= 0.0, lit(null).cast("double"))
+      .otherwise(round(cov / (sqrt(vx) * sqrt(vy)), 4))
+  }
+
+  /** DuckDB mirror of [[corrMatrix]] — generated from the same constants
+    * and formula, so the two sides cannot drift.
+    */
+  def corrMatrixSql(table: String, pairs: Seq[(String, String)]): String = {
+    val selects = pairs.map { case (x, y) =>
+      val (a, b) = (fxSql(x), fxSql(y))
+      s"""SELECT '$x' AS col_x, '$y' AS col_y, n, corr FROM (
+         |  SELECT COUNT(*) AS n,
+         |    CASE WHEN CAST(COUNT(*) AS DOUBLE) * CAST(SUM($a * $a) AS DOUBLE)
+         |           - CAST(SUM($a) AS DOUBLE) * CAST(SUM($a) AS DOUBLE) <= 0
+         |         OR CAST(COUNT(*) AS DOUBLE) * CAST(SUM($b * $b) AS DOUBLE)
+         |           - CAST(SUM($b) AS DOUBLE) * CAST(SUM($b) AS DOUBLE) <= 0
+         |    THEN NULL ELSE
+         |      round((CAST(COUNT(*) AS DOUBLE) * CAST(SUM($a * $b) AS DOUBLE)
+         |        - CAST(SUM($a) AS DOUBLE) * CAST(SUM($b) AS DOUBLE))
+         |        / (sqrt(CAST(COUNT(*) AS DOUBLE) * CAST(SUM($a * $a) AS DOUBLE)
+         |            - CAST(SUM($a) AS DOUBLE) * CAST(SUM($a) AS DOUBLE))
+         |          * sqrt(CAST(COUNT(*) AS DOUBLE) * CAST(SUM($b * $b) AS DOUBLE)
+         |            - CAST(SUM($b) AS DOUBLE) * CAST(SUM($b) AS DOUBLE))), 4)
+         |    END AS corr
+         |  FROM $table)""".stripMargin
+    }
+    selects.mkString("\nUNION ALL\n")
+  }
+
+  /** Ordinary least squares y = intercept + slope·x (one row: n, slope,
+    * intercept, r2, all 4dp-rounded) — the same exact moments, the
+    * textbook closed form in a fixed association. The fixed-point inputs
+    * are 10⁴× the data: the slope is scale-free, the intercept de-scales by
+    * 10⁴ once. Zero x-variance → null slope/intercept/r2.
+    */
+  def linearFit(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val m = df.agg(
+      count(lit(1)).as("n"),
+      sum(fx(col(xCol))).as("sx"),
+      sum(fx(col(yCol))).as("sy"),
+      sum(fx(col(xCol)) * fx(col(xCol))).as("sxx"),
+      sum(fx(col(yCol)) * fx(col(yCol))).as("syy"),
+      sum(fx(col(xCol)) * fx(col(yCol))).as("sxy"))
+    val nd = col("n").cast("double")
+    val (dx, dy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val vx = nd * col("sxx").cast("double") - dx * dx
+    val vy = nd * col("syy").cast("double") - dy * dy
+    val cov = nd * col("sxy").cast("double") - dx * dy
+    val slope = cov / vx
+    val r = cov / (sqrt(vx) * sqrt(vy))
+    m.select(col("n"),
+      when(vx <= 0.0, lit(null).cast("double"))
+        .otherwise(round(slope, 4)).as("slope"),
+      when(vx <= 0.0, lit(null).cast("double"))
+        .otherwise(round((dy - slope * dx) / nd / Scale, 4)).as("intercept"),
+      when(vx <= 0.0 || vy <= 0.0, lit(null).cast("double"))
+        .otherwise(round(r * r, 4)).as("r2"))
+  }
+
+  /** DuckDB mirror of [[linearFit]] — generated, same constants/formula. */
+  def linearFitSql(table: String, xCol: String, yCol: String): String = {
+    val (a, b) = (fxSql(xCol), fxSql(yCol))
+    s"""WITH m AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM($a) AS DOUBLE) AS dx, CAST(SUM($b) AS DOUBLE) AS dy,
+       |    CAST(SUM($a * $a) AS DOUBLE) AS dxx,
+       |    CAST(SUM($b * $b) AS DOUBLE) AS dyy,
+       |    CAST(SUM($a * $b) AS DOUBLE) AS dxy
+       |  FROM $table
+       |), f AS (
+       |  SELECT n,
+       |    CAST(n AS DOUBLE) * dxx - dx * dx AS vx,
+       |    CAST(n AS DOUBLE) * dyy - dy * dy AS vy,
+       |    CAST(n AS DOUBLE) * dxy - dx * dy AS cov,
+       |    dx, dy FROM m
+       |)
+       |SELECT n,
+       |  CASE WHEN vx <= 0 THEN NULL ELSE round(cov / vx, 4) END AS slope,
+       |  CASE WHEN vx <= 0 THEN NULL ELSE
+       |    round((dy - (cov / vx) * dx) / CAST(n AS DOUBLE) / $Scale, 4)
+       |  END AS intercept,
+       |  CASE WHEN vx <= 0 OR vy <= 0 THEN NULL ELSE
+       |    round((cov / (sqrt(vx) * sqrt(vy))) * (cov / (sqrt(vx) * sqrt(vy))), 4)
+       |  END AS r2
+       |FROM f""".stripMargin
+  }
+
+  /** Chi-square test of independence between two categorical columns:
+    * one row with the contingency dimensions, dof, and the χ² statistic.
+    * Observed and marginal counts are exact longs — ONE count shuffle on
+    * the cell key, marginals re-aggregated from the (tiny, persisted) cell
+    * table, so the corpus is scanned once. Each cell's (obs − exp)²/exp
+    * term is computed on doubles derived from those exact integers in a
+    * fixed association, 1e-6 fixed-pointed, and summed exactly (the Drift
+    * KL discipline) — engine-portable. dof = (n_a − 1)·(n_b − 1).
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("obs"))
+      .persist()
+    val aTot = cells.groupBy("a").agg(sum("obs").as("a_tot"))
+    val bTot = cells.groupBy("b").agg(sum("obs").as("b_tot"))
+    val n = cells.agg(sum("obs").as("n_tot"))
+    val exp = col("a_tot").cast("double") * col("b_tot").cast("double") /
+      col("n_tot").cast("double")
+    // densify to the FULL marginal grid: a (a, b) combination never observed
+    // still contributes (0 − exp)²/exp = exp — dropping structural zeros
+    // would understate the statistic exactly on the most dependent data
+    val d = coalesce(col("obs"), lit(0L)).cast("double") - exp
+    aTot.crossJoin(broadcast(bTot))
+      .join(broadcast(cells), Seq("a", "b"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), round(d * d / exp, 6).as("t"))
+      .agg(
+        countDistinct(col("a")).as("n_a"),
+        countDistinct(col("b")).as("n_b"),
+        (sum(round(col("t") * TermScale, 0).cast("long")).cast("double") / TermScale)
+          .as("chi2"))
+      .select(col("n_a"), col("n_b"),
+        ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"), col("chi2"))
+  }
+
+  /** DuckDB mirror of [[chiSquare]] — generated, same fixed points; the
+    * squared deviation is written `(d)*(d)`, not POWER(d,2), so both
+    * engines run the identical IEEE multiply.
+    */
+  def chiSquareSql(table: String, aCol: String, bCol: String): String =
+    s"""WITH cells AS (
+       |  SELECT $aCol AS a, $bCol AS b, COUNT(*) AS obs
+       |  FROM $table GROUP BY $aCol, $bCol
+       |), at AS (SELECT a, SUM(obs) AS a_tot FROM cells GROUP BY a),
+       |bt AS (SELECT b, SUM(obs) AS b_tot FROM cells GROUP BY b),
+       |nt AS (SELECT SUM(obs) AS n_tot FROM cells),
+       |grid AS (
+       |  SELECT at.a, bt.b, COALESCE(obs, 0) AS obs, a_tot, b_tot, n_tot
+       |  FROM at CROSS JOIN bt
+       |  LEFT JOIN cells ON cells.a = at.a AND cells.b = bt.b
+       |  CROSS JOIN nt
+       |), terms AS (
+       |  SELECT a, b,
+       |    round((CAST(obs AS DOUBLE)
+       |        - CAST(a_tot AS DOUBLE) * CAST(b_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+       |      * (CAST(obs AS DOUBLE)
+       |        - CAST(a_tot AS DOUBLE) * CAST(b_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+       |      / (CAST(a_tot AS DOUBLE) * CAST(b_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)),
+       |      6) AS t
+       |  FROM grid
+       |)
+       |SELECT COUNT(DISTINCT a) AS n_a, COUNT(DISTINCT b) AS n_b,
+       |  (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
+       |  CAST(SUM(CAST(round(t * $TermScale, 0) AS BIGINT)) AS DOUBLE) / $TermScale
+       |    AS chi2
+       |FROM terms""".stripMargin
+}

@@ -65,6 +65,36 @@ class DriftSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("fillDailyGaps zero-fills interior holes per series, never pads the edges") {
+    import spark.implicits._
+    val ev = Seq(
+      ("click", "2024-03-01 10:00:00"), ("click", "2024-03-01 11:00:00"),
+      ("click", "2024-03-04 09:00:00"), // 2nd+3rd missing → zero-filled
+      ("view", "2024-03-02 08:00:00")) // single-day series: no padding
+      .toDF("event_type", "tss")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val got = Drift.fillDailyGaps(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("click", "2024-03-01", 2L), ("click", "2024-03-02", 0L),
+      ("click", "2024-03-03", 0L), ("click", "2024-03-04", 1L),
+      ("view", "2024-03-02", 1L)))
+  }
+
+  test("fillDailyGaps on real events is contiguous and count-preserving") {
+    val ev = graft.queries.Reference.events(spark, "/root/testdata/sf0.001")
+    val filled = Drift.fillDailyGaps(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(filled.map(_._3).sum == ev.count())
+    // per series: exactly (last − first + 1) days, each day present once
+    filled.groupBy(_._1).foreach { case (_, rows) =>
+      val days = rows.map(_._2).sorted
+      val span = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(days.head), java.time.LocalDate.parse(days.last))
+      assert(days.length == span + 1 && days.distinct.length == days.length)
+    }
+  }
+
   test("sourceTokenKl is repartition-stable on real documents") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = Drift.sourceTokenKl(docs).collect().toSeq

@@ -44,6 +44,28 @@ class NormalizeSpec extends AnyFunSuite {
     assert(math.abs(ex.getDouble(1) - ap.getDouble(1)) / ex.getDouble(1) < 0.01)
   }
 
+  test("quantileBuckets assigns quartiles with upper-bucket ties and null passthrough") {
+    import spark.implicits._
+    // 1..8 → cuts at p25/p50/p75 of the continuous definition:
+    // 2.75, 4.5, 6.25 → buckets {1,2}=0 {3,4}=1 {5,6}=2 {7,8}=3
+    val df = ((1 to 8).map(i => Some(i.toDouble)) :+ None).toDF("v")
+    val got = Normalize.quantileBuckets(df, "v", k = 4).collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Double]) ->
+        Option(r.get(1)).map(_.asInstanceOf[Int])).toMap
+    assert(got(Some(1.0)) == Some(0) && got(Some(2.0)) == Some(0))
+    assert(got(Some(3.0)) == Some(1) && got(Some(4.0)) == Some(1))
+    assert(got(Some(5.0)) == Some(2) && got(Some(6.0)) == Some(2))
+    assert(got(Some(7.0)) == Some(3) && got(Some(8.0)) == Some(3))
+    assert(got(None).isEmpty)
+    // a value exactly AT a cut lands in the upper bucket
+    val tied = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val t2 = Normalize.quantileBuckets(tied, "v", k = 2).collect()
+      .map(r => r.getDouble(0) -> r.getInt(1)).toMap
+    // p50 of 1..4 = 2.5 → {1,2}=0, {3,4}=1
+    assert(t2 == Map(1.0 -> 0, 2.0 -> 0, 3.0 -> 1, 4.0 -> 1))
+    intercept[IllegalArgumentException](Normalize.quantileBuckets(tied, "v", 1))
+  }
+
   test("invalid probability ranges are refused") {
     import spark.implicits._
     val df = Seq(1.0).toDF("v")

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("corrMatrix recovers perfect, inverted, and degenerate correlation") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i.toDouble, 2.0 * i + 3, 10.0 - i, 5.0))
+      .toDF("x", "y", "z", "c")
+    val got = Stats.corrMatrix(df, Seq("x" -> "y", "x" -> "z", "x" -> "c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      ("x", "y", 10L, Some(1.0)),
+      ("x", "z", 10L, Some(-1.0)),
+      ("x", "c", 10L, None))) // zero-variance side → null, not NaN
+  }
+
+  test("corrMatrix matches a hand-computed non-trivial correlation") {
+    import spark.implicits._
+    // x = 1,2,3,4; y = 1,3,2,4 → r = (4·30−10·10)/((4·30−100)) = 20/√(20·20)… compute
+    val xs = Seq(1.0, 2.0, 3.0, 4.0)
+    val ys = Seq(1.0, 3.0, 2.0, 4.0)
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(v => v * v).sum
+    val syy = ys.map(v => v * v).sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val want = BigDecimal((n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Stats.corrMatrix(xs.zip(ys).toDF("x", "y"), Seq("x" -> "y"))
+      .head().getDouble(3)
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("linearFit recovers an exact line and guards zero variance") {
+    import spark.implicits._
+    val line = (1 to 20).map(i => (i.toDouble, 2.5 * i + 7)).toDF("x", "y")
+    val r = Stats.linearFit(line, "x", "y").head()
+    assert(r.getLong(0) == 20L)
+    assert(r.getDouble(1) == 2.5 && r.getDouble(2) == 7.0 && r.getDouble(3) == 1.0,
+      r.toString)
+    val flat = (1 to 5).map(i => (1.0, i.toDouble)).toDF("x", "y")
+    val f = Stats.linearFit(flat, "x", "y").head()
+    assert(f.isNullAt(1) && f.isNullAt(2) && f.isNullAt(3))
+  }
+
+  test("chiSquare is zero on independence and counts structural zeros") {
+    import spark.implicits._
+    // perfectly independent 2×2 (uniform) → chi2 = 0
+    val indep = Seq.fill(10)(("a1", "b1")) ++ Seq.fill(10)(("a1", "b2")) ++
+      Seq.fill(10)(("a2", "b1")) ++ Seq.fill(10)(("a2", "b2"))
+    val r0 = Stats.chiSquare(indep.toDF("a", "b"), "a", "b").head()
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2), r0.getDouble(3)) ==
+      ((2L, 2L, 1L, 0.0)))
+    // perfect dependence with structural zeros: a1→b1, a2→b2 only;
+    // chi2 = n for a 2×2 (here 40) — only reached if empty cells contribute
+    val dep = Seq.fill(20)(("a1", "b1")) ++ Seq.fill(20)(("a2", "b2"))
+    val r1 = Stats.chiSquare(dep.toDF("a", "b"), "a", "b").head()
+    assert(r1.getDouble(3) == 40.0, r1.toString)
+    assert(r1.getLong(2) == 1L)
+  }
+
+  test("stats are repartition-stable on real lineitem data") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val pairs = Seq("l_quantity" -> "l_extendedprice")
+    val a = Stats.corrMatrix(li, pairs).collect().toSeq
+    val b = Stats.corrMatrix(li.repartition(7), pairs).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    val fa = Stats.linearFit(li, "l_quantity", "l_extendedprice").collect().toSeq
+    val fb = Stats.linearFit(li.repartition(7), "l_quantity", "l_extendedprice")
+      .collect().toSeq
+    assert(fa == fb)
+    // the synthetic testdata draws quantity and price independently — the
+    // point here is a well-formed, deterministic value, not a TPC-H shape
+    assert(math.abs(a.head.getDouble(3)) <= 1.0, a.head.toString)
+  }
+}

@@ -18,11 +18,13 @@ class PlanGuardSpec extends AnyFunSuite {
   // one-row stats or benchmark-set cross join; e18: the distinct-lengths
   // dimension; e29/e30: the one-row vocabulary-size frame) — anything NOT
   // listed here sprouting a BNLJ is a regression (e37: the broadcast
-  // benchmark embedding set; e40: the one-row clip-bounds frame)
+  // benchmark embedding set; e40/e44: the one-row clip-bounds/cuts frame;
+  // e43: the category-sized marginal grid and its one-row total)
   private val bnljByDesign =
     Set("e02_cosine_topk", "e15_decontam", "e17_bm25", "e18_editdist",
       "e29_lm_score", "e30_dsir_select", "e33_pmi_bigrams", "e35_source_kl",
-      "e37_semantic_decontam", "e40_winsorize")
+      "e37_semantic_decontam", "e40_winsorize", "e43_chi_square",
+      "e44_quantile_buckets")
 
   test("no declared query plans a CartesianProduct; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
