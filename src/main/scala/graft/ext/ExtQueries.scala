@@ -1021,8 +1021,71 @@ object ExtQueries {
     (s, dir) => Drift.fillDailyGaps(graft.queries.Reference.events(s, dir)),
     Some(Drift.fillDailyGapsSql("events")))
 
+  // E-stats grouped OLS: per-event-type trend of DAILY VOLUME over the
+  // zero-filled day grid (e45's spine feeding e42's machinery — sparse
+  // series regress over their zero days, not just observed ones). All
+  // series fit in ONE moment aggregate; x = days since epoch.
+  private val e46 = Q(
+    "e46_trend_by_series",
+    (s, dir) => {
+      val xy = Drift.fillDailyGaps(graft.queries.Reference.events(s, dir))
+        .select(col("series"),
+          datediff(to_date(col("day")), to_date(lit("1970-01-01")))
+            .cast("double").as("x"),
+          col("n").cast("double").as("y"))
+      graft.ops.Stats.linearFitBy(xy, Seq("series"), "x", "y")
+        .orderBy(col("series"))
+    },
+    Some(graft.ops.Stats.linearFitBySql("xy", "series", "x", "y",
+      prelude = s"""filled AS (${Drift.fillDailyGapsSql("events")}),
+                   |xy AS (
+                   |  SELECT series,
+                   |    CAST(date_diff('day', DATE '1970-01-01', CAST(day AS DATE))
+                   |      AS DOUBLE) AS x,
+                   |    CAST(n AS DOUBLE) AS y
+                   |  FROM filled),""".stripMargin)))
+
+  // E-ops equi-width histogram of l_extendedprice, 20 bins, zero bins
+  // densified — the distribution companion to e25's datasheet. SQL
+  // GENERATED (Profile.histogramSql).
+  private val e47 = Q(
+    "e47_histogram",
+    (s, dir) =>
+      graft.ops.Profile.histogram(t(s, dir, "lineitem"), "l_extendedprice", bins = 20),
+    Some(graft.ops.Profile.histogramSql("lineitem", "l_extendedprice", bins = 20)))
+
+  // E-ops weighted sample: 100 documents ∝ n_chars via Gumbel top-k with
+  // md5 noise (the e30 selection machinery generalized to any positive
+  // weight column); both engines pick the identical set.
+  private val e48 = Q(
+    "e48_weighted_sample",
+    (s, dir) =>
+      graft.ops.Splits.weightedSampleK(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          k = 100, weightCol = "n_chars")
+        .orderBy(col("key_e4").desc, col("doc_id")),
+    Some {
+      val h16 =
+        """((((strpos('0123456789abcdef', substr(m,1,1)) - 1) * 16
+          |      + (strpos('0123456789abcdef', substr(m,2,1)) - 1)) * 16
+          |      + (strpos('0123456789abcdef', substr(m,3,1)) - 1)) * 16
+          |      + (strpos('0123456789abcdef', substr(m,4,1)) - 1))""".stripMargin
+      s"""WITH w AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(round(ln(CAST(n_chars AS DOUBLE)) * 10000, 0) AS BIGINT)
+         |      AS logw_e4,
+         |    md5('wsample' || CAST(doc_id AS VARCHAR)) AS m
+         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+         |)
+         |SELECT doc_id, n_chars, logw_e4,
+         |  logw_e4 + CAST(round(-ln(-ln(($h16 + 0.5) / 65536.0)) * 10000)
+         |    AS BIGINT) AS key_e4
+         |FROM w
+         |ORDER BY key_e4 DESC, doc_id LIMIT 100""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
-    e42, e43, e44, e45)
+    e42, e43, e44, e45, e46, e47, e48)
 }

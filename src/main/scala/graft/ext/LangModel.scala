@@ -150,7 +150,11 @@ object LangModel {
     * to a continuous distribution (16-bit resolution; the weight term
     * dominates selection long before quantization matters).
     */
-  private def gumbelE4(c: Column, salt: String): Column =
+  /** md5-derived Gumbel noise in 1e-4 fixed point — shared by DSIR and the
+    * general [[graft.ops.Splits.weightedSampleK]] so every weighted
+    * selection in the library draws from ONE portable noise formula.
+    */
+  private[graft] def gumbelE4(c: Column, salt: String): Column =
     round(-log(-log(
       (conv(substring(md5(concat(lit(salt), c.cast("string"))), 1, 4), 16, 10)
         .cast("double") + 0.5) / 65536.0)) * Scale, 0).cast("long")

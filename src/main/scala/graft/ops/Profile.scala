@@ -89,4 +89,68 @@ object Profile {
     }
     per.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
+
+  /** Equi-width histogram of a numeric column: `bins` buckets spanning
+    * [min, max], EVERY bin present (zero bins densified from a
+    * `sequence()` spine — a silent hole reads as "no data here" when it
+    * means "bin not emitted"). Output: (bin, lo, hi, n) with lo/hi
+    * 4dp-rounded bin edges; the max value lands in the last bin
+    * (right-closed top edge); nulls are excluded from the count and the
+    * range.
+    *
+    * Scale shape: one min/max aggregate (1-row broadcast), then a per-row
+    * codegen'd bin assignment and a bins-bounded count shuffle — the
+    * column is scanned twice but never shuffled. Bin arithmetic fixes its
+    * association (`(v − min) / span · bins`, floored) so assignment is
+    * IEEE-identical across engines. Degenerate range (min = max) puts
+    * every row in bin 0.
+    */
+  def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins > 0, s"histogram needs bins > 0, got $bins")
+    val mm = df.agg(
+      min(col(valueCol)).cast("double").as("__lo"),
+      max(col(valueCol)).cast("double").as("__hi"))
+    val span = col("__hi") - col("__lo")
+    val bin = when(span === 0.0, lit(0))
+      .otherwise(least(lit(bins - 1),
+        floor((col(valueCol).cast("double") - col("__lo")) / span * bins).cast("int")))
+    val counts = df.where(col(valueCol).isNotNull)
+      .crossJoin(broadcast(mm))
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val spine = mm.select(explode(sequence(lit(0), lit(bins - 1))).as("bin"),
+      col("__lo"), col("__hi"))
+    spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        round(col("__lo") + col("bin") * (col("__hi") - col("__lo")) / bins, 4).as("lo"),
+        round(col("__lo") + (col("bin") + 1) * (col("__hi") - col("__lo")) / bins, 4).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("bin"))
+  }
+
+  /** DuckDB mirror of [[histogram]] — generated, same bin association and
+    * densified spine.
+    */
+  def histogramSql(table: String, valueCol: String, bins: Int): String =
+    s"""WITH mm AS (
+       |  SELECT CAST(min($valueCol) AS DOUBLE) AS lo0,
+       |         CAST(max($valueCol) AS DOUBLE) AS hi0
+       |  FROM $table
+       |), counts AS (
+       |  SELECT CASE WHEN hi0 - lo0 = 0 THEN 0
+       |    ELSE LEAST($bins - 1, CAST(floor(
+       |      (CAST($valueCol AS DOUBLE) - lo0) / (hi0 - lo0) * $bins) AS INTEGER))
+       |    END AS bin, COUNT(*) AS n
+       |  FROM $table CROSS JOIN mm
+       |  WHERE $valueCol IS NOT NULL
+       |  GROUP BY 1
+       |), spine AS (
+       |  SELECT unnest(range(0, $bins)) AS bin, lo0, hi0 FROM mm
+       |)
+       |SELECT CAST(s.bin AS INTEGER) AS bin,
+       |  round(lo0 + s.bin * (hi0 - lo0) / $bins, 4) AS lo,
+       |  round(lo0 + (s.bin + 1) * (hi0 - lo0) / $bins, 4) AS hi,
+       |  COALESCE(n, 0) AS n
+       |FROM spine s LEFT JOIN counts c ON s.bin = c.bin
+       |ORDER BY bin""".stripMargin
 }

@@ -111,6 +111,38 @@ object Splits {
       .limit(k)
   }
 
+  /** Deterministic WEIGHTED sample without replacement: k rows selected
+    * with probability ∝ `weightCol` via the Gumbel top-k trick (key =
+    * ln(w) + Gumbel noise, keep the k largest) — the general form of the
+    * DSIR selection ([[graft.ext.LangModel.dsirSample]]), for any positive
+    * weight column (quality scores, lengths, LM fluency). The noise is
+    * md5-derived ([[graft.ext.LangModel.gumbelE4]] — one shared formula)
+    * and ln(w) is 1e-4 fixed-pointed (the e33 round-the-libm-call
+    * discipline), so the selected set is a property of the data + salt:
+    * identical on any engine, any run, any partitioning. Integer key
+    * arithmetic; ties break by id.
+    *
+    * Rows with null or non-positive weight are excluded (ln undefined) —
+    * deliberately loud in the scaladoc rather than silently zero-weighted.
+    * Same TakeOrderedAndProject shape and driver-memory guard as
+    * [[sampleExactK]]. Output: original row + `logw_e4`, `key_e4`,
+    * best-first.
+    */
+  def weightedSampleK(df: DataFrame, k: Int, weightCol: String,
+      idCol: String = "doc_id", salt: String = "wsample",
+      maxK: Int = 10000000): DataFrame = {
+    require(k > 0 && k <= maxK,
+      s"weightedSampleK gathers k rows to the driver: k=$k outside (0, $maxK]. " +
+        "Raise maxK deliberately at your own driver's risk.")
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("logw_e4",
+        round(log(col(weightCol).cast("double")) * 10000, 0).cast("long"))
+      .withColumn("key_e4",
+        col("logw_e4") + graft.ext.LangModel.gumbelE4(col(idCol), salt))
+      .orderBy(col("key_e4").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic per-group cap — "at most k documents per domain", the
     * anti-concentration control of a corpus mix (one boilerplate-heavy
     * source must not dominate training data). Rows are ranked inside each

@@ -119,13 +119,34 @@ object Stats {
     * 10⁴ once. Zero x-variance → null slope/intercept/r2.
     */
   def linearFit(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val m = df.agg(
-      count(lit(1)).as("n"),
-      sum(fx(col(xCol))).as("sx"),
-      sum(fx(col(yCol))).as("sy"),
-      sum(fx(col(xCol)) * fx(col(xCol))).as("sxx"),
-      sum(fx(col(yCol)) * fx(col(yCol))).as("syy"),
-      sum(fx(col(xCol)) * fx(col(yCol))).as("sxy"))
+    val a = fitMomentAggs(xCol, yCol)
+    fitSelect(df.agg(a.head, a.tail: _*), Nil)
+  }
+
+  /** Grouped OLS — one fit per key, ALL fits in one partial+final hash
+    * aggregate (millions of series cost one shuffle of six-number moment
+    * rows, never a per-series job): the per-series trend primitive behind
+    * fleet-wide monitoring (compose with
+    * [[graft.ext.Drift.fillDailyGaps]] so sparse series regress over their
+    * zero days, not just their observed ones). Output: keyCols + (n,
+    * slope, intercept, r2).
+    */
+  def linearFitBy(df: DataFrame, keyCols: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "linearFitBy: keyCols must be non-empty (use linearFit)")
+    val a = fitMomentAggs(xCol, yCol)
+    fitSelect(df.groupBy(keyCols.map(col): _*).agg(a.head, a.tail: _*), keyCols)
+  }
+
+  private def fitMomentAggs(xCol: String, yCol: String): Seq[Column] = Seq(
+    count(lit(1)).as("n"),
+    sum(fx(col(xCol))).as("sx"),
+    sum(fx(col(yCol))).as("sy"),
+    sum(fx(col(xCol)) * fx(col(xCol))).as("sxx"),
+    sum(fx(col(yCol)) * fx(col(yCol))).as("syy"),
+    sum(fx(col(xCol)) * fx(col(yCol))).as("sxy"))
+
+  private def fitSelect(m: DataFrame, keyCols: Seq[String]): DataFrame = {
     val nd = col("n").cast("double")
     val (dx, dy) = (col("sx").cast("double"), col("sy").cast("double"))
     val vx = nd * col("sxx").cast("double") - dx * dx
@@ -133,33 +154,48 @@ object Stats {
     val cov = nd * col("sxy").cast("double") - dx * dy
     val slope = cov / vx
     val r = cov / (sqrt(vx) * sqrt(vy))
-    m.select(col("n"),
+    m.select(keyCols.map(col) ++ Seq(col("n"),
       when(vx <= 0.0, lit(null).cast("double"))
         .otherwise(round(slope, 4)).as("slope"),
       when(vx <= 0.0, lit(null).cast("double"))
         .otherwise(round((dy - slope * dx) / nd / Scale, 4)).as("intercept"),
       when(vx <= 0.0 || vy <= 0.0, lit(null).cast("double"))
-        .otherwise(round(r * r, 4)).as("r2"))
+        .otherwise(round(r * r, 4)).as("r2")): _*)
   }
 
   /** DuckDB mirror of [[linearFit]] — generated, same constants/formula. */
-  def linearFitSql(table: String, xCol: String, yCol: String): String = {
+  def linearFitSql(table: String, xCol: String, yCol: String): String =
+    fitSqlBuilder(table, None, xCol, yCol, "")
+
+  /** DuckDB mirror of [[linearFitBy]]. `prelude` lets callers prepend CTEs
+    * (e.g. a gap-filled series table) — it is spliced verbatim after WITH.
+    */
+  def linearFitBySql(table: String, keyCol: String, xCol: String,
+      yCol: String, prelude: String = ""): String =
+    fitSqlBuilder(table, Some(keyCol), xCol, yCol, prelude)
+
+  private def fitSqlBuilder(table: String, keyCol: Option[String],
+      xCol: String, yCol: String, prelude: String): String = {
     val (a, b) = (fxSql(xCol), fxSql(yCol))
-    s"""WITH m AS (
-       |  SELECT COUNT(*) AS n,
+    val keySel = keyCol.map(k => s"$k, ").getOrElse("")
+    val keyBy = keyCol.map(k => s" GROUP BY $k").getOrElse("")
+    val keyOrd = keyCol.map(k => s"\nORDER BY $k").getOrElse("")
+    val pre = if (prelude.isEmpty) "" else s"$prelude "
+    s"""WITH ${pre}m AS (
+       |  SELECT ${keySel}COUNT(*) AS n,
        |    CAST(SUM($a) AS DOUBLE) AS dx, CAST(SUM($b) AS DOUBLE) AS dy,
        |    CAST(SUM($a * $a) AS DOUBLE) AS dxx,
        |    CAST(SUM($b * $b) AS DOUBLE) AS dyy,
        |    CAST(SUM($a * $b) AS DOUBLE) AS dxy
-       |  FROM $table
+       |  FROM $table$keyBy
        |), f AS (
-       |  SELECT n,
+       |  SELECT ${keySel}n,
        |    CAST(n AS DOUBLE) * dxx - dx * dx AS vx,
        |    CAST(n AS DOUBLE) * dyy - dy * dy AS vy,
        |    CAST(n AS DOUBLE) * dxy - dx * dy AS cov,
        |    dx, dy FROM m
        |)
-       |SELECT n,
+       |SELECT ${keySel}n,
        |  CASE WHEN vx <= 0 THEN NULL ELSE round(cov / vx, 4) END AS slope,
        |  CASE WHEN vx <= 0 THEN NULL ELSE
        |    round((dy - (cov / vx) * dx) / CAST(n AS DOUBLE) / $Scale, 4)
@@ -167,7 +203,7 @@ object Stats {
        |  CASE WHEN vx <= 0 OR vy <= 0 THEN NULL ELSE
        |    round((cov / (sqrt(vx) * sqrt(vy))) * (cov / (sqrt(vx) * sqrt(vy))), 4)
        |  END AS r2
-       |FROM f""".stripMargin
+       |FROM f$keyOrd""".stripMargin
   }
 
   /** Chi-square test of independence between two categorical columns:

@@ -52,6 +52,28 @@ class ProfileSpec extends AnyFunSuite {
     assert(math.abs(row("a") - 100L) <= 5 && math.abs(row("b") - 7L) <= 1)
   }
 
+  test("histogram bins span [min,max], keep zero bins, and bound the edges") {
+    import spark.implicits._
+    // 0..10 over 5 bins of width 2: value 10 (the max) joins the last bin
+    val df = ((0 to 10).map(_.toDouble) :+ 4.5).toDF("v")
+    val got = Profile.histogram(df, "v", bins = 5).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0, 0.0, 2.0, 2L), (1, 2.0, 4.0, 2L), (2, 4.0, 6.0, 3L),
+      (3, 6.0, 8.0, 2L), (4, 8.0, 10.0, 3L)))
+    // a hole in the data still yields its bin, with n = 0
+    val sparse = Seq(0.0, 10.0).toDF("v")
+    val s = Profile.histogram(sparse, "v", bins = 5).collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(s == Map(0 -> 1L, 1 -> 0L, 2 -> 0L, 3 -> 0L, 4 -> 1L))
+    // degenerate range: everything in bin 0
+    val const = Seq(7.0, 7.0, 7.0).toDF("v")
+    val c = Profile.histogram(const, "v", bins = 4).collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(c(0) == 3L && c.values.sum == 3L)
+    intercept[IllegalArgumentException](Profile.histogram(df, "v", 0))
+  }
+
   test("profile refuses unknown columns") {
     import spark.implicits._
     val df = Seq((1, "a")).toDF("a", "b")

@@ -122,6 +122,31 @@ class SplitsSpec extends AnyFunSuite {
       Splits.stratifiedSampleByHash(mixFrame, "src", Map("en" -> 50), defaultPct = -1))
   }
 
+  test("weightedSampleK favors heavy rows, excludes non-positive weights, stays stable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.rand
+    // 500 light rows (w=1) + 50 heavy rows (w=1000) + degenerate weights
+    val rows = (0L until 500L).map(i => (i, 1.0)) ++
+      (500L until 550L).map(i => (i, 1000.0)) ++
+      Seq((900L, 0.0), (901L, -3.0))
+    val df = rows.toDF("doc_id", "w")
+    val got = Splits.weightedSampleK(df, k = 50, weightCol = "w")
+    val ids = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    // zero/negative weights can never be selected
+    assert(!ids.contains(900L) && !ids.contains(901L))
+    // heavy rows are 1000× likelier: they dominate a k=50 draw from 550
+    assert(ids.count(_ >= 500L) > 40, s"heavy picked ${ids.count(_ >= 500L)}")
+    // deterministic under repartitioning and row order
+    val again = Splits.weightedSampleK(df.repartition(7).orderBy(rand(5)),
+      k = 50, weightCol = "w").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+    // a different salt rotates the selection
+    val rotated = Splits.weightedSampleK(df, k = 50, weightCol = "w",
+      salt = "other").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rotated != ids)
+    intercept[IllegalArgumentException](Splits.weightedSampleK(df, 0, "w"))
+  }
+
   test("sampleExactK is exact-size, nested, repartition-stable, and heap-planned") {
     import spark.implicits._
     import org.apache.spark.sql.functions.rand

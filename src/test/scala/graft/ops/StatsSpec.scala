@@ -65,6 +65,24 @@ class StatsSpec extends AnyFunSuite {
     assert(r1.getLong(2) == 1L)
   }
 
+  test("linearFitBy fits each series independently in one aggregate") {
+    import spark.implicits._
+    val df = ((1 to 10).map(i => ("up", i.toDouble, 3.0 * i + 1)) ++
+      (1 to 10).map(i => ("down", i.toDouble, -2.0 * i + 5)) ++
+      (1 to 3).map(_ => ("flat", 4.0, 9.0))).toDF("series", "x", "y")
+    val got = Stats.linearFitBy(df, Seq("series"), "x", "y").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got("up") == ((10L, Some(3.0), Some(1.0))))
+    assert(got("down") == ((10L, Some(-2.0), Some(5.0))))
+    // zero x-variance series → null fit, not a poisoned aggregate
+    assert(got("flat") == ((3L, None, None)))
+    // matches the ungrouped fit on a single series
+    val solo = Stats.linearFit(df.where($"series" === "up"), "x", "y").head()
+    assert(solo.getDouble(1) == 3.0 && solo.getDouble(2) == 1.0)
+  }
+
   test("stats are repartition-stable on real lineitem data") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val pairs = Seq("l_quantity" -> "l_extendedprice")
