@@ -173,9 +173,14 @@ object Drift {
     */
   def fillDailyGaps(events: DataFrame, seriesCol: String = "event_type",
       tsCol: String = "ts"): DataFrame = {
+    // persisted: the spine's min/max pass and the fill join both consume
+    // this frame, and stage reuse does NOT deduplicate the two consumers
+    // (measured: without the persist the plan scans events twice — the
+    // same finding as Collocations' count table). Bounded at series × days.
     val daily = events
       .groupBy(col(seriesCol).as("series"), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spine = daily
       .groupBy(col("series"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))

@@ -1084,8 +1084,65 @@ object ExtQueries {
          |ORDER BY key_e4 DESC, doc_id LIMIT 100""".stripMargin
     })
 
+  // E-stats grouped exact percentiles: per-source document-length
+  // distribution in one aggregation (the e10 array form per key; guarded
+  // against group skew, approxBy is the scale path).
+  private val e49 = Q(
+    "e49_group_percentiles",
+    (s, dir) =>
+      Percentiles.exactBy(t(s, dir, "documents"), "source",
+          Seq("n_chars" -> Seq(0.5, 0.9)))
+        .select(col("source"),
+          round(element_at(col("n_chars_pcts"), 1), 4).as("p50_chars"),
+          round(element_at(col("n_chars_pcts"), 2), 4).as("p90_chars"))
+        .orderBy(col("source")),
+    Some(
+      """SELECT source,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+
+  // E-stats deterministic mode: each source's most frequent token, ties to
+  // the lexicographically lowest (engine mode() leaves ties unspecified —
+  // the explicit rank makes it hash-verifiable). SQL GENERATED
+  // (Stats.modeBySql) over the same tokenization as e04.
+  private val e50 = Q(
+    "e50_mode_by",
+    (s, dir) =>
+      graft.ops.Stats.modeBy(
+          t(s, dir, "documents")
+            .select(col("source"),
+              explode(TextStats.tokens(lower(col("text")))).as("tok"))
+            .where(length(col("tok")) > 0),
+          "source", "tok")
+        .orderBy(col("source")),
+    Some(graft.ops.Stats.modeBySql(
+      """(SELECT source, tok FROM (
+        |   SELECT source,
+        |     unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |   FROM documents)
+        | WHERE length(tok) > 0)""".stripMargin,
+      "source", "tok")))
+
+  // E-stats within-group percent rank: each document's length position
+  // inside its source — ties share a rank so no tie-break column is
+  // needed; the (rank−1)/(n−1) division is integer-derived and
+  // bit-identical.
+  private val e51 = Q(
+    "e51_percent_rank",
+    (s, dir) =>
+      graft.ops.Stats.percentRankBy(
+          t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "n_chars")
+        .orderBy(col("doc_id")),
+    Some(
+      """SELECT doc_id, source, n_chars,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars)
+        |    AS n_chars_pr
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
-    e42, e43, e44, e45, e46, e47, e48)
+    e42, e43, e44, e45, e46, e47, e48, e49, e50, e51)
 }

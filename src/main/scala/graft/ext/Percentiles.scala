@@ -56,4 +56,47 @@ object Percentiles {
     }
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** GROUPED exact percentiles: one row per key with the same `{col}_pcts`
+    * array shape — per-stratum distribution summaries (per-source length
+    * percentiles, per-tenant latency quantiles) in one aggregation job.
+    *
+    * The buffer guard shifts meaning: exact percentile buffers each
+    * GROUP's values in its final-aggregation task, so the contract is the
+    * largest group ≤ `maxGroupRows` — enforced with a cheap count-by-key
+    * pre-pass (skippable via `knownMaxGroup` when the pipeline already
+    * knows its skew). At corpus scale use [[approxBy]]: mergeable sketches,
+    * bounded memory per group, no pre-pass.
+    */
+  def exactBy(
+      df: DataFrame,
+      keyCol: String,
+      pcts: Seq[(String, Seq[Double])],
+      maxGroupRows: Long = 100000000L,
+      knownMaxGroup: Long = -1L): DataFrame = {
+    val biggest =
+      if (knownMaxGroup >= 0) knownMaxGroup
+      else df.groupBy(col(keyCol)).count().agg(max("count")).head().getLong(0)
+    require(biggest <= maxGroupRows,
+      s"exactBy buffers each group in one task: largest group $biggest exceeds " +
+        s"maxGroupRows=$maxGroupRows. Use Percentiles.approxBy at this scale.")
+    val aggs = pcts.map { case (c, ps) =>
+      expr(s"percentile($c, array(${ps.map(p => s"${p}D").mkString(", ")}))")
+        .as(s"${c}_pcts")
+    }
+    df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Grouped approx twin of [[exactBy]] — the 100 TB default. */
+  def approxBy(
+      df: DataFrame,
+      keyCol: String,
+      pcts: Seq[(String, Seq[Double])],
+      accuracy: Int = 10000): DataFrame = {
+    val aggs = pcts.map { case (c, ps) =>
+      expr(s"approx_percentile($c, array(${ps.map(p => s"${p}D").mkString(", ")}), $accuracy)")
+        .as(s"${c}_pcts")
+    }
+    df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

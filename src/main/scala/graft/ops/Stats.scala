@@ -206,6 +206,53 @@ object Stats {
        |FROM f$keyOrd""".stripMargin
   }
 
+  /** Deterministic MODE per group: each key's most frequent value, ties to
+    * the LOWEST value (Spark's `mode()` and DuckDB's leave tie order
+    * unspecified — an explicit rank makes the answer a property of the
+    * data). Two aggregations: the (key, value) count shuffle, then a
+    * row_number over the count table — which is categories-sized, never
+    * corpus-sized, so the window sort is bounded. Output: (key, mode_value,
+    * n_mode).
+    */
+  def modeBy(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("n").desc, col("v"))
+    df.where(col(valCol).isNotNull)
+      .groupBy(col(keyCol).as("k"), col(valCol).as("v"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") === 1)
+      .select(col("k").as(keyCol), col("v").as(s"${valCol}_mode"),
+        col("n").as("n_mode"))
+  }
+
+  /** DuckDB mirror of [[modeBy]] — generated, same explicit tie-break. */
+  def modeBySql(table: String, keyCol: String, valCol: String): String =
+    s"""WITH counts AS (
+       |  SELECT $keyCol AS k, $valCol AS v, COUNT(*) AS n
+       |  FROM $table WHERE $valCol IS NOT NULL GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT k, v, n,
+       |    row_number() OVER (PARTITION BY k ORDER BY n DESC, v) AS r
+       |  FROM counts
+       |)
+       |SELECT k AS $keyCol, v AS ${valCol}_mode, n AS n_mode
+       |FROM ranked WHERE r = 1
+       |ORDER BY $keyCol""".stripMargin
+
+  /** Within-group percent rank: append `{valCol}_pr` = (rank − 1)/(n − 1)
+    * of the value inside its key group — the relative-position normalizer
+    * ("this doc is longer than 93% of its source"). Ties share a rank, so
+    * the result is deterministic with no tie-break column; the division is
+    * integer-derived and bit-identical across engines. One shuffle (the
+    * window partition); a single-row group ranks 0.0. Per-group work is a
+    * sort, the same contract as any per-key window at scale.
+    */
+  def percentRankBy(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.withColumn(s"${valCol}_pr",
+      percent_rank().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col(keyCol)).orderBy(col(valCol))))
+
   /** Chi-square test of independence between two categorical columns:
     * one row with the contingency dimensions, dof, and the χ² statistic.
     * Observed and marginal counts are exact longs — ONE count shuffle on

@@ -39,6 +39,25 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("exactBy groups independently, guards the LARGEST group, approxBy tracks it") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => ("big", i.toDouble)) ++
+      Seq(("tiny", 7.0))).toDF("k", "v")
+    val got = Percentiles.exactBy(df, "k", Seq("v" -> Seq(0.5)))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).head).toMap
+    assert(got == Map("big" -> 50.5, "tiny" -> 7.0))
+    // the guard binds on the largest group, not the row total
+    intercept[IllegalArgumentException] {
+      Percentiles.exactBy(df, "k", Seq("v" -> Seq(0.5)), maxGroupRows = 99)
+    }
+    // knownMaxGroup skips the pre-pass (caller vouches for skew)
+    Percentiles.exactBy(df, "k", Seq("v" -> Seq(0.5)),
+      maxGroupRows = 99, knownMaxGroup = 50)
+    val ap = Percentiles.approxBy(df, "k", Seq("v" -> Seq(0.5)))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).head).toMap
+    assert(math.abs(ap("big") - 50.5) < 2.0 && ap("tiny") == 7.0)
+  }
+
   test("approx_percentile brackets the exact percentile") {
     val r = li.agg(
       expr("percentile(l_extendedprice, 0.5)").as("exact"),

@@ -83,6 +83,30 @@ class StatsSpec extends AnyFunSuite {
     assert(solo.getDouble(1) == 3.0 && solo.getDouble(2) == 1.0)
   }
 
+  test("modeBy picks the most frequent value with a lowest-value tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", "b"), ("s1", "b"), ("s1", "a"),             // clear winner b
+      ("s2", "z"), ("s2", "y"),                          // tie → y (lowest)
+      ("s3", null), ("s3", null), ("s3", "only"))        // nulls never win
+      .toDF("src", "v")
+    val got = Stats.modeBy(df, "src", "v").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map("s1" -> (("b", 2L)), "s2" -> (("y", 1L)),
+      "s3" -> (("only", 1L))))
+  }
+
+  test("percentRankBy positions values inside their group, ties sharing rank") {
+    import spark.implicits._
+    val df = Seq(("g", 10.0), ("g", 20.0), ("g", 20.0), ("g", 40.0),
+      ("solo", 5.0)).toDF("k", "v")
+    val got = Stats.percentRankBy(df, "k", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    // ranks over 4 rows: 10→0/3, 20→1/3 (both), 40→3/3; single row → 0
+    assert(got == Set(("g", 10.0, 0.0), ("g", 20.0, 1.0 / 3), ("g", 40.0, 1.0),
+      ("solo", 5.0, 0.0)), got.toString)
+  }
+
   test("stats are repartition-stable on real lineitem data") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val pairs = Seq("l_quantity" -> "l_extendedprice")
