@@ -192,6 +192,37 @@ object Drift {
       .orderBy(col("series"), col("day"))
   }
 
+  /** Rolling daily MEDIAN volume per series — the robust companion to
+    * [[dailyAnomalies]]'s mean/variance z-score (one bad day poisons a
+    * trailing mean for `lookback` days; it barely moves the median). Runs
+    * over the ZERO-FILLED grid ([[fillDailyGaps]]) so sparse series smooth
+    * over their true zero days, with a `window`-row trailing frame
+    * (shrinking at the series head, the SQL frame contract). The exact
+    * percentile buffers only `window` values per row — bounded, unlike the
+    * corpus-percentile case. Output: (series, day, n, med), med
+    * 4dp-rounded.
+    */
+  def rollingDailyMedian(events: DataFrame, window: Int = 7,
+      seriesCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series")).orderBy(col("day"))
+      .rowsBetween(-(window - 1), 0)
+    fillDailyGaps(events, seriesCol, tsCol)
+      .withColumn("med", round(expr("percentile(n, 0.5D)").over(w), 4))
+      .orderBy(col("series"), col("day"))
+  }
+
+  /** DuckDB mirror of [[rollingDailyMedian]] — generated, same frame. */
+  def rollingDailyMedianSql(table: String, window: Int = 7,
+      seriesCol: String = "event_type", tsCol: String = "ts"): String =
+    s"""WITH filled AS (${fillDailyGapsSql(table, seriesCol, tsCol)})
+       |SELECT series, day, n,
+       |  round(quantile_cont(n, 0.5) OVER (PARTITION BY series ORDER BY day
+       |    ROWS BETWEEN ${window - 1} PRECEDING AND CURRENT ROW), 4) AS med
+       |FROM filled
+       |ORDER BY series, day""".stripMargin
+
   /** DuckDB mirror of [[fillDailyGaps]] — generated, same spine semantics. */
   def fillDailyGapsSql(table: String, seriesCol: String = "event_type",
       tsCol: String = "ts"): String =

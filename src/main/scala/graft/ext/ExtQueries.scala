@@ -1141,8 +1141,26 @@ object ExtQueries {
         |    AS n_chars_pr
         |FROM documents ORDER BY doc_id""".stripMargin))
 
+  // E5e rolling daily median over the zero-filled grid (e45's spine) —
+  // the robust smoothing companion to e36's mean/variance z-scores. SQL
+  // GENERATED (Drift.rollingDailyMedianSql).
+  private val e52 = Q(
+    "e52_rolling_median",
+    (s, dir) => Drift.rollingDailyMedian(graft.queries.Reference.events(s, dir)),
+    Some(Drift.rollingDailyMedianSql("events")))
+
+  // E5f Markov transition matrix of the event stream: P(next | current)
+  // under the (ts, event_id) total order; pair counts exact, probability a
+  // fixed 4dp-rounded division. SQL GENERATED (Funnel.transitionMatrixSql).
+  private val e53 = Q(
+    "e53_transitions",
+    (s, dir) =>
+      Funnel.transitionMatrix(graft.queries.Reference.events(s, dir))
+        .orderBy(col("from_type"), col("to_type")),
+    Some(Funnel.transitionMatrixSql("events")))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
-    e42, e43, e44, e45, e46, e47, e48, e49, e50, e51)
+    e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53)
 }

@@ -162,4 +162,56 @@ object Funnel {
        |$lefts
        |ORDER BY s1.user_id""".stripMargin
   }
+
+  /** First-order (Markov) transition matrix of the event stream: for each
+    * observed (from, to) adjacent pair in a user's (ts, tie) total order,
+    * the count and the conditional probability P(to | from) — the
+    * user-journey summary next to the funnel (which fixes a path; this
+    * surveys all of them).
+    *
+    * Scale: one shuffle for the lead window (hash(user)), one bounded
+    * count shuffle (|event types|² keys); the per-from totals re-aggregate
+    * from the pair COUNTS (categories-sized, broadcast back) — the stream
+    * is scanned once. The probability divides two exact longs in a fixed
+    * association, 4dp-rounded. Output: (from_type, to_type, n, p).
+    */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val froms = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(froms), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from").cast("double"), 4).as("p"))
+  }
+
+  /** DuckDB mirror of [[transitionMatrix]] — generated, same total order
+    * and fixed division.
+    */
+  def transitionMatrixSql(table: String, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      tieCol: String = "event_id"): String =
+    s"""WITH nexts AS (
+       |  SELECT $typeCol AS from_type,
+       |    LEAD($typeCol) OVER (PARTITION BY $userCol
+       |      ORDER BY $tsCol, $tieCol) AS to_type
+       |  FROM $table
+       |), pairs AS (
+       |  SELECT from_type, to_type, COUNT(*) AS n
+       |  FROM nexts WHERE to_type IS NOT NULL GROUP BY 1, 2
+       |), froms AS (
+       |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+       |  FROM pairs GROUP BY 1
+       |)
+       |SELECT p.from_type, p.to_type, p.n,
+       |  round(CAST(p.n AS DOUBLE) / CAST(f.n_from AS DOUBLE), 4) AS p
+       |FROM pairs p JOIN froms f USING (from_type)
+       |ORDER BY p.from_type, p.to_type""".stripMargin
 }

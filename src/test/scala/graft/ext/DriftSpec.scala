@@ -95,6 +95,23 @@ class DriftSpec extends AnyFunSuite {
     }
   }
 
+  test("rollingDailyMedian smooths over zero-filled days and shrugs off a spike") {
+    import spark.implicits._
+    // days 1-7 of 10 events, day 8 missing (zero-filled), day 9 a 90-spike
+    val rows = (1 to 7).flatMap(d =>
+      (1 to 10).map(i => (f"2024-03-$d%02d 12:${i}%02d:00", "click"))) ++
+      (1 to 90).map(i => (f"2024-03-09 ${12 + i / 60}%02d:${i % 60}%02d:00", "click"))
+    val ev = rows.toDF("tss", "event_type")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val got = Drift.rollingDailyMedian(ev, window = 7).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("2024-03-08") == ((0L, 10.0)))   // zero day present, median holds
+    assert(got("2024-03-09")._1 == 90L)
+    assert(got("2024-03-09")._2 == 10.0, got.toString) // spike ≠ median shift
+    // head of the series: shrinking frame, median of what exists
+    assert(got("2024-03-01") == ((10L, 10.0)))
+  }
+
   test("sourceTokenKl is repartition-stable on real documents") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = Drift.sourceTokenKl(docs).collect().toSeq

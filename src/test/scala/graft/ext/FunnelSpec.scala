@@ -90,4 +90,29 @@ class FunnelSpec extends AnyFunSuite {
     assert(Funnel.retention(ev, maxOffsetDays = 30).count() == 1)
     assert(Funnel.retention(ev, maxOffsetDays = 90).count() == 2)
   }
+
+  test("transitionMatrix counts adjacent pairs per user with row-stochastic probs") {
+    import spark.implicits._
+    // u1: a→b→a ; u2: a→b — pairs: a→b ×2, b→a ×1; no cross-user pair
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "a"),
+      (1L, 2L, "2024-01-01 11:00:00", "b"),
+      (1L, 3L, "2024-01-01 12:00:00", "a"),
+      (2L, 4L, "2024-01-02 10:00:00", "a"),
+      (2L, 5L, "2024-01-02 11:00:00", "b"))
+      .toDF("user_id", "event_id", "tss", "event_type")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val got = Funnel.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // P(to | from) conditions on OUTGOING pairs: b's only exit is b→a
+    assert(got == Map(("a", "b") -> ((2L, 1.0)), ("b", "a") -> ((1L, 1.0))))
+    // rows sum to 1 over outgoing mass on real data
+    val real = Funnel.transitionMatrix(
+      graft.queries.Reference.events(spark, "/root/testdata/sf0.001"))
+    val sums = real.groupBy("from_type")
+      .agg(org.apache.spark.sql.functions.sum("p").as("s"))
+      .collect().map(_.getDouble(1))
+    assert(sums.nonEmpty && sums.forall(s => math.abs(s - 1.0) < 0.01), sums.mkString(","))
+  }
 }
