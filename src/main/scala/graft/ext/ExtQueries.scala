@@ -1159,8 +1159,66 @@ object ExtQueries {
         .orderBy(col("from_type"), col("to_type")),
     Some(Funnel.transitionMatrixSql("events")))
 
+  // E-ops incremental aggregate maintenance: the first 25 days of events
+  // stand for the standing aggregate, the rest for the new delta; Spark
+  // merges the two PARTIAL aggregates (never re-reading "history") while
+  // the oracle recomputes from the full log — the hash match verifies the
+  // merge algebra `merge(agg(old), agg(delta)) ≡ agg(old ∪ delta)` itself.
+  private val e54 = Q(
+    "e54_incremental_agg",
+    (s, dir) => {
+      val ev = graft.queries.Reference.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          to_date(col("ts")).as("day"))
+      val cut = to_date(lit("2024-01-26"))
+      def aggOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n"), min(col("ts")).as("first_ts"),
+            max(col("ts")).as("last_ts"))
+      graft.ops.Incremental.mergeStates(
+          aggOf(ev.where(col("day") < cut)), aggOf(ev.where(col("day") >= cut)),
+          keyCols = Seq("event_type", "day"),
+          addCols = Seq("n"), minCols = Seq("first_ts"), maxCols = Seq("last_ts"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+          date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+          date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some(
+      """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  COUNT(*) AS n,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM events
+        |GROUP BY event_type, CAST(ts AS DATE)
+        |ORDER BY event_type, day""".stripMargin))
+
+  // E-ops CDC log compaction: each user's LATEST event by (ts, event_id) —
+  // the merge-on-read upsert semantic as a batch operator.
+  private val e55 = Q(
+    "e55_latest_by_key",
+    (s, dir) =>
+      graft.ops.Incremental.latestByKey(
+          graft.queries.Reference.events(s, dir)
+            .select(col("user_id"), col("event_id"), col("event_type"), col("ts")),
+          keyCol = "user_id", orderCol = "ts", tieCol = "event_id")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+        .orderBy(col("user_id")),
+    Some(
+      """SELECT user_id, event_id, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+        |FROM (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS r
+        |  FROM events)
+        |WHERE r = 1
+        |ORDER BY user_id""".stripMargin))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
-    e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53)
+    e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55)
 }
