@@ -96,6 +96,16 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           s"cosine_sim takes 2 arguments, got ${exprs.length}")
       }),
+    // jaro_winkler(a, b) — native prefix-boosted Jaro similarity (entity
+    // resolution / fuzzy matching), SQL-text parity with
+    // graft.functions.JaroWinkler.jaroWinkler
+    ("jaro_winkler",
+      new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => graft.functions.JaroWinkler(a, b)
+        case _ => throw new IllegalArgumentException(
+          s"jaro_winkler takes 2 arguments, got ${exprs.length}")
+      }),
     // scrub_pii(text) — the C4-style email/URL/phone redaction chain,
     // SQL-text parity with graft.ext.TextStats.scrubPii (same patterns,
     // same order; built from RegExpReplace so it stays codegen'd)

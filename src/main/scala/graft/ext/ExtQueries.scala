@@ -1217,8 +1217,66 @@ object ExtQueries {
         |WHERE r = 1
         |ORDER BY user_id""".stripMargin))
 
+  // E-ops data-quality gate: key uniqueness on a DELIBERATELY doubled
+  // orders table (so the dup detector has real dups to count) + lineitem →
+  // orders referential containment on the clean tables, one report row.
+  private val e56 = Q(
+    "e56_dq_report",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val uniq = graft.ops.Quality.keyUniqueness(
+        graft.queries.Reference.doubled(orders), Seq("o_orderkey"))
+      val fk = graft.ops.Quality.orphanCount(
+        t(s, dir, "lineitem"), orders, "l_orderkey", "o_orderkey")
+      uniq.crossJoin(broadcast(fk))
+    },
+    Some(
+      """WITH kc AS (
+        |  SELECT o_orderkey, COUNT(*) AS n FROM
+        |    (SELECT * FROM orders UNION ALL SELECT * FROM orders)
+        |  GROUP BY o_orderkey
+        |), uniq AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+        |    CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_rows,
+        |    CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys
+        |  FROM kc
+        |), fk AS (
+        |  SELECT COUNT(*) AS n_child,
+        |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_orphans
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |)
+        |SELECT * FROM uniq CROSS JOIN fk""".stripMargin))
+
+  // E1g fuzzy vocabulary match via the native JaroWinkler expression: the
+  // 20 distinct corpus tokens most similar to a probe term — entity-
+  // resolution-style scoring the oracle replays with DuckDB's own
+  // jaro_winkler_similarity (byte semantics, 0.7 boost threshold —
+  // pinned value-for-value in JaroWinklerSpec).
+  private val e57 = Q(
+    "e57_fuzzy_match",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextStats.tokens(lower(col("text")))).as("token"))
+        .where(length(col("token")) > 0)
+        .distinct()
+        .select(col("token"),
+          round(graft.functions.JaroWinkler.jaroWinkler(
+            col("token"), lit("analysis")), 4).as("jw"))
+        .orderBy(col("jw").desc, col("token"))
+        .limit(20),
+    Some(
+      """SELECT token, round(jaro_winkler_similarity(token, 'analysis'), 4) AS jw
+        |FROM (
+        |  SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS token
+        |  FROM documents)
+        |WHERE length(token) > 0
+        |ORDER BY jw DESC, token LIMIT 20""".stripMargin))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
-    e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55)
+    e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56,
+    e57)
 }

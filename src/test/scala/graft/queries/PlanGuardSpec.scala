@@ -24,7 +24,7 @@ class PlanGuardSpec extends AnyFunSuite {
     Set("e02_cosine_topk", "e15_decontam", "e17_bm25", "e18_editdist",
       "e29_lm_score", "e30_dsir_select", "e33_pmi_bigrams", "e35_source_kl",
       "e37_semantic_decontam", "e40_winsorize", "e43_chi_square",
-      "e44_quantile_buckets", "e47_histogram")
+      "e44_quantile_buckets", "e47_histogram", "e56_dq_report")
 
   test("no declared query plans a CartesianProduct; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
