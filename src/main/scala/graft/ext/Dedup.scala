@@ -810,4 +810,39 @@ object Dedup {
       .distinct()
       .where(col("cosine") >= minCosine)
   }
+
+  /** Fuzzy string pairs by Jaro-Winkler — the entity-resolution pair
+    * generator (name/alias matching) built on the native
+    * [[graft.functions.JaroWinkler]] expression. Candidate generation is
+    * BLOCKED, never all-pairs: strings meet only when they share a first
+    * character AND their lengths differ by ≤ `lenBand` (one side explodes
+    * into its 2·band+1 length buckets, so the probe is an equi-join on
+    * (first-char, length) — the banding pattern every near-dup family here
+    * uses). The JW score is computed once per candidate, 4dp-rounded, and
+    * thresholded on the rounded value (the e02/e31 discipline).
+    *
+    * The blocking is a RECALL contract, stated plainly: pairs differing in
+    * their first character (or by more than `lenBand` in length) are never
+    * scored — for Jaro-Winkler specifically a cheap first-char block is
+    * standard practice, because the metric itself weights the shared
+    * prefix. Output: (s_a, s_b, jw) with s_a < s_b, each pair once.
+    */
+  def jaroWinklerPairs(strings: DataFrame, strCol: String,
+      minJw: Double = 0.92, lenBand: Int = 2): DataFrame = {
+    require(lenBand >= 0, s"lenBand must be >= 0: $lenBand")
+    val base = strings.select(col(strCol).cast("string").as("s"))
+      .where(col("s").isNotNull && length(col("s")) > 0)
+      .distinct()
+      .withColumn("blk", substring(col("s"), 1, 1))
+      .withColumn("len", length(col("s")))
+    val probe = base.select(col("s").as("s_b"), col("blk"),
+      explode(sequence(col("len") - lenBand, col("len") + lenBand)).as("len"))
+    base.select(col("s").as("s_a"), col("blk"), col("len"))
+      .join(probe, Seq("blk", "len"))
+      .where(col("s_a") < col("s_b"))
+      .select(col("s_a"), col("s_b"),
+        round(graft.functions.JaroWinkler.jaroWinkler(col("s_a"), col("s_b")), 4)
+          .as("jw"))
+      .where(col("jw") >= minJw)
+  }
 }

@@ -1274,9 +1274,47 @@ object ExtQueries {
         |WHERE length(token) > 0
         |ORDER BY jw DESC, token LIMIT 20""".stripMargin))
 
+  // E1h blocked fuzzy pairs over the corpus vocabulary PLUS planted
+  // typo variants (token ∥ 'x' for tokens ≥ 6 chars — the e34
+  // deterministic-perturbation pattern; the synthetic vocabulary's own max
+  // cross-token JW is 0.80, below any useful threshold): JW ≥ 0.92 within
+  // (first-char, ±2 length) blocks. The oracle replays the SAME blocking
+  // predicates as a theta self-join, so the hash match covers both the
+  // scores and the blocking semantics.
+  private val e58 = Q(
+    "e58_fuzzy_pairs",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextStats.tokens(lower(col("text")))).as("token"))
+        .where(length(col("token")) > 0)
+      val planted = toks.where(length(col("token")) >= 6)
+        .select(concat(col("token"), lit("x")).as("token"))
+      Dedup.jaroWinklerPairs(toks.unionByName(planted), "token",
+          minJw = 0.92, lenBand = 2)
+        .orderBy(col("s_a"), col("s_b"))
+    },
+    Some(
+      """WITH toks AS (
+        |  SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS s
+        |  FROM documents
+        |), t2 AS (
+        |  SELECT s FROM toks WHERE length(s) > 0
+        |  UNION
+        |  SELECT s || 'x' AS s FROM toks WHERE length(s) >= 6
+        |)
+        |SELECT a.s AS s_a, b.s AS s_b,
+        |  round(jaro_winkler_similarity(a.s, b.s), 4) AS jw
+        |FROM t2 a JOIN t2 b
+        |  ON substr(a.s, 1, 1) = substr(b.s, 1, 1)
+        |  AND abs(length(a.s) - length(b.s)) <= 2
+        |  AND a.s < b.s
+        |WHERE round(jaro_winkler_similarity(a.s, b.s), 4) >= 0.92
+        |ORDER BY s_a, s_b""".stripMargin))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
     e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56,
-    e57)
+    e57, e58)
 }

@@ -38,6 +38,23 @@ class JaroWinklerSpec extends AnyFunSuite {
     assert(jw("aé", "aè") == 0.8222222222222222)
   }
 
+  test("jaroWinklerPairs blocks by first char and length band, scores once per pair") {
+    import spark.implicits._
+    val names = Seq("martha", "marhta", "dixon", "dwayne", "duane", "zz")
+      .toDF("name")
+    val got = graft.ext.Dedup.jaroWinklerPairs(names, "name", minJw = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    // only martha/marhta clears 0.9; dwayne/duane (0.84) is blocked-in but
+    // under threshold; dixon/duane share 'd' but score low
+    assert(got.toSeq == Seq(("marhta", "martha", 0.9611)))
+    // the length band EXCLUDES a high-JW pair with distant lengths:
+    // 'aaaaaa' vs 'aaaaaaaaaa' (len 6 vs 10) never meets at band 2
+    val lens = Seq("aaaaaa", "aaaaaaaaaa").toDF("name")
+    assert(graft.ext.Dedup.jaroWinklerPairs(lens, "name", minJw = 0.5).isEmpty)
+    assert(graft.ext.Dedup.jaroWinklerPairs(lens, "name", minJw = 0.5,
+      lenBand = 4).count() == 1)
+  }
+
   test("SQL registration and Column API agree inside codegen") {
     import spark.implicits._
     graft.GraftExtensions.register(spark)
