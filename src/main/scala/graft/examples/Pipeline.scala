@@ -284,6 +284,25 @@ object Pipeline {
         s"scd2 intervals=${hist.count()}")
     }
 
+    // 13. data-quality gate + fuzzy matching: the pre-trust checks a new
+    // drop runs (ops.Quality) and entity-resolution pairs via the native
+    // jaro_winkler expression (blocked, never all-pairs)
+    locally {
+      import org.apache.spark.sql.functions.{col, explode, length, lower}
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val uniq = graft.ops.Quality.keyUniqueness(orders, Seq("o_orderkey")).head()
+      val fk = graft.ops.Quality.orphanCount(
+        spark.read.parquet(s"$sfDir/lineitem.parquet"), orders,
+        "l_orderkey", "o_orderkey").head()
+      val fuzzy = graft.ext.Dedup.jaroWinklerPairs(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(explode(graft.ext.TextStats.tokens(lower(col("text")))).as("t"))
+          .where(length(col("t")) > 0),
+        "t", minJw = 0.75).count()
+      println(s"[demo] quality: dup_orderkeys=${uniq.getLong(3)} " +
+        s"orphan_lineitems=${fk.getLong(1)}; fuzzy token pairs@0.75=$fuzzy")
+    }
+
     Ddl.dropDatabaseCascade(spark, "demo_db")
     spark.stop()
     println("[demo] OK")
