@@ -1312,9 +1312,37 @@ object ExtQueries {
         |WHERE round(jaro_winkler_similarity(a.s, b.s), 4) >= 0.92
         |ORDER BY s_a, s_b""".stripMargin))
 
+  // E3k head+tail truncation (long-doc budget policy): 24 head + 8 tail
+  // tokens at a 32-token budget — most synthetic docs (≤99 tokens) exceed
+  // it, so both branches are exercised; identical list-slice arithmetic in
+  // both engines, whitespace-normalized output either way.
+  private val e59 = Q(
+    "e59_truncate",
+    (s, dir) =>
+      TextStats.truncateTokens(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          maxTokens = 32, headTokens = 24)
+        .select(col("doc_id"), col("n_tokens"), col("truncated"),
+          col("text_trunc"))
+        .orderBy(col("doc_id")),
+    Some(
+      """WITH toksed AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> len(t) > 0) AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  len(toks) > 32 AS truncated,
+        |  CASE WHEN len(toks) <= 32 THEN array_to_string(toks, ' ')
+        |    ELSE array_to_string(toks[1:24], ' ') || ' ' ||
+        |         array_to_string(toks[(len(toks) - 8 + 1):len(toks)], ' ')
+        |  END AS text_trunc
+        |FROM toksed ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
     e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56,
-    e57, e58)
+    e57, e58, e59)
 }

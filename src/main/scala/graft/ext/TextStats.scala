@@ -304,6 +304,42 @@ object TextStats {
     * is the only row growth, and chunk membership depends on nothing but the
     * document text (rerun/engine stable).
     */
+  /** Head+tail token truncation — the long-document budget policy for
+    * trainer/context prep: keep the first `headTokens` and the last
+    * `maxTokens − headTokens` tokens of any over-budget document (openings
+    * carry titles/instructions, endings carry conclusions; the middle is
+    * the cheapest cut — the standard alternative to naive head-only).
+    * Zero shuffle: pure per-row codegen'd HOF slices.
+    *
+    * Output replaces nothing: adds `n_tokens`, `truncated`, and
+    * `{textCol}_trunc` (whitespace-NORMALIZED — single spaces — in both
+    * the kept and truncated cases, so the column is engine-portable and
+    * downstream token counts are consistent either way).
+    */
+  def truncateTokens(
+      docs: DataFrame,
+      textCol: String = "text",
+      maxTokens: Int = 512,
+      headTokens: Int = 384): DataFrame = {
+    require(maxTokens > 0 && headTokens > 0 && headTokens < maxTokens,
+      s"need 0 < headTokens < maxTokens, got head=$headTokens max=$maxTokens")
+    val tailTokens = maxTokens - headTokens
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val n = size(toks)
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("n_tokens", n.cast("long"))
+      .withColumn("truncated", col("n_tokens") > maxTokens)
+      .withColumn(s"${textCol}_trunc",
+        when(!col("truncated"), concat_ws(" ", col("__toks")))
+          .otherwise(concat(
+            concat_ws(" ", slice(col("__toks"), 1, headTokens)),
+            lit(" "),
+            concat_ws(" ", slice(col("__toks"),
+              col("n_tokens").cast("int") - tailTokens + 1, lit(tailTokens))))))
+      .drop("__toks")
+  }
+
   def chunkTokens(
       docs: DataFrame,
       textCol: String = "text",

@@ -198,6 +198,28 @@ class TextStatsSpec extends AnyFunSuite {
     assert(d(4L, "top2gram_frac") == 5.0 * 2 / 6)
   }
 
+  test("truncateTokens keeps head+tail of long docs, normalizes short ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),   // over budget
+      (2L, "a  b   c"),                                 // short, messy spaces
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextStats.truncateTokens(docs, maxTokens = 6, headTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getBoolean(3), r.getString(4)))).toMap
+    // head 4 + tail 2 of w1..w10
+    assert(got(1L) == ((10L, true, "w1 w2 w3 w4 w9 w10")))
+    // under budget: untouched tokens, whitespace normalized
+    assert(got(2L) == ((3L, false, "a b c")))
+    assert(got(3L) == ((0L, false, "")))
+    // budget-exact doc is NOT truncated
+    val exact = Seq((1L, (1 to 6).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val e = TextStats.truncateTokens(exact, maxTokens = 6, headTokens = 4).head()
+    assert(!e.getBoolean(3) && e.getString(4) == "t1 t2 t3 t4 t5 t6")
+    intercept[IllegalArgumentException](
+      TextStats.truncateTokens(docs, maxTokens = 4, headTokens = 4))
+  }
+
   test("chunkTokens: window/overlap arithmetic, short docs, empty docs") {
     import spark.implicits._
     val docs = Seq(
