@@ -205,6 +205,38 @@ object EventStream {
       }
   }
 
+  final case class LatestOut(user_id: Long, event_id: Long, event_type: String,
+      ts: java.sql.Timestamp)
+
+  /** Streaming keep-latest state — the streaming twin of
+    * [[graft.ops.Incremental.latestByKey]]: maintains each key's newest row
+    * (by event time, `event_id` breaking ties) and emits the updated
+    * current value whenever it changes, via `mapGroupsWithState` in Update
+    * mode. Late or replayed events older than the held state are absorbed
+    * without emission-order sensitivity: the state converges to the same
+    * maximum regardless of arrival order (pinned against the batch operator
+    * in EventStreamSpec). State is O(1) per key — a served "current state"
+    * table at 100 TB is #keys, not #events.
+    *
+    * NoTimeout deliberately: current-state tables serve lookups
+    * indefinitely, so state lives as long as the key; bound the key space
+    * upstream if eviction is needed.
+    */
+  def latestStateStream(events: Dataset[Event]): Dataset[LatestOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[LatestOut, LatestOut](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, evts: Iterator[Event], state: GroupState[LatestOut]) =>
+          val newest = (state.getOption.iterator ++ evts.map(e =>
+            LatestOut(userId, e.event_id, e.event_type, e.ts)))
+            .maxBy(o => (o.ts.getTime, o.event_id))
+          state.update(newest)
+          newest
+      }
+  }
+
   /** Run a streaming frame to completion against the files currently in the
     * source directory, collecting results via the memory sink — the local
     * smoke-loop (spark_guide: memory format + processAllAvailable).

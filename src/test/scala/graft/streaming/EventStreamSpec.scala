@@ -121,6 +121,42 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("latestStateStream converges to the batch latestByKey under out-of-order arrival") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, ts: String, user: Long, t: String) =
+      EventStream.Event(id, java.sql.Timestamp.valueOf(ts), user, t, 0.0)
+    val ms = MemoryStream[EventStream.Event]
+    val q = EventStream.latestStateStream(ms.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("latest_state").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", 7, "old"))
+      q.processAllAvailable()
+      // newer event replaces; a LATE (older) replay must NOT regress state
+      ms.addData(ev(2, "2024-01-01 12:00:00", 7, "new"))
+      q.processAllAvailable()
+      ms.addData(ev(3, "2024-01-01 11:00:00", 7, "late"))
+      q.processAllAvailable()
+      // tie timestamp: higher event_id wins (the batch tie-break)
+      ms.addData(ev(5, "2024-01-01 12:00:00", 7, "tie-hi"))
+      q.processAllAvailable()
+      // the LAST update row per key is the converged current state
+      val rows = spark.table("latest_state").collect()
+        .map(r => (r.getLong(1), r.getString(2)))
+      assert(rows.last == ((5L, "tie-hi")), rows.mkString(", "))
+      // ≡ batch operator on the same event set
+      val batch = Seq(
+        ev(1, "2024-01-01 10:00:00", 7, "old"), ev(2, "2024-01-01 12:00:00", 7, "new"),
+        ev(3, "2024-01-01 11:00:00", 7, "late"), ev(5, "2024-01-01 12:00:00", 7, "tie-hi"))
+        .toDS().toDF()
+      val b = graft.ops.Incremental.latestByKey(batch, "user_id", "ts", "event_id")
+        .select("event_id", "event_type").head()
+      assert((b.getLong(0), b.getString(1)) == ((5L, "tie-hi")))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on the gap and sums values") {
     import spark.implicits._
     val events = Seq(
