@@ -956,7 +956,9 @@ object ExtQueries {
         |  FROM lineitem
         |)
         |SELECT l_orderkey, l_linenumber, l_extendedprice,
-        |  least(greatest(l_extendedprice, lo), hi) AS l_extendedprice_w
+        |  CASE WHEN l_extendedprice IS NULL THEN NULL
+        |    ELSE least(greatest(l_extendedprice, lo), hi) END
+        |    AS l_extendedprice_w
         |FROM lineitem, b
         |ORDER BY l_orderkey, l_linenumber""".stripMargin))
 

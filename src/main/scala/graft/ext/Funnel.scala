@@ -180,11 +180,16 @@ object Funnel {
       tieCol: String = "event_id"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    // persisted: the join's left side and the per-from totals both consume
+    // this frame, and stage reuse does not deduplicate the two consumers
+    // (the fillDailyGaps/chiSquare finding) — without it the event log is
+    // scanned and window-sorted twice. Bounded at |event types|².
     val pairs = events
       .withColumn("__next", lead(col(typeCol), 1).over(w))
       .where(col("__next").isNotNull)
       .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
       .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val froms = pairs.groupBy(col("from_type"))
       .agg(sum(col("n")).as("n_from"))
     pairs.join(broadcast(froms), Seq("from_type"))

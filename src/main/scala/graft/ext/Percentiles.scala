@@ -76,7 +76,12 @@ object Percentiles {
       knownMaxGroup: Long = -1L): DataFrame = {
     val biggest =
       if (knownMaxGroup >= 0) knownMaxGroup
-      else df.groupBy(col(keyCol)).count().agg(max("count")).head().getLong(0)
+      else {
+        // max over zero groups is null — an empty input passes the guard
+        // (and produces an empty result) instead of NPEing in it
+        val r = df.groupBy(col(keyCol)).count().agg(max("count")).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
     require(biggest <= maxGroupRows,
       s"exactBy buffers each group in one task: largest group $biggest exceeds " +
         s"maxGroupRows=$maxGroupRows. Use Percentiles.approxBy at this scale.")

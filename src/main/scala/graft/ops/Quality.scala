@@ -33,8 +33,10 @@ object Quality {
 
   /** Referential containment: rows of `child` whose `childKey` has no match
     * in `parent.parentKey` (orphans — a broken foreign key). One left-anti
-    * join; null child keys count as orphans only if the parent has no null
-    * key (anti-join null semantics documented by the spec).
+    * join. A NULL child key ALWAYS counts as an orphan — the anti-join's
+    * equality never matches null against anything, including a null parent
+    * key — which is the useful gate semantic: a null FK cannot reference
+    * any parent row.
     */
   def orphanCount(child: DataFrame, parent: DataFrame,
       childKey: String, parentKey: String): DataFrame = {

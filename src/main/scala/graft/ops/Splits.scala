@@ -106,7 +106,11 @@ object Splits {
     require(k > 0 && k <= maxK,
       s"sampleExactK gathers k rows to the driver: k=$k outside (0, $maxK]. " +
         "Raise maxK deliberately or use splitByHash percentages at this scale.")
-    df.withColumn("sample_key", md5(concat(lit(salt), col(idCol).cast("string"))))
+    // null ids are excluded: md5(null) is null, and nulls sort FIRST under
+    // Spark's ascending order with no deterministic order among themselves —
+    // they would occupy the sample nondeterministically
+    df.where(col(idCol).isNotNull)
+      .withColumn("sample_key", md5(concat(lit(salt), col(idCol).cast("string"))))
       .orderBy(col("sample_key"), col(idCol))
       .limit(k)
   }

@@ -48,18 +48,15 @@ object Stats {
     * with (col_x, col_y, n, corr), corr 4dp-rounded. ALL pairs are computed
     * in a single aggregation job (every pair's moments are columns of one
     * agg — the Profile one-pass pattern), so k pairs cost one scan, not k.
-    * A zero-variance side yields null corr (division guarded).
+    * A zero-variance side yields null corr (division guarded). Rows where
+    * EITHER side of a pair is null are excluded from that pair's moments
+    * AND its n (pairwise-complete deletion — mixing an all-rows n with
+    * null-skipping sums would silently corrupt the closed form).
     */
   def corrMatrix(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
     require(pairs.nonEmpty, "corrMatrix: no column pairs given")
     val moments = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
-      Seq(
-        count(lit(1)).as(s"n_$i"),
-        sum(fx(col(x))).as(s"sx_$i"),
-        sum(fx(col(y))).as(s"sy_$i"),
-        sum(fx(col(x)) * fx(col(x))).as(s"sxx_$i"),
-        sum(fx(col(y)) * fx(col(y))).as(s"syy_$i"),
-        sum(fx(col(x)) * fx(col(y))).as(s"sxy_$i"))
+      pairMomentAggs(x, y, i)
     }
     val m = df.agg(moments.head, moments.tail: _*)
     val rows = pairs.zipWithIndex.map { case ((x, y), i) =>
@@ -107,7 +104,7 @@ object Stats {
          |          * sqrt(CAST(COUNT(*) AS DOUBLE) * CAST(SUM($b * $b) AS DOUBLE)
          |            - CAST(SUM($b) AS DOUBLE) * CAST(SUM($b) AS DOUBLE))), 4)
          |    END AS corr
-         |  FROM $table)""".stripMargin
+         |  FROM $table WHERE $x IS NOT NULL AND $y IS NOT NULL)""".stripMargin
     }
     selects.mkString("\nUNION ALL\n")
   }
@@ -138,13 +135,33 @@ object Stats {
     fitSelect(df.groupBy(keyCols.map(col): _*).agg(a.head, a.tail: _*), keyCols)
   }
 
-  private def fitMomentAggs(xCol: String, yCol: String): Seq[Column] = Seq(
-    count(lit(1)).as("n"),
-    sum(fx(col(xCol))).as("sx"),
-    sum(fx(col(yCol))).as("sy"),
-    sum(fx(col(xCol)) * fx(col(xCol))).as("sxx"),
-    sum(fx(col(yCol)) * fx(col(yCol))).as("syy"),
-    sum(fx(col(xCol)) * fx(col(yCol))).as("sxy"))
+  /** Pairwise-complete moments: every aggregate (INCLUDING n) sees only
+    * rows where both sides are non-null, so the closed form's inputs all
+    * describe the same row subset.
+    */
+  private def pairMomentAggs(x: String, y: String, i: Int): Seq[Column] = {
+    val both = col(x).isNotNull && col(y).isNotNull
+    def g(c: Column) = when(both, c)
+    Seq(
+      count(when(both, lit(1))).as(s"n_$i"),
+      sum(g(fx(col(x)))).as(s"sx_$i"),
+      sum(g(fx(col(y)))).as(s"sy_$i"),
+      sum(g(fx(col(x)) * fx(col(x)))).as(s"sxx_$i"),
+      sum(g(fx(col(y)) * fx(col(y)))).as(s"syy_$i"),
+      sum(g(fx(col(x)) * fx(col(y)))).as(s"sxy_$i"))
+  }
+
+  private def fitMomentAggs(xCol: String, yCol: String): Seq[Column] = {
+    val both = col(xCol).isNotNull && col(yCol).isNotNull
+    def g(c: Column) = when(both, c)
+    Seq(
+      count(when(both, lit(1))).as("n"),
+      sum(g(fx(col(xCol)))).as("sx"),
+      sum(g(fx(col(yCol)))).as("sy"),
+      sum(g(fx(col(xCol)) * fx(col(xCol)))).as("sxx"),
+      sum(g(fx(col(yCol)) * fx(col(yCol)))).as("syy"),
+      sum(g(fx(col(xCol)) * fx(col(yCol)))).as("sxy"))
+  }
 
   private def fitSelect(m: DataFrame, keyCols: Seq[String]): DataFrame = {
     val nd = col("n").cast("double")
@@ -187,7 +204,7 @@ object Stats {
        |    CAST(SUM($a * $a) AS DOUBLE) AS dxx,
        |    CAST(SUM($b * $b) AS DOUBLE) AS dyy,
        |    CAST(SUM($a * $b) AS DOUBLE) AS dxy
-       |  FROM $table$keyBy
+       |  FROM $table WHERE $xCol IS NOT NULL AND $yCol IS NOT NULL$keyBy
        |), f AS (
        |  SELECT ${keySel}n,
        |    CAST(n AS DOUBLE) * dxx - dx * dx AS vx,
@@ -261,9 +278,16 @@ object Stats {
     * term is computed on doubles derived from those exact integers in a
     * fixed association, 1e-6 fixed-pointed, and summed exactly (the Drift
     * KL discipline) — engine-portable. dof = (n_a − 1)·(n_b − 1).
+    *
+    * Rows with a null category on either side are EXCLUDED (a null key
+    * would silently fall out of the marginal-grid equi-join while still
+    * contributing expected mass — wrong in both directions); treat null as
+    * a real category by imputing a sentinel upstream if that's the intent.
     */
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+    val cells = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("obs"))
       .persist()
     val aTot = cells.groupBy("a").agg(sum("obs").as("a_tot"))
@@ -295,7 +319,9 @@ object Stats {
   def chiSquareSql(table: String, aCol: String, bCol: String): String =
     s"""WITH cells AS (
        |  SELECT $aCol AS a, $bCol AS b, COUNT(*) AS obs
-       |  FROM $table GROUP BY $aCol, $bCol
+       |  FROM $table
+       |  WHERE $aCol IS NOT NULL AND $bCol IS NOT NULL
+       |  GROUP BY $aCol, $bCol
        |), at AS (SELECT a, SUM(obs) AS a_tot FROM cells GROUP BY a),
        |bt AS (SELECT b, SUM(obs) AS b_tot FROM cells GROUP BY b),
        |nt AS (SELECT SUM(obs) AS n_tot FROM cells),

@@ -210,13 +210,20 @@ object EventStream {
 
   /** Streaming keep-latest state — the streaming twin of
     * [[graft.ops.Incremental.latestByKey]]: maintains each key's newest row
-    * (by event time, `event_id` breaking ties) and emits the updated
-    * current value whenever it changes, via `mapGroupsWithState` in Update
-    * mode. Late or replayed events older than the held state are absorbed
-    * without emission-order sensitivity: the state converges to the same
-    * maximum regardless of arrival order (pinned against the batch operator
-    * in EventStreamSpec). State is O(1) per key — a served "current state"
+    * (by event time, `event_id` breaking ties) and emits the current value
+    * ONLY when it actually changes, via `flatMapGroupsWithState` in Update
+    * mode — a replay of already-absorbed events writes no state and emits
+    * nothing, so sink traffic and checkpoint volume scale with real
+    * changes, not with replays. Late events older than the held state are
+    * absorbed silently: the state converges to the same maximum regardless
+    * of arrival order (pinned against the batch operator in
+    * EventStreamSpec). State is O(1) per key — a served "current state"
     * table at 100 TB is #keys, not #events.
+    *
+    * Ordering compares (seconds, nanos, id) — the FULL timestamp
+    * precision, matching the batch operator's microsecond ordering
+    * (`Timestamp.getTime` alone is millisecond-truncated and would pick a
+    * different winner for sub-millisecond-apart events).
     *
     * NoTimeout deliberately: current-state tables serve lookups
     * indefinitely, so state lives as long as the key; bound the key space
@@ -224,16 +231,22 @@ object EventStream {
     */
   def latestStateStream(events: Dataset[Event]): Dataset[LatestOut] = {
     import events.sparkSession.implicits._
+    def key(o: LatestOut): (Long, Int, Long) =
+      (o.ts.getTime / 1000, o.ts.getNanos, o.event_id)
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[LatestOut, LatestOut](
-        GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[LatestOut, LatestOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (userId: Long, evts: Iterator[Event], state: GroupState[LatestOut]) =>
-          val newest = (state.getOption.iterator ++ evts.map(e =>
+          val prev = state.getOption
+          val newest = (prev.iterator ++ evts.map(e =>
             LatestOut(userId, e.event_id, e.event_type, e.ts)))
-            .maxBy(o => (o.ts.getTime, o.event_id))
-          state.update(newest)
-          newest
+            .maxBy(key)
+          if (prev.contains(newest)) Iterator.empty
+          else {
+            state.update(newest)
+            Iterator.single(newest)
+          }
       }
   }
 

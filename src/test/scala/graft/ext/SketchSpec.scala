@@ -56,6 +56,9 @@ class SketchSpec extends AnyFunSuite {
     val ap = Percentiles.approxBy(df, "k", Seq("v" -> Seq(0.5)))
       .collect().map(r => r.getString(0) -> r.getSeq[Double](1).head).toMap
     assert(math.abs(ap("big") - 50.5) < 2.0 && ap("tiny") == 7.0)
+    // empty input passes the guard and returns zero rows (no NPE)
+    assert(Percentiles.exactBy(df.where($"k" === "nope"), "k",
+      Seq("v" -> Seq(0.5))).isEmpty)
   }
 
   test("approx_percentile brackets the exact percentile") {

@@ -26,6 +26,12 @@ class QualitySpec extends AnyFunSuite {
     val parent = Seq(10L, 20L, 30L).toDF("pk")
     val r = Quality.orphanCount(child, parent, "ck", "pk").head()
     assert((r.getLong(0), r.getLong(1)) == ((4L, 1L)))
+    // a NULL child key is ALWAYS an orphan — even a null parent key cannot
+    // be referenced (the documented gate semantic)
+    val nc = Seq(Some(10L), None).toDF("ck")
+    val np = Seq(Some(10L), None).toDF("pk")
+    val rn = Quality.orphanCount(nc, np, "ck", "pk").head()
+    assert((rn.getLong(0), rn.getLong(1)) == ((2L, 1L)))
   }
 
   test("nullRates reports per-column null fractions from one pass") {

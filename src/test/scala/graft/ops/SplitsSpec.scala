@@ -168,5 +168,12 @@ class SplitsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     intercept[IllegalArgumentException](Splits.sampleExactK(ids, 0))
     intercept[IllegalArgumentException](Splits.sampleExactK(ids, 200, maxK = 100))
+    // null ids are excluded — they would otherwise sort FIRST (null key)
+    // with partition-dependent order among themselves
+    val withNulls = ids.select(
+      org.apache.spark.sql.functions.when($"doc_id" < 10, null)
+        .otherwise($"doc_id").as("doc_id"))
+    val s = Splits.sampleExactK(withNulls, 100).select("doc_id").collect()
+    assert(s.forall(!_.isNullAt(0)) && s.length == 100)
   }
 }

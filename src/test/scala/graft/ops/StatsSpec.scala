@@ -65,6 +65,30 @@ class StatsSpec extends AnyFunSuite {
     assert(r1.getLong(2) == 1L)
   }
 
+  test("corrMatrix and linearFit use pairwise-complete rows under nulls") {
+    import spark.implicits._
+    // x=[1,2,3,null], y=[1,2,3,4]: the complete pairs are perfectly linear
+    val df = Seq((Some(1.0), Some(1.0)), (Some(2.0), Some(2.0)),
+      (Some(3.0), Some(3.0)), (None, Some(4.0))).toDF("x", "y")
+    val c = Stats.corrMatrix(df, Seq("x" -> "y")).head()
+    assert(c.getLong(2) == 3L && c.getDouble(3) == 1.0, c.toString)
+    val f = Stats.linearFit(df, "x", "y").head()
+    assert((f.getLong(0), f.getDouble(1), f.getDouble(2)) == ((3L, 1.0, 0.0)))
+  }
+
+  test("chiSquare excludes null categories entirely") {
+    import spark.implicits._
+    val df = Seq(("a1", "b1"), ("a1", "b1"), ("a2", "b2"),
+      ("a1", null), (null, "b1")).toDF("a", "b")
+    val r = Stats.chiSquare(df, "a", "b").head()
+    // only the 3 fully-keyed rows participate: 2×2 grid, dof 1
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 2L, 1L)))
+    // ≡ the same data with null rows pre-filtered
+    val clean = Stats.chiSquare(
+      df.where($"a".isNotNull && $"b".isNotNull), "a", "b").head()
+    assert(r.getDouble(3) == clean.getDouble(3))
+  }
+
   test("linearFitBy fits each series independently in one aggregate") {
     import spark.implicits._
     val df = ((1 to 10).map(i => ("up", i.toDouble, 3.0 * i + 1)) ++

@@ -135,25 +135,38 @@ class EventStreamSpec extends AnyFunSuite {
       ms.addData(ev(1, "2024-01-01 10:00:00", 7, "old"))
       q.processAllAvailable()
       // newer event replaces; a LATE (older) replay must NOT regress state
+      // — and must emit NOTHING (change-only emission contract)
       ms.addData(ev(2, "2024-01-01 12:00:00", 7, "new"))
       q.processAllAvailable()
       ms.addData(ev(3, "2024-01-01 11:00:00", 7, "late"))
       q.processAllAvailable()
-      // tie timestamp: higher event_id wins (the batch tie-break)
-      ms.addData(ev(5, "2024-01-01 12:00:00", 7, "tie-hi"))
+      // sub-MILLISECOND ordering: .000900 beats .000200 even though their
+      // getTime() millis are equal — full-precision comparison, and the
+      // lower-id later event must win over any tie-break
+      ms.addData(ev(9, "2024-01-01 13:00:00.000200", 7, "sub-ms-early"))
       q.processAllAvailable()
-      // the LAST update row per key is the converged current state
+      ms.addData(ev(4, "2024-01-01 13:00:00.000900", 7, "sub-ms-late"))
+      q.processAllAvailable()
+      // identical full timestamp: higher event_id wins (the batch tie-break)
+      ms.addData(ev(6, "2024-01-01 13:00:00.000900", 7, "tie-hi"))
+      q.processAllAvailable()
       val rows = spark.table("latest_state").collect()
         .map(r => (r.getLong(1), r.getString(2)))
-      assert(rows.last == ((5L, "tie-hi")), rows.mkString(", "))
+      // exactly the CHANGES were emitted: the late replay produced no row
+      assert(rows.toSeq == Seq((1L, "old"), (2L, "new"),
+        (9L, "sub-ms-early"), (4L, "sub-ms-late"), (6L, "tie-hi")),
+        rows.mkString(", "))
       // ≡ batch operator on the same event set
       val batch = Seq(
         ev(1, "2024-01-01 10:00:00", 7, "old"), ev(2, "2024-01-01 12:00:00", 7, "new"),
-        ev(3, "2024-01-01 11:00:00", 7, "late"), ev(5, "2024-01-01 12:00:00", 7, "tie-hi"))
+        ev(3, "2024-01-01 11:00:00", 7, "late"),
+        ev(9, "2024-01-01 13:00:00.000200", 7, "sub-ms-early"),
+        ev(4, "2024-01-01 13:00:00.000900", 7, "sub-ms-late"),
+        ev(6, "2024-01-01 13:00:00.000900", 7, "tie-hi"))
         .toDS().toDF()
       val b = graft.ops.Incremental.latestByKey(batch, "user_id", "ts", "event_id")
         .select("event_id", "event_type").head()
-      assert((b.getLong(0), b.getString(1)) == ((5L, "tie-hi")))
+      assert((b.getLong(0), b.getString(1)) == ((6L, "tie-hi")))
     } finally q.stop()
   }
 
