@@ -1342,9 +1342,25 @@ object ExtQueries {
         |  END AS text_trunc
         |FROM toksed ORDER BY doc_id""".stripMargin))
 
+  // E-stats Benford first-digit forensics over order totals: integer-only
+  // digit derivation (no libm on the data path), expectation constants
+  // emitted into the generated SQL from the same Scala computation.
+  private val e60 = Q(
+    "e60_benford",
+    (s, dir) => graft.ops.Stats.benford(t(s, dir, "orders"), "o_totalprice"),
+    Some(graft.ops.Stats.benfordSql("orders", "o_totalprice")))
+
+  // E-stats Gini concentration of order totals: exact integer units,
+  // range-partitioned zipWithIndex ranks (no single-partition window on
+  // the Spark side), DECIMAL(38,0) Σ i·x, fixed association.
+  private val e61 = Q(
+    "e61_gini",
+    (s, dir) => graft.ops.Stats.gini(t(s, dir, "orders"), "o_totalprice"),
+    Some(graft.ops.Stats.giniSql("orders", "o_totalprice")))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
     e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56,
-    e57, e58, e59)
+    e57, e58, e59, e60, e61)
 }

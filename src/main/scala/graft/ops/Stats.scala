@@ -270,6 +270,130 @@ object Stats {
       percent_rank().over(org.apache.spark.sql.expressions.Window
         .partitionBy(col(keyCol)).orderBy(col(valCol))))
 
+  /** Benford first-digit analysis — the classic fabricated-numbers
+    * forensic: observed first-significant-digit frequencies of a positive
+    * amount column against Benford's log10(1 + 1/d) expectation. The digit
+    * is derived through INTEGER arithmetic (amounts are fixed-pointed at
+    * `decimals`, cast to BIGINT, first character of the integer's string —
+    * scaling by 10^decimals never changes the leading significant digit),
+    * so no libm call touches the data path and both engines agree exactly;
+    * the nine expectation constants are 4dp-rounded. One count shuffle on
+    * the 9-value digit key. Output: (digit, n, obs_p, exp_p) for digits
+    * 1–9 (absent digits reported with n = 0 via the 9-row spine), null and
+    * non-positive amounts excluded.
+    */
+  def benford(df: DataFrame, valueCol: String, decimals: Int = 2): DataFrame = {
+    require(decimals >= 0, s"decimals must be >= 0: $decimals")
+    val scaleF = math.pow(10, decimals)
+    val units = round(col(valueCol) * scaleF, 0).cast("bigint")
+    val counts = df
+      .where(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(substring(units.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spine = (1 to 9).map(d =>
+      (d, BigDecimal(math.log10(1.0 + 1.0 / d))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("digit", "exp_p")
+    val total = counts.agg(sum(col("n")).as("n_tot"))
+    spine.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("n"), lit(0L)).cast("double") /
+          col("n_tot").cast("double"), 4).as("obs_p"),
+        col("exp_p"))
+      .orderBy(col("digit"))
+  }
+
+  /** DuckDB mirror of [[benford]] — generated; the nine expectation
+    * constants are emitted as literals from the SAME Scala computation, so
+    * the two engines cannot disagree on a libm ulp.
+    */
+  def benfordSql(table: String, valueCol: String, decimals: Int = 2): String = {
+    val scaleF = math.pow(10, decimals)
+    val spine = (1 to 9).map { d =>
+      val p = BigDecimal(math.log10(1.0 + 1.0 / d))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      s"($d, $p)"
+    }.mkString(", ")
+    s"""WITH counts AS (
+       |  SELECT CAST(substr(CAST(CAST(round($valueCol * $scaleF, 0) AS BIGINT)
+       |      AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+       |    COUNT(*) AS n
+       |  FROM $table
+       |  WHERE $valueCol IS NOT NULL AND $valueCol > 0
+       |  GROUP BY 1
+       |), spine(digit, exp_p) AS (VALUES $spine),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot FROM counts)
+       |SELECT s.digit, COALESCE(c.n, 0) AS n,
+       |  round(CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(n_tot AS DOUBLE), 4)
+       |    AS obs_p,
+       |  CAST(exp_p AS DOUBLE) AS exp_p
+       |FROM spine s LEFT JOIN counts c ON s.digit = c.digit CROSS JOIN tot
+       |ORDER BY s.digit""".stripMargin
+  }
+
+  /** Gini concentration index of a non-negative amount column (revenue
+    * concentration, token-count inequality): G = 2·Σᵢ i·xᵢ / (n·Σx) −
+    * (n+1)/n over ascending-sorted values. Values are fixed-pointed to
+    * exact integer units; the global rank comes from `zipWithIndex` over a
+    * range-partitioned sort (per-partition offsets — NOT a single-partition
+    * window, which is the naive formulation's scale-killer); Σ i·x runs in
+    * DECIMAL(38,0). Ties hold equal values, so their arbitrary rank order
+    * cannot change the sum — the result is deterministic. Output: one row
+    * (n, gini), gini 4dp, null for n = 0.
+    */
+  def gini(df: DataFrame, valueCol: String, decimals: Int = 2): DataFrame = {
+    require(decimals >= 0, s"decimals must be >= 0: $decimals")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scaleF = math.pow(10, decimals)
+    val units = df
+      .where(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .select(round(col(valueCol) * scaleF, 0).cast("bigint").as("x"))
+    val ranked = units.orderBy(col("x")).as[Long].rdd
+      .zipWithIndex().map { case (x, i0) => (x, i0 + 1) }
+      .toDF("x", "i")
+    val m = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(19,0)")).as("s0"),
+      sum(col("i").cast("decimal(19,0)") * col("x").cast("decimal(19,0)")).as("s1"))
+    val nd = col("n").cast("double")
+    val (s0, s1) = (col("s0").cast("double"), col("s1").cast("double"))
+    m.select(col("n"),
+      when(col("n") === 0 || s0 === 0.0, lit(null).cast("double"))
+        .otherwise(round(lit(2.0) * s1 / (nd * s0) - (nd + lit(1.0)) / nd, 4))
+        .as("gini"))
+  }
+
+  /** DuckDB mirror of [[gini]] — generated, same fixed points and
+    * association (the mirror's window rank and the Spark side's
+    * zipWithIndex assign tied values different orders; equal values make
+    * the sums identical regardless).
+    */
+  def giniSql(table: String, valueCol: String, decimals: Int = 2): String = {
+    val scaleF = math.pow(10, decimals)
+    s"""WITH v AS (
+       |  SELECT CAST(round($valueCol * $scaleF, 0) AS BIGINT) AS x
+       |  FROM $table WHERE $valueCol IS NOT NULL AND $valueCol >= 0
+       |), r AS (
+       |  SELECT x, row_number() OVER (ORDER BY x) AS i FROM v
+       |), m AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS s0,
+       |    CAST(SUM(CAST(i AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE)
+       |      AS s1
+       |  FROM r
+       |)
+       |SELECT n,
+       |  CASE WHEN n = 0 OR s0 = 0 THEN NULL
+       |    ELSE round(2.0 * s1 / (CAST(n AS DOUBLE) * s0)
+       |      - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 4)
+       |  END AS gini
+       |FROM m""".stripMargin
+  }
+
   /** Chi-square test of independence between two categorical columns:
     * one row with the contingency dimensions, dof, and the χ² statistic.
     * Observed and marginal counts are exact longs — ONE count shuffle on

@@ -131,6 +131,38 @@ class StatsSpec extends AnyFunSuite {
       ("solo", 5.0, 0.0)), got.toString)
   }
 
+  test("benford derives first digits through integers and densifies all nine") {
+    import spark.implicits._
+    // 0.05 → 5 cents → digit 5; 123.45 → digit 1; 9000 → 9; negatives and
+    // nulls excluded
+    val df = Seq(Some(0.05), Some(123.45), Some(123.45), Some(9000.0),
+      Some(-5.0), None).toDF("v")
+    val got = Stats.benford(df, "v").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == (1 to 9).toSet)
+    assert(got(1) == ((2L, 0.5, 0.301)) && got(5)._1 == 1L && got(9)._1 == 1L)
+    assert(got(2)._1 == 0L && got(2)._2 == 0.0) // absent digit densified
+    // expectations sum to ~1 and decrease monotonically (Benford shape)
+    val exps = (1 to 9).map(got(_)._3)
+    assert(math.abs(exps.sum - 1.0) < 0.001 && exps == exps.sorted.reverse)
+  }
+
+  test("gini is 0 on equality, approaches 1 under concentration, handles ties") {
+    import spark.implicits._
+    val equal = Seq.fill(10)(5.0).toDF("v")
+    assert(Stats.gini(equal, "v").head().getDouble(1) == 0.0)
+    // one holder owns everything: G = (n-1)/n = 0.9 for n=10
+    val concentrated = (Seq.fill(9)(0.0) :+ 100.0).toDF("v")
+    assert(Stats.gini(concentrated, "v").head().getDouble(1) == 0.9)
+    // hand case with ties: x = [1,1,2]: G = 2*(1+2+6)/(3*4) - 4/3 = 1/6
+    val ties = Seq(1.0, 2.0, 1.0).toDF("v")
+    assert(Stats.gini(ties, "v").head().getDouble(1) == 0.1667)
+    // all-zero mass → null, empty → null
+    assert(Stats.gini(Seq(0.0, 0.0).toDF("v"), "v").head().isNullAt(1))
+    assert(Stats.gini(equal.where($"v" > 99), "v").head().isNullAt(1))
+  }
+
   test("stats are repartition-stable on real lineitem data") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val pairs = Seq("l_quantity" -> "l_extendedprice")
