@@ -159,6 +159,127 @@ object Drift {
        |FROM terms GROUP BY source, n_s
        |ORDER BY source""".stripMargin
 
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions, one row per unordered source pair: `(source_a,
+    * source_b, n_tokens_a, n_tokens_b, jsd_nats)`. JSD(P,Q) =
+    * ½KL(P‖M) + ½KL(Q‖M) with M the even mixture — symmetric, and always
+    * FINITE (every supported token has mixture support), unlike raw
+    * KL between two sources. This is the pairwise companion to
+    * [[sourceTokenKl]]'s source-vs-corpus view: it answers "which two
+    * slices are interchangeable and which are genuinely different corpora"
+    * (0 = identical distributions, ln 2 ≈ 0.6931 = disjoint vocabularies).
+    *
+    * Determinism (the [[sourceTokenKl]] discipline): counts are exact
+    * longs; each term fixes its float association
+    * `(2·c_a·n_b) / (c_a·n_b + c_b·n_a)` before the ONE libm `ln`, is
+    * scaled by the exact count, 6dp-rounded, 1e-6-fixed-pointed, and
+    * summed as longs.
+    *
+    * Scale: ONE corpus scan into the (source, token) count table
+    * (|sources|×|vocab|, never corpus-sized, persisted); the |pairs|-row
+    * frame broadcasts onto it and the per-pair token spine + two count
+    * lookups shuffle on (source, token) — bounded by |pairs|×|vocab|.
+    * Quadratic in |sources| by construction: meant for the handful of
+    * mixture slices a pipeline actually mixes, not thousands.
+    */
+  def sourceJsd(docs: DataFrame, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val tk = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val cst = docs
+      .select(col(sourceCol).as("source"), explode(tk).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ns = cst.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val pairs = ns.select(col("source").as("source_a"), col("n").as("n_a"))
+      .crossJoin(ns.select(col("source").as("source_b"), col("n").as("n_b")))
+      .where(col("source_a") < col("source_b"))
+    // per-pair token spine: every token in EITHER source (a one-sided
+    // count of 0 still contributes its ln 2 term — dropping it would
+    // understate the divergence of disjoint slices)
+    val spine = cst.select(col("source"), col("w"))
+      .join(broadcast(pairs),
+        col("source") === col("source_a") || col("source") === col("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("w"))
+      .distinct()
+    val withCounts = spine
+      .join(cst.select(col("source").as("source_a"), col("w"), col("c").as("c_a")),
+        Seq("source_a", "w"), "left")
+      .join(cst.select(col("source").as("source_b"), col("w"), col("c").as("c_b")),
+        Seq("source_b", "w"), "left")
+      .na.fill(0L, Seq("c_a", "c_b"))
+    val (caD, cbD) = (col("c_a").cast("double"), col("c_b").cast("double"))
+    val (naD, nbD) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    // p/m and q/m reduce to count-ratio forms — association fixed before ln
+    val termA = when(col("c_a") > 0,
+      round(caD * log((lit(2.0) * caD * nbD) / (caD * nbD + cbD * naD)), 6))
+      .otherwise(lit(0.0))
+    val termB = when(col("c_b") > 0,
+      round(cbD * log((lit(2.0) * cbD * naD) / (cbD * naD + caD * nbD)), 6))
+      .otherwise(lit(0.0))
+    withCounts
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        termA.as("term_a"), termB.as("term_b"))
+      .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"))
+      .agg(
+        sum(round(col("term_a") * lit(1000000), 0).cast("long")).as("sa"),
+        sum(round(col("term_b") * lit(1000000), 0).cast("long")).as("sb"))
+      .select(col("source_a"), col("source_b"),
+        col("n_a").as("n_tokens_a"), col("n_b").as("n_tokens_b"),
+        round((col("sa").cast("double") / lit(1000000) / col("n_a").cast("double")
+          + col("sb").cast("double") / lit(1000000) / col("n_b").cast("double"))
+          / lit(2.0), 6).as("jsd_nats"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** DuckDB mirror of [[sourceJsd]] — generated; same association order,
+    * same 6dp term rounding and 1e-6 fixed-point sums.
+    */
+  def sourceJsdSql(table: String, textCol: String = "text",
+      sourceCol: String = "source"): String =
+    s"""WITH toks AS (
+       |  SELECT $sourceCol AS source,
+       |    unnest(list_filter(string_split_regex(lower(trim($textCol)), '\\s+'),
+       |      t -> length(t) > 0)) AS w
+       |  FROM $table
+       |), cst AS (
+       |  SELECT source, w, COUNT(*) AS c FROM toks GROUP BY 1, 2
+       |), ns AS (
+       |  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cst GROUP BY 1
+       |), pairs AS (
+       |  SELECT a.source AS source_a, a.n AS n_a, b.source AS source_b, b.n AS n_b
+       |  FROM ns a, ns b WHERE a.source < b.source
+       |), spine AS (
+       |  SELECT DISTINCT p.source_a, p.source_b, p.n_a, p.n_b, c.w
+       |  FROM pairs p JOIN cst c ON c.source = p.source_a OR c.source = p.source_b
+       |), counted AS (
+       |  SELECT t.source_a, t.source_b, t.n_a, t.n_b,
+       |    COALESCE(a.c, 0) AS c_a, COALESCE(b.c, 0) AS c_b
+       |  FROM spine t
+       |  LEFT JOIN cst a ON a.source = t.source_a AND a.w = t.w
+       |  LEFT JOIN cst b ON b.source = t.source_b AND b.w = t.w
+       |), scored AS (
+       |  SELECT source_a, source_b, n_a, n_b,
+       |    CASE WHEN c_a > 0 THEN round(CAST(c_a AS DOUBLE) *
+       |      ln((2.0 * CAST(c_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+       |         (CAST(c_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+       |          + CAST(c_b AS DOUBLE) * CAST(n_a AS DOUBLE))), 6)
+       |      ELSE 0.0 END AS term_a,
+       |    CASE WHEN c_b > 0 THEN round(CAST(c_b AS DOUBLE) *
+       |      ln((2.0 * CAST(c_b AS DOUBLE) * CAST(n_a AS DOUBLE)) /
+       |         (CAST(c_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+       |          + CAST(c_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6)
+       |      ELSE 0.0 END AS term_b
+       |  FROM counted
+       |)
+       |SELECT source_a, source_b, n_a AS n_tokens_a, n_b AS n_tokens_b,
+       |  round((CAST(SUM(CAST(round(term_a * 1000000) AS BIGINT)) AS DOUBLE)
+       |      / 1000000 / CAST(n_a AS DOUBLE)
+       |    + CAST(SUM(CAST(round(term_b * 1000000) AS BIGINT)) AS DOUBLE)
+       |      / 1000000 / CAST(n_b AS DOUBLE)) / 2.0, 6) AS jsd_nats
+       |FROM scored GROUP BY source_a, source_b, n_a, n_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** Daily gap filling (time-series resampling): per-series daily counts
     * with every missing calendar day between the series' first and last
     * observation zero-filled — the step that makes [[dailyAnomalies]]'s

@@ -1358,9 +1358,59 @@ object ExtQueries {
     (s, dir) => graft.ops.Stats.gini(t(s, dir, "orders"), "o_totalprice"),
     Some(graft.ops.Stats.giniSql("orders", "o_totalprice")))
 
+  // E3g distinct-n lexical diversity (Li et al. 2016): per-doc unique-to-
+  // total unigram and bigram ratios — zero-shuffle HOFs; ratios divide
+  // integer counts exactly once and round at 4dp on both engines.
+  private val e62 = Q(
+    "e62_distinct_ngrams",
+    (s, dir) => TextStats.distinctNgrams(t(s, dir, "documents"))
+      .orderBy(col("doc_id")),
+    Some(
+      """WITH toksed AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> length(t) > 0) AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id, len(toks) AS n_tokens,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+        |  END AS distinct1,
+        |  CASE WHEN len(toks) >= 2 THEN
+        |    round(CAST(len(list_distinct([concat_ws(' ', toks[i], toks[i+1])
+        |      FOR i IN range(1, greatest(len(toks), 1))])) AS DOUBLE)
+        |      / (len(toks) - 1), 4)
+        |  END AS distinct2
+        |FROM toksed ORDER BY doc_id""".stripMargin))
+
+  // E3h pairwise Jensen–Shannon divergence between source unigram
+  // distributions — the mixture-slice interchangeability matrix; SQL
+  // GENERATED from the same association order (Drift.sourceJsdSql).
+  private val e63 = Q(
+    "e63_source_jsd",
+    (s, dir) => Drift.sourceJsd(t(s, dir, "documents")),
+    Some(Drift.sourceJsdSql("documents")))
+
+  // E2d reciprocal-rank fusion of a single-term BM25 lexical top-20 with
+  // the e02 cosine-to-query semantic top-20 over the shared id space —
+  // hybrid retrieval's standard combiner. SQL GENERATED from the same
+  // term/query/k/k0/BM25 constants (Ranking.rrfHybridSql).
+  private val e64 = Q(
+    "e64_rrf_hybrid",
+    (s, dir) => {
+      val lex = Ranking.bm25(t(s, dir, "documents"), Seq("spark"))
+        .select(col("doc_id"), col("score"))
+      val sem = Similarity.bruteForceTopK(t(s, dir, "embeddings"), queryId = 0L, k = 20)
+        .withColumnRenamed("vec_id", "doc_id")
+      Ranking.rrfFuse(
+        Ranking.rankByScore(lex, "score", "doc_id", 20),
+        Ranking.rankByScore(sem, "cosine", "doc_id", 20),
+        "doc_id", k0 = 60, outA = "rank_lex", outB = "rank_sem")
+    },
+    Some(Ranking.rrfHybridSql("documents", "embeddings", "spark", 0L, k = 20, k0 = 60)))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
     e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56,
-    e57, e58, e59, e60, e61)
+    e57, e58, e59, e60, e61, e62, e63, e64)
 }

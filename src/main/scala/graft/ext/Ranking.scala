@@ -125,6 +125,99 @@ object Ranking {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
+  /** Top-k rank assignment over a scored frame: the k best rows by
+    * (score desc, id) with a 1-based `rank` column. The id tie-break makes
+    * the rank total, so downstream fusion is engine-deterministic. The
+    * limit runs as TakeOrderedAndProject (top-k per partition, merged on
+    * the driver — no full sort); the rank-assigning window then sees only
+    * the ≤ k survivors (the buildVocab pattern), so the unpartitioned
+    * window is bounded, never corpus-sized.
+    */
+  def rankByScore(scored: DataFrame, scoreCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0 && k <= 100000,
+      s"rankByScore is a bounded top-k ranker (got k=$k); rank a whole " +
+        "corpus with a partitioned window instead")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc, col(idCol))
+    scored
+      .orderBy(col(scoreCol).desc, col(idCol)).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col(idCol), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two bounded rankings
+    * — the standard hybrid-retrieval combiner (lexical BM25 + semantic
+    * cosine): score(d) = Σ_lists 1/(k0 + rank_d), ids missing from a list
+    * contribute 0 from it. Rank-based, so the two lists' incomparable raw
+    * scores never mix. Inputs are [[rankByScore]]-shaped frames
+    * (`idCol`, `rank`); output (id, rankA, rankB, rrf) best-first with an
+    * id tie-break.
+    *
+    * Determinism: ranks are exact longs, the fused score is ONE fixed
+    * textual float expression per row (no float aggregation anywhere),
+    * 6dp-rounded. Scale: both inputs are top-k bounded, so the full outer
+    * join is trivially small — the heavy work happened in the rankers.
+    */
+  def rrfFuse(rankedA: DataFrame, rankedB: DataFrame,
+      idCol: String = "doc_id", k0: Int = 60,
+      outA: String = "rank_a", outB: String = "rank_b"): DataFrame = {
+    require(k0 > 0, s"rrf smoothing constant must be positive: $k0")
+    val a = rankedA.select(col(idCol), col("rank").as(outA))
+    val b = rankedB.select(col(idCol), col("rank").as(outB))
+    a.join(b, Seq(idCol), "full")
+      .select(col(idCol), col(outA), col(outB),
+        round(coalesce(lit(1.0) / (lit(k0) + col(outA)), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + col(outB)), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+  }
+
+  /** DuckDB mirror of the e64 hybrid-retrieval fusion — GENERATED from the
+    * same term / query id / k / k0 / BM25 constants: single-term BM25
+    * top-k (the [[bm25Sql]] float order verbatim) fused with cosine-to-
+    * query top-k (the e02 formulation) under [[rrfFuse]]'s expression.
+    */
+  def rrfHybridSql(docsTable: String, embTable: String, term: String,
+      queryId: Long, k: Int, k0: Int,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val lq = term.replace("'", "''")
+    s"""WITH tf AS (
+       |  SELECT doc_id, len(toks) AS dl,
+       |    len(list_filter(toks, x -> x = '$lq')) AS tf
+       |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |        FROM $docsTable)
+       |), stats AS (
+       |  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+       |    SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+       |  FROM tf
+       |), lex AS (
+       |  SELECT doc_id,
+       |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |      * (tf * ($k1 + 1.0))
+       |      / (tf + $k1 * (1.0 - $b + $b * dl / (CAST(sum_dl AS DOUBLE) / n_docs))), 4)
+       |      AS score
+       |  FROM tf, stats WHERE tf > 0
+       |), lexr AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
+       |  FROM lex QUALIFY r <= $k
+       |), sem AS (
+       |  SELECT bb.vec_id AS doc_id,
+       |    round(list_cosine_similarity(CAST(aa.embedding AS DOUBLE[]),
+       |                                 CAST(bb.embedding AS DOUBLE[])), 4) AS cosine
+       |  FROM $embTable aa, $embTable bb
+       |  WHERE aa.vec_id = $queryId AND bb.vec_id <> $queryId
+       |), semr AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS r
+       |  FROM sem QUALIFY r <= $k
+       |)
+       |SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       |  l.r AS rank_lex, s.r AS rank_sem,
+       |  round(COALESCE(1.0 / ($k0 + l.r), 0.0) + COALESCE(1.0 / ($k0 + s.r), 0.0), 6)
+       |    AS rrf
+       |FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+       |ORDER BY rrf DESC, doc_id""".stripMargin
+  }
+
   /** Plain TF-IDF weight per (term, doc) — `tf · ln(N / df)` — for corpora
     * where BM25's length normalization is unwanted (e.g. fixed-length
     * chunks). Same zero-shuffle shape as [[bm25]].

@@ -340,6 +340,42 @@ object TextStats {
       .drop("__toks")
   }
 
+  /** Distinct-n lexical diversity — the standard degenerate-generation /
+    * template-spam diagnostic (distinct-1 / distinct-2 of Li et al. 2016):
+    * per document, the ratio of UNIQUE unigrams (bigrams) to total
+    * unigrams (bigrams). Low distinct-2 flags looping or boilerplate text
+    * that per-token stats miss; the corpus-level complement of
+    * [[repetitionStats]]'s duplicate-gram fractions.
+    *
+    * Scale posture: pure per-row codegen'd HOFs (bigrams via a
+    * `sequence`/`transform` index walk, dedup via `array_distinct`) — ZERO
+    * shuffle, no explode, no row growth. Determinism: both ratios divide
+    * integer-derived counts exactly once and round at 4dp; tokens are
+    * lowercase whitespace-split (the Drift convention). Docs with no
+    * tokens score null/null; single-token docs score (1.0, null).
+    */
+  def distinctNgrams(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val n = col("__n")
+    // branch guarded: sequence(1, n-1) is only evaluated when n >= 2 (an
+    // unguarded sequence(1, 0) would walk DESCENDING and fabricate grams)
+    val bigrams = transform(sequence(lit(1), n - 1), i =>
+      concat_ws(" ", element_at(col("__toks"), i), element_at(col("__toks"), i + 1)))
+    docs
+      .select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .select(
+        col(idCol),
+        n.cast("long").as("n_tokens"),
+        when(n > 0, round(size(array_distinct(col("__toks"))).cast("double") / n, 4))
+          .as("distinct1"),
+        when(n >= 2, round(size(array_distinct(bigrams)).cast("double") / (n - 1), 4))
+          .as("distinct2"))
+  }
+
   def chunkTokens(
       docs: DataFrame,
       textCol: String = "text",

@@ -112,6 +112,39 @@ class DriftSpec extends AnyFunSuite {
     assert(got("2024-03-01") == ((10L, 10.0)))
   }
 
+  test("sourceJsd: 0 on identical distributions, ln 2 on disjoint vocabularies") {
+    import spark.implicits._
+    // a and b share one distribution; c is vocabulary-disjoint from both
+    val docs = Seq(
+      ("a", "x x y"), ("a", "x y y"),
+      ("b", "x y x y"), ("b", "x y"),
+      ("c", "q q r")).toDF("source", "text")
+    val got = Drift.sourceJsd(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val (na, nb, jsdAb) = got(("a", "b"))
+    assert(na == 6L && nb == 6L && jsdAb == 0.0) // both are uniform {x,y}
+    assert(math.abs(got(("a", "c"))._3 - math.log(2.0)) < 1e-4)
+    assert(math.abs(got(("b", "c"))._3 - math.log(2.0)) < 1e-4)
+  }
+
+  test("sourceJsd is symmetric in content and repartition-stable on real documents") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Drift.sourceJsd(docs).collect().toSeq
+    val b = Drift.sourceJsd(docs.repartition(7)).collect().toSeq
+    assert(a == b)
+    val srcs = docs.select("source").distinct().count()
+    assert(a.size == srcs * (srcs - 1) / 2)
+    assert(a.forall(r => r.getDouble(4) >= 0.0 && r.getDouble(4) <= math.log(2.0) + 1e-9))
+    // relabeling the two sources (swapping which is 'a') leaves the value
+    val swapped = Drift.sourceJsd(docs.withColumn("source",
+      when(col("source") === "src0", "zzz0").otherwise(col("source"))))
+      .collect().map(r => r.getDouble(4)).sorted.toSeq
+    assert(swapped == a.map(_.getDouble(4)).sorted.toSeq)
+  }
+
   test("sourceTokenKl is repartition-stable on real documents") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = Drift.sourceTokenKl(docs).collect().toSeq

@@ -73,4 +73,50 @@ class RankingSpec extends AnyFunSuite {
       Ranking.bm25(corpus, (1 to 65).map(i => s"t$i")))
     intercept[IllegalArgumentException](Ranking.bm25(corpus, Nil))
   }
+
+  test("rankByScore assigns total 1-based ranks with id tie-breaks") {
+    import spark.implicits._
+    val scored = Seq((10L, 0.5), (11L, 0.9), (12L, 0.5), (13L, 0.1))
+      .toDF("doc_id", "score")
+    val got = Ranking.rankByScore(scored, "score", "doc_id", 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0.9 first; the 0.5 tie breaks on the LOWER id; 0.1 falls off at k=3
+    assert(got == Map(11L -> 1L, 10L -> 2L, 12L -> 3L))
+    intercept[IllegalArgumentException](
+      Ranking.rankByScore(scored, "score", "doc_id", 0))
+  }
+
+  test("rrfFuse is the hand formula, handles one-sided ids, orders best-first") {
+    import spark.implicits._
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "rank")
+    val got = Ranking.rrfFuse(a, b, "doc_id", k0 = 60).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getDouble(3)))
+    def rr(x: Double) = math.rint(x * 1000000) / 1000000
+    // doc 2 appears in BOTH lists and wins despite never ranking first
+    assert(got.map(_._1).toSeq == Seq(2L, 1L, 3L))
+    assert(got(0) == ((2L, 2L, 1L, rr(1.0 / 62 + 1.0 / 61))))
+    assert(got(1) == ((1L, 1L, -1L, rr(1.0 / 61)))) // absent list adds 0
+    assert(got(2) == ((3L, -1L, 2L, rr(1.0 / 62))))
+  }
+
+  test("rrf hybrid fusion runs end-to-end on real testdata") {
+    val dir = "/root/testdata/sf0.001"
+    val lex = Ranking.bm25(spark.read.parquet(s"$dir/documents.parquet"), Seq("spark"))
+      .select(col("doc_id"), col("score"))
+    val sem = Similarity.bruteForceTopK(
+      spark.read.parquet(s"$dir/embeddings.parquet"), queryId = 0L, k = 20)
+      .withColumnRenamed("vec_id", "doc_id")
+    val fused = Ranking.rrfFuse(
+      Ranking.rankByScore(lex, "score", "doc_id", 20),
+      Ranking.rankByScore(sem, "cosine", "doc_id", 20), "doc_id").collect()
+    assert(fused.length >= 20 && fused.length <= 40) // union of two top-20s
+    val scores = fused.map(_.getDouble(3))
+    assert(scores.sorted.reverse.toSeq == scores.toSeq)
+    // every fused score is attainable from two ranks ≤ 20
+    assert(scores.head <= 1.0 / 61 + 1.0 / 61 + 1e-9)
+  }
 }

@@ -274,4 +274,38 @@ class TextStatsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("distinctNgrams computes unique-gram ratios with degenerate-doc guards") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"), //   distinct1 = 2/4; bigrams (a b)(b a)(a b) → 2/3
+      (2L, "Solo"), //      one token: distinct1 = 1, distinct2 null
+      (3L, "   "), //       no tokens: both null
+      (4L, "x x x x x"), // fully repetitive: 1/5 and 1/4
+      (5L, "p q r s")) //   fully diverse: 1.0 and 1.0
+      .toDF("doc_id", "text")
+    val got = TextStats.distinctNgrams(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 0.5, math.rint(2.0 / 3 * 10000) / 10000)))
+    assert(got(2L) == ((1L, 1.0, -1.0)))
+    assert(got(3L) == ((0L, -1.0, -1.0)))
+    assert(got(4L) == ((5L, 0.2, 0.25)))
+    assert(got(5L) == ((4L, 1.0, 1.0)))
+  }
+
+  test("distinctNgrams is case-insensitive and repartition-stable on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = TextStats.distinctNgrams(docs).collect().sortBy(_.getLong(0)).toSeq
+    val b = TextStats.distinctNgrams(docs.repartition(7)).collect()
+      .sortBy(_.getLong(0)).toSeq
+    assert(a == b && a.nonEmpty)
+    // ratios live in (0, 1]; bigram diversity ≥ unigram diversity is NOT
+    // guaranteed in general but both must be positive on non-empty docs
+    assert(a.forall { r =>
+      r.getDouble(2) > 0 && r.getDouble(2) <= 1.0 &&
+        (r.isNullAt(3) || (r.getDouble(3) > 0 && r.getDouble(3) <= 1.0))
+    })
+  }
 }
