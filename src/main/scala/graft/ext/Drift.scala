@@ -280,6 +280,81 @@ object Drift {
        |FROM scored GROUP BY source_a, source_b, n_a, n_b
        |ORDER BY source_a, source_b""".stripMargin
 
+  /** Temperature-scaled mixture plan — the standard multi-source training
+    * recipe (the α-sampling of multilingual/multi-corpus LM training):
+    * source s gets sampling weight w_s ∝ n_s^α (α < 1 upweights small
+    * sources relative to proportional sampling; α = 1 IS proportional),
+    * and a token `budget` turns the weights into per-source target token
+    * counts and epochs (target/n — epochs > 1 means that source repeats).
+    * One row per source: `(source, n_tokens, weight, target_tokens,
+    * epochs)`.
+    *
+    * Determinism: per-source token counts are exact longs; n^α is the ONE
+    * libm call, 4dp-rounded; the cross-source normalizer sums the rounded
+    * values as 1e-4-fixed-point longs (float-order-free); weight, target,
+    * and epochs each fix one textual association and round.
+    *
+    * Scale: ONE aggregation shuffle on source (map-side partials); the
+    * |sources|-row result and its 1-row normalizer broadcast. The heavy
+    * side is scanned once.
+    */
+  def mixturePlan(docs: DataFrame, budgetTokens: Long, alpha: Double = 0.7,
+      textCol: String = "text", sourceCol: String = "source"): DataFrame = {
+    require(budgetTokens > 0 && budgetTokens <= (1L << 53),
+      s"budgetTokens must be in (0, 2^53] for exact double arithmetic: $budgetTokens")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    val tk = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val ns = docs
+      .select(col(sourceCol).as("source"), size(tk).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+    val scored = ns.withColumn("p",
+      round(pow(col("n_tokens").cast("double"), lit(alpha)), 4))
+    val tot = scored.agg(
+      sum(round(col("p") * lit(10000), 0).cast("long")).as("ptot"))
+    scored
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        round(col("p") * lit(10000) / col("ptot").cast("double"), 6).as("weight"))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        round(lit(budgetTokens) * col("weight"), 0).cast("long").as("target_tokens"))
+      .select(col("source"), col("n_tokens"), col("weight"), col("target_tokens"),
+        round(col("target_tokens").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("epochs"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB mirror of [[mixturePlan]] — generated from the same α and
+    * budget, same association order and fixed points.
+    */
+  def mixturePlanSql(table: String, budgetTokens: Long, alpha: Double = 0.7,
+      textCol: String = "text", sourceCol: String = "source"): String =
+    s"""WITH toks AS (
+       |  SELECT $sourceCol AS source,
+       |    len(list_filter(string_split_regex(lower(trim($textCol)), '\\s+'),
+       |      t -> length(t) > 0)) AS nt
+       |  FROM $table
+       |), ns AS (
+       |  SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tokens FROM toks GROUP BY 1
+       |), scored AS (
+       |  SELECT source, n_tokens,
+       |    round(pow(CAST(n_tokens AS DOUBLE), $alpha), 4) AS p
+       |  FROM ns
+       |), tot AS (
+       |  SELECT CAST(SUM(CAST(round(p * 10000) AS BIGINT)) AS BIGINT) AS ptot
+       |  FROM scored
+       |), weighted AS (
+       |  SELECT source, n_tokens,
+       |    round(p * 10000 / CAST(ptot AS DOUBLE), 6) AS weight
+       |  FROM scored, tot
+       |), targeted AS (
+       |  SELECT source, n_tokens, weight,
+       |    CAST(round($budgetTokens * weight, 0) AS BIGINT) AS target_tokens
+       |  FROM weighted
+       |)
+       |SELECT source, n_tokens, weight, target_tokens,
+       |  round(CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS epochs
+       |FROM targeted ORDER BY source""".stripMargin
+
   /** Daily gap filling (time-series resampling): per-series daily counts
     * with every missing calendar day between the series' first and last
     * observation zero-filled — the step that makes [[dailyAnomalies]]'s

@@ -1408,9 +1408,61 @@ object ExtQueries {
     },
     Some(Ranking.rrfHybridSql("documents", "embeddings", "spark", 0L, k = 20, k0 = 60)))
 
+  // E3i temperature-scaled mixture plan (α-sampling): per-source weights
+  // n^α, token targets and epochs for a 10M-token budget. SQL GENERATED
+  // from the same α/budget (Drift.mixturePlanSql).
+  private val e65 = Q(
+    "e65_mixture_plan",
+    (s, dir) => Drift.mixturePlan(t(s, dir, "documents"), budgetTokens = 10000000L),
+    Some(Drift.mixturePlanSql("documents", budgetTokens = 10000000L)))
+
+  // E3j Zipf rank–frequency OLS fit over the top-1000 tokens — corpus-
+  // health slope (natural text ≈ −1). Regression components 6dp-rounded
+  // and 1e-6-fixed-pointed so neither engine's float sum order matters.
+  private val e66 = Q(
+    "e66_zipf",
+    (s, dir) => TextStats.zipfFit(t(s, dir, "documents")),
+    Some(
+      """WITH freq AS (
+        |  SELECT token, COUNT(*) AS n FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |    FROM documents)
+        |  WHERE length(token) > 0
+        |  GROUP BY token
+        |), ranked AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS r, n
+        |  FROM freq QUALIFY r <= 1000
+        |), comps AS (
+        |  SELECT round(ln(CAST(r AS DOUBLE)), 6) AS x,
+        |    round(ln(CAST(n AS DOUBLE)), 6) AS y,
+        |    round(ln(CAST(r AS DOUBLE)) * ln(CAST(n AS DOUBLE)), 6) AS xy,
+        |    round(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)), 6) AS xx
+        |  FROM ranked
+        |), sums AS (
+        |  SELECT COUNT(*) AS k,
+        |    CAST(SUM(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(SUM(CAST(round(y * 1000000) AS BIGINT)) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(round(xy * 1000000) AS BIGINT)) AS BIGINT) AS sxy,
+        |    CAST(SUM(CAST(round(xx * 1000000) AS BIGINT)) AS BIGINT) AS sxx
+        |  FROM comps
+        |), fit AS (
+        |  SELECT k, sx, sy,
+        |    round((CAST(k AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1000000)
+        |        - (CAST(sx AS DOUBLE) / 1000000) * (CAST(sy AS DOUBLE) / 1000000))
+        |      / (CAST(k AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1000000)
+        |        - (CAST(sx AS DOUBLE) / 1000000) * (CAST(sx AS DOUBLE) / 1000000)),
+        |      4) AS slope
+        |  FROM sums
+        |)
+        |SELECT k AS n_terms, slope,
+        |  round(((CAST(sy AS DOUBLE) / 1000000)
+        |    - slope * (CAST(sx AS DOUBLE) / 1000000)) / CAST(k AS DOUBLE), 4)
+        |    AS intercept
+        |FROM fit""".stripMargin))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
     e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56,
-    e57, e58, e59, e60, e61, e62, e63, e64)
+    e57, e58, e59, e60, e61, e62, e63, e64, e65, e66)
 }

@@ -376,6 +376,53 @@ object TextStats {
           .as("distinct2"))
   }
 
+  /** Zipf rank–frequency fit — the corpus-health diagnostic: OLS slope of
+    * ln(frequency) against ln(rank) over the `topK` most frequent tokens.
+    * Natural text sits near slope −1 (Zipf's law); a much flatter slope
+    * flags template/synthetic text, a much steeper one a collapsed
+    * vocabulary. One row: `(n_terms, slope, intercept)`.
+    *
+    * Determinism: ranks and counts are exact longs with a total
+    * (freq desc, token) order; each regression component (x, y, xy, x²)
+    * fixes its association around the ONE pair of libm `ln` calls, rounds
+    * at 6dp and sums as 1e-6-fixed-point longs (float-order-free); slope
+    * and intercept each fix one textual association and round at 4dp —
+    * the intercept uses the ROUNDED slope, same as the mirror.
+    *
+    * Scale: the corpus reduces to the vocab-sized frequency table in one
+    * shuffle; top-k runs as TakeOrderedAndProject (no full sort) and the
+    * rank window sees only the k survivors (the buildVocab pattern).
+    */
+  def zipfFit(docs: DataFrame, textCol: String = "text",
+      topK: Int = 1000): DataFrame = {
+    require(topK >= 10 && topK <= 100000,
+      s"zipfFit wants a bounded head of the frequency table: $topK")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    val ranked = wordFreq(docs, textCol)
+      .orderBy(col("n").desc, col("token")).limit(topK)
+      .withColumn("r", row_number().over(w).cast("long"))
+    val x = log(col("r").cast("double"))
+    val y = log(col("n").cast("double"))
+    val sums = ranked
+      .select(round(x, 6).as("x"), round(y, 6).as("y"),
+        round(x * y, 6).as("xy"), round(x * x, 6).as("xx"))
+      .agg(
+        count(lit(1)).as("k"),
+        sum(round(col("x") * lit(1000000), 0).cast("long")).as("sx"),
+        sum(round(col("y") * lit(1000000), 0).cast("long")).as("sy"),
+        sum(round(col("xy") * lit(1000000), 0).cast("long")).as("sxy"),
+        sum(round(col("xx") * lit(1000000), 0).cast("long")).as("sxx"))
+    val kD = col("k").cast("double")
+    def f(c: String) = col(c).cast("double") / lit(1000000)
+    sums
+      .select(col("k"), col("sx"), col("sy"),
+        round((kD * f("sxy") - f("sx") * f("sy"))
+          / (kD * f("sxx") - f("sx") * f("sx")), 4).as("slope"))
+      .select(col("k").as("n_terms"), col("slope"),
+        round((f("sy") - col("slope") * f("sx")) / kD, 4).as("intercept"))
+  }
+
   def chunkTokens(
       docs: DataFrame,
       textCol: String = "text",

@@ -145,6 +145,33 @@ class DriftSpec extends AnyFunSuite {
     assert(swapped == a.map(_.getDouble(4)).sorted.toSeq)
   }
 
+  test("mixturePlan: alpha=1 is proportional; alpha<1 upweights small sources") {
+    import spark.implicits._
+    // source a: 9 tokens, source b: 1 token
+    val docs = Seq(("a", "t t t t t t t t t"), ("b", "t")).toDF("source", "text")
+    val prop = Drift.mixturePlan(docs, budgetTokens = 1000L, alpha = 1.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(prop("a") == ((9L, 0.9, 900L, 100.0)))
+    assert(prop("b") == ((1L, 0.1, 100L, 100.0))) // proportional ⇒ equal epochs
+    val temp = Drift.mixturePlan(docs, budgetTokens = 1000L, alpha = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // sqrt weighting: 3/(3+1) and 1/(3+1)
+    assert(math.abs(temp("a") - 0.75) < 1e-6 && math.abs(temp("b") - 0.25) < 1e-6)
+    intercept[IllegalArgumentException](Drift.mixturePlan(docs, 0L))
+    intercept[IllegalArgumentException](Drift.mixturePlan(docs, 10L, alpha = 1.5))
+  }
+
+  test("mixturePlan weights sum to ~1 and is repartition-stable on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Drift.mixturePlan(docs, budgetTokens = 5000000L).collect().toSeq
+    val b = Drift.mixturePlan(docs.repartition(7), budgetTokens = 5000000L)
+      .collect().toSeq
+    assert(a == b && a.nonEmpty)
+    assert(math.abs(a.map(_.getDouble(2)).sum - 1.0) < 1e-3)
+    assert(math.abs(a.map(_.getLong(3)).sum - 5000000L) < a.size * 1L + 1000)
+  }
+
   test("sourceTokenKl is repartition-stable on real documents") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = Drift.sourceTokenKl(docs).collect().toSeq

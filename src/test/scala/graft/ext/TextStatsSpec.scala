@@ -275,6 +275,31 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("zipfFit recovers the slope of an exact power-law corpus") {
+    import spark.implicits._
+    // plant frequencies f(r) = round(1000 * r^-1): token w1 ×1000, w2 ×500,
+    // w3 ×333 ... — OLS over ln-ln should come out near −1
+    val words = (1 to 20).flatMap(r =>
+      Seq.fill(math.round(1000.0 / r).toInt)(f"w$r%02d"))
+    val docs = words.grouped(50).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val row = TextStats.zipfFit(docs, topK = 20).head()
+    assert(row.getLong(0) == 20L)
+    assert(math.abs(row.getDouble(1) - (-1.0)) < 0.01, row.toString)
+    // intercept ≈ ln 1000
+    assert(math.abs(row.getDouble(2) - math.log(1000.0)) < 0.05, row.toString)
+    intercept[IllegalArgumentException](TextStats.zipfFit(docs, topK = 5))
+  }
+
+  test("zipfFit is repartition-stable on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = TextStats.zipfFit(docs, topK = 50).head()
+    val b = TextStats.zipfFit(docs.repartition(7), topK = 50).head()
+    assert(a == b)
+    assert(a.getDouble(1) < 0.0) // frequency falls with rank, always
+  }
+
   test("distinctNgrams computes unique-gram ratios with degenerate-doc guards") {
     import spark.implicits._
     val docs = Seq(

@@ -22,13 +22,14 @@ class PlanGuardSpec extends AnyFunSuite {
   // e43: the category-sized marginal grid and its one-row total; e60: the
   // one-row digit-count total; e63: the |pairs|-row frame joined on an OR
   // predicate — not equi-expressible; e64: the one-row BM25 stats and
-  // query-vector frames feeding both rankers)
+  // query-vector frames feeding both rankers; e65: the one-row mixture
+  // normalizer)
   private val bnljByDesign =
     Set("e02_cosine_topk", "e15_decontam", "e17_bm25", "e18_editdist",
       "e29_lm_score", "e30_dsir_select", "e33_pmi_bigrams", "e35_source_kl",
       "e37_semantic_decontam", "e40_winsorize", "e43_chi_square",
       "e44_quantile_buckets", "e47_histogram", "e56_dq_report",
-      "e60_benford", "e63_source_jsd", "e64_rrf_hybrid")
+      "e60_benford", "e63_source_jsd", "e64_rrf_hybrid", "e65_mixture_plan")
 
   test("no declared query plans a CartesianProduct; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
