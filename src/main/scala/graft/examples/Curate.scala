@@ -1,6 +1,6 @@
 package graft.examples
 
-import graft.ext.{Decontaminate, Dedup, LangModel, Multimodal, Packing, Similarity, TextStats}
+import graft.ext.{Decontaminate, Dedup, Drift, LangModel, Multimodal, Packing, Similarity, TextStats}
 import graft.ops.Splits
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -42,8 +42,17 @@ object Curate {
       .drop("quality_pass", "quality_fail_reasons")
     println(s"[curate] quality+scrub: ${gated.count()} docs")
 
+    // 1b. diversity gate: drop looping/template docs (distinct-2 below 0.2
+    // means over 80% of consecutive word pairs repeat — degenerate text)
+    val divIds = TextStats.distinctNgrams(gated)
+      .where(col("distinct2").isNull || col("distinct2") >= 0.2)
+      .select(col("doc_id").as("__div_id"))
+    val diverse = gated.join(divIds, col("doc_id") === col("__div_id"))
+      .drop("__div_id")
+    println(s"[curate] diversity gate (distinct-2 >= 0.2): ${diverse.count()} docs")
+
     // 2. exact dedup, then transitive near-dedup (MinHash → GraphX groups)
-    val exact = Dedup.exactRows(gated)
+    val exact = Dedup.exactRows(diverse)
     val near = Dedup.nearDedupRows(exact, minJaccard = 0.7)
     println(s"[curate] dedup: exact ${exact.count()} -> near ${near.count()} docs")
 
@@ -81,6 +90,16 @@ object Curate {
       Map("en" -> 100, "de" -> 70, "fr" -> 70, "es" -> 50, "zh" -> 50))
     val capped = Splits.capPerGroup(mixed.drop("bucket"), "lang", k = 120)
     println(s"[curate] mixed ${mixed.count()} -> capped ${capped.count()} docs")
+
+    // 4b. the mixture ledger: what an α-sampled 1M-token run would draw
+    // from each language slice, and how far apart the sources still sit
+    val plan = Drift.mixturePlan(capped, budgetTokens = 1000000L,
+      sourceCol = "lang").collect()
+      .map(r => f"${r.getString(0)}:${r.getLong(3)}tok(x${r.getDouble(4)}%.1f)")
+      .mkString(" ")
+    val jsdMax = Drift.sourceJsd(capped)
+      .agg(max(col("jsd_nats"))).head().getDouble(0)
+    println(s"[curate] mixture plan (1M tokens, a=0.7): $plan; max source JSD $jsdMax")
 
     // 5. content-hash split + context-window chunking
     val split = Splits.splitByHash(capped)

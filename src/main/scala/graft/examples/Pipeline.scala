@@ -303,6 +303,42 @@ object Pipeline {
         s"orphan_lineitems=${fk.getLong(1)}; fuzzy token pairs@0.75=$fuzzy")
     }
 
+    // 14. forensics + corpus intelligence: Benford/Gini over order amounts,
+    // Zipf health and diversity of the text corpus, the α-sampling mixture
+    // ledger, and a hybrid lexical+semantic retrieval probe (RRF)
+    locally {
+      import org.apache.spark.sql.functions.{col, max, min}
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val benfordChi = graft.ops.Stats.benford(orders, "o_totalprice")
+        .selectExpr("sum(pow(obs_p - exp_p, 2) / exp_p) as x").head().getDouble(0)
+      val gini = graft.ops.Stats.gini(orders, "o_totalprice").head().getDouble(1)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val zipf = graft.ext.TextStats.zipfFit(docs, topK = 50).head()
+      val div = graft.ext.TextStats.distinctNgrams(docs)
+        .agg(min(col("distinct2")), max(col("distinct2"))).head()
+      println(f"[demo] forensics: benford_x2=$benfordChi%.4f gini=$gini%.4f " +
+        f"zipf_slope=${zipf.getDouble(1)}%.2f distinct2=[${div.getDouble(0)}%.2f," +
+        f"${div.getDouble(1)}%.2f]")
+      val plan = graft.ext.Drift.mixturePlan(docs, budgetTokens = 1000000L)
+        .collect().take(3)
+        .map(r => f"${r.getString(0)}:w=${r.getDouble(2)}%.3f,ep=${r.getDouble(4)}%.2f")
+        .mkString(" ")
+      val jsdTop = graft.ext.Drift.sourceJsd(docs)
+        .orderBy(col("jsd_nats").desc).head()
+      val lex = graft.ext.Ranking.bm25(docs, Seq("spark"))
+        .select(col("doc_id"), col("score"))
+      val sem = graft.ext.Similarity.bruteForceTopK(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"), queryId = 0L, k = 10)
+        .withColumnRenamed("vec_id", "doc_id")
+      val fused = graft.ext.Ranking.rrfFuse(
+          graft.ext.Ranking.rankByScore(lex, "score", "doc_id", 10),
+          graft.ext.Ranking.rankByScore(sem, "cosine", "doc_id", 10))
+        .collect().take(3).map(r => s"${r.getLong(0)}:${r.getDouble(3)}").mkString(" ")
+      println(s"[demo] mixture: plan(head) $plan; " +
+        s"max JSD ${jsdTop.getString(0)}~${jsdTop.getString(1)}=${jsdTop.getDouble(4)}; " +
+        s"rrf top-3 $fused")
+    }
+
     Ddl.dropDatabaseCascade(spark, "demo_db")
     spark.stop()
     println("[demo] OK")
