@@ -53,10 +53,11 @@ object Stats {
     * AND its n (pairwise-complete deletion — mixing an all-rows n with
     * null-skipping sums would silently corrupt the closed form).
     */
-  def corrMatrix(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+  def corrMatrix(df: DataFrame, pairs: Seq[(String, String)],
+      exact: Boolean = true): DataFrame = {
     require(pairs.nonEmpty, "corrMatrix: no column pairs given")
     val moments = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
-      pairMomentAggs(x, y, i)
+      pairMomentAggs(x, y, i, exact)
     }
     val m = df.agg(moments.head, moments.tail: _*)
     val rows = pairs.zipWithIndex.map { case ((x, y), i) =>
@@ -139,16 +140,24 @@ object Stats {
     * rows where both sides are non-null, so the closed form's inputs all
     * describe the same row subset.
     */
-  private def pairMomentAggs(x: String, y: String, i: Int): Seq[Column] = {
+  /** `exact=true` accumulates 10⁴-fixed-point DECIMAL moments (engine-
+    * bit-identical — the oracle form, and the INT128 arithmetic is the
+    * honest price). `exact=false` accumulates raw doubles: whole-stage-
+    * codegen'd, several× cheaper per row, mergeable — the 100 TB default
+    * where a ±1e-4 reduction-order wobble on a 4dp result is acceptable.
+    */
+  private def pairMomentAggs(x: String, y: String, i: Int,
+      exact: Boolean = true): Seq[Column] = {
     val both = col(x).isNotNull && col(y).isNotNull
     def g(c: Column) = when(both, c)
+    def a(c: Column) = if (exact) fx(c) else c.cast("double")
     Seq(
       count(when(both, lit(1))).as(s"n_$i"),
-      sum(g(fx(col(x)))).as(s"sx_$i"),
-      sum(g(fx(col(y)))).as(s"sy_$i"),
-      sum(g(fx(col(x)) * fx(col(x)))).as(s"sxx_$i"),
-      sum(g(fx(col(y)) * fx(col(y)))).as(s"syy_$i"),
-      sum(g(fx(col(x)) * fx(col(y)))).as(s"sxy_$i"))
+      sum(g(a(col(x)))).as(s"sx_$i"),
+      sum(g(a(col(y)))).as(s"sy_$i"),
+      sum(g(a(col(x)) * a(col(x)))).as(s"sxx_$i"),
+      sum(g(a(col(y)) * a(col(y)))).as(s"syy_$i"),
+      sum(g(a(col(x)) * a(col(y)))).as(s"sxy_$i"))
   }
 
   private def fitMomentAggs(xCol: String, yCol: String): Seq[Column] = {

@@ -163,6 +163,17 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.gini(equal.where($"v" > 99), "v").head().isNullAt(1))
   }
 
+  test("corrMatrix fast path tracks the exact path within 4dp wobble") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val pairs = Seq("l_quantity" -> "l_extendedprice",
+      "l_extendedprice" -> "l_discount")
+    def m(exact: Boolean) = Stats.corrMatrix(li, pairs, exact = exact)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val (e, f) = (m(exact = true), m(exact = false))
+    assert(e.keySet == f.keySet)
+    e.foreach { case (k, v) => assert(math.abs(v - f(k)) <= 2e-4, s"$k: $v vs ${f(k)}") }
+  }
+
   test("stats are repartition-stable on real lineitem data") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val pairs = Seq("l_quantity" -> "l_extendedprice")
