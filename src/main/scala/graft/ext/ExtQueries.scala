@@ -1460,9 +1460,34 @@ object ExtQueries {
         |    AS intercept
         |FROM fit""".stripMargin))
 
+  // E-stats Cohen's kappa: agreement between the lang labels and a
+  // deterministically corrupted rerun (doc_id%7==0 forced to 'en') — the
+  // label-vs-relabel audit; same label space, κ well below 1. The CASE is
+  // mirrored verbatim; SQL GENERATED (Stats.cohenKappaSql over a CTE).
+  private val e67 = Q(
+    "e67_cohen_kappa",
+    (s, dir) => graft.ops.Stats.cohenKappa(
+      t(s, dir, "documents").select(col("lang"),
+        when(col("doc_id") % 7 === 0, lit("en")).otherwise(col("lang")).as("lang2")),
+      "lang", "lang2"),
+    Some("""WITH rated AS (
+           |  SELECT lang,
+           |    CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END AS lang2
+           |  FROM documents
+           |), """.stripMargin +
+      graft.ops.Stats.cohenKappaSql("rated", "lang", "lang2").stripPrefix("WITH ")))
+
+  // E2e nearest-centroid label eval over embeddings: fixed-point-exact
+  // per-label centroids, cosine classification, confusion counts. SQL
+  // GENERATED (Similarity.centroidEvalSql).
+  private val e68 = Q(
+    "e68_centroid_eval",
+    (s, dir) => Similarity.centroidEval(t(s, dir, "embeddings")),
+    Some(Similarity.centroidEvalSql("embeddings")))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
     e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56,
-    e57, e58, e59, e60, e61, e62, e63, e64, e65, e66)
+    e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68)
 }

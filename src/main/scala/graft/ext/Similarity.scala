@@ -389,4 +389,88 @@ object Similarity {
   def dequantizeInt8(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
     emb.withColumn(vecCol,
       transform(col(vecCol), x => (x.cast("float") * col(s"${vecCol}_scale"))))
+
+  /** Nearest-centroid label evaluation — the standard embedding-quality
+    * probe: per-label mean vectors, every vector classified to its
+    * nearest centroid by cosine, confusion counts out. A diagonal-heavy
+    * confusion matrix means the embedding separates the label structure;
+    * a smeared one means the labels are not linearly recoverable. One row
+    * per observed (label, pred_label): `(label, pred_label, n)`.
+    *
+    * Determinism: centroid components are 1e-6-fixed-point long sums
+    * divided by exact counts (no float-reduction order anywhere), so both
+    * engines build BIT-IDENTICAL centroid arrays; the classification
+    * cosine then rounds at 4dp with a label tie-break (the e02
+    * discipline).
+    *
+    * Scale: the centroid pass explodes to |rows|×|dims| but reduces in
+    * ONE shuffle to the |labels|×|dims| grid; classification is a
+    * broadcast of the |labels|-row centroid frame and a per-row fused
+    * cosine loop — no shuffle until the final categories²-sized count.
+    */
+  def centroidEval(emb: DataFrame, vecCol: String = "embedding",
+      labelCol: String = "label", idCol: String = "vec_id"): DataFrame = {
+    val base = emb
+      .where(col(labelCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol), col(labelCol).as("label"),
+        col(vecCol).cast("array<double>").as("v"))
+    val cent = base
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(round(col("x") * lit(1000000), 0).cast("long")).as("sa"),
+        count(lit(1)).as("cnt"))
+      .select(col("label"), col("dim"),
+        (col("sa").cast("double") / col("cnt").cast("double") / lit(1000000))
+          .as("c"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("c")))).as("sc"))
+      .select(col("label").as("c_label"),
+        transform(col("sc"), s => s("c")).as("cvec"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cos").desc, col("c_label"))
+    base
+      .crossJoin(broadcast(cent))
+      .select(col(idCol), col("label"), col("c_label"),
+        round(cosine(col("v"), col("cvec")), 4).as("cos"))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") === 1)
+      .groupBy(col("label"), col("c_label").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("pred_label"))
+  }
+
+  /** DuckDB mirror of [[centroidEval]] — generated; the centroids are the
+    * same fixed-point-exact doubles (zipped parallel unnest ↔ posexplode),
+    * the cosine the same 4dp-rounded `list_cosine_similarity` the e02
+    * family pins against the native expression.
+    */
+  def centroidEvalSql(table: String, vecCol: String = "embedding",
+      labelCol: String = "label", idCol: String = "vec_id"): String =
+    s"""WITH e AS (
+       |  SELECT $idCol AS vec_id, $labelCol AS label,
+       |    CAST($vecCol AS DOUBLE[]) AS v
+       |  FROM $table
+       |  WHERE $labelCol IS NOT NULL AND $vecCol IS NOT NULL
+       |), atoms AS (
+       |  SELECT label, unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x
+       |  FROM e
+       |), cm AS (
+       |  SELECT label, dim,
+       |    CAST(SUM(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+       |      / COUNT(*) / 1000000 AS c
+       |  FROM atoms GROUP BY 1, 2
+       |), cent AS (
+       |  SELECT label AS c_label, list(c ORDER BY dim) AS cvec FROM cm GROUP BY 1
+       |), scored AS (
+       |  SELECT e.vec_id, e.label, c.c_label,
+       |    round(list_cosine_similarity(e.v, c.cvec), 4) AS cos
+       |  FROM e CROSS JOIN cent c
+       |), best AS (
+       |  SELECT vec_id, label, c_label,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label) AS r
+       |  FROM scored
+       |)
+       |SELECT label, c_label AS pred_label, COUNT(*) AS n
+       |FROM best WHERE r = 1
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -403,6 +403,81 @@ object Stats {
        |FROM m""".stripMargin
   }
 
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * columns over the SAME label space (label-vs-relabel audits,
+    * model-vs-gold comparisons, annotator consistency):
+    * κ = (p_o − p_e)/(1 − p_e) with p_o the diagonal mass of the confusion
+    * matrix and p_e = Σ_k rowtot_k·coltot_k / n² the chance agreement.
+    * One row: `(n, n_labels, po, pe, kappa)`; κ = 1 perfect, 0 chance
+    * level, null when p_e rounds to 1 (a single label on both sides —
+    * agreement is undefined, not perfect).
+    *
+    * Determinism: every input to the floats is an exact long (diagonal
+    * mass, margin products in DECIMAL(19,0)·DECIMAL(19,0) — exact to n ≈
+    * 10¹⁸); p_o and p_e each fix one textual association and round at 6dp;
+    * κ is computed from the ROUNDED p_o/p_e, same as the mirror.
+    *
+    * Scale: ONE count shuffle on the (a, b) cell grid (categories², never
+    * row-count-sized); margins and the three 1-row frames derive from the
+    * persisted cells.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("obs"))
+      .persist()
+    val n = cells.agg(coalesce(sum(col("obs")), lit(0L)).as("n"))
+    val diag = cells.where(col("a") === col("b"))
+      .agg(coalesce(sum(col("obs")), lit(0L)).as("d"))
+    val marg = cells.groupBy(col("a")).agg(sum(col("obs")).as("rt"))
+      .join(cells.groupBy(col("b")).agg(sum(col("obs")).as("ct")),
+        col("a") === col("b"), "full")
+      .agg(count(lit(1)).as("n_labels"),
+        coalesce(sum(coalesce(col("rt"), lit(0L)).cast("decimal(19,0)") *
+          coalesce(col("ct"), lit(0L)).cast("decimal(19,0)")), lit(0L).cast("decimal(38,0)"))
+          .as("s"))
+    val nd = col("n").cast("double")
+    n.crossJoin(broadcast(diag)).crossJoin(broadcast(marg))
+      .select(col("n"), col("n_labels"),
+        when(col("n") > 0, round(col("d").cast("double") / nd, 6)).as("po"),
+        when(col("n") > 0, round(col("s").cast("double") / (nd * nd), 6)).as("pe"))
+      .select(col("n"), col("n_labels"), col("po"), col("pe"),
+        when(col("po").isNotNull && col("pe") =!= 1.0,
+          round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 4)).as("kappa"))
+  }
+
+  /** DuckDB mirror of [[cohenKappa]] — generated, same decimal margins,
+    * 6dp p_o/p_e fixed points, and κ-from-rounded association.
+    */
+  def cohenKappaSql(table: String, aCol: String, bCol: String): String =
+    s"""WITH cells AS (
+       |  SELECT $aCol AS a, $bCol AS b, COUNT(*) AS obs
+       |  FROM $table
+       |  WHERE $aCol IS NOT NULL AND $bCol IS NOT NULL
+       |  GROUP BY 1, 2
+       |), nt AS (SELECT COALESCE(CAST(SUM(obs) AS BIGINT), 0) AS n FROM cells),
+       |dg AS (SELECT COALESCE(CAST(SUM(obs) AS BIGINT), 0) AS d FROM cells WHERE a = b),
+       |marg AS (
+       |  SELECT COUNT(*) AS n_labels,
+       |    COALESCE(SUM(CAST(COALESCE(rt, 0) AS DECIMAL(19,0))
+       |      * CAST(COALESCE(ct, 0) AS DECIMAL(19,0))), 0) AS s
+       |  FROM (SELECT a, CAST(SUM(obs) AS BIGINT) AS rt FROM cells GROUP BY a) x
+       |  FULL OUTER JOIN
+       |    (SELECT b, CAST(SUM(obs) AS BIGINT) AS ct FROM cells GROUP BY b) y
+       |    ON x.a = y.b
+       |), ps AS (
+       |  SELECT n, n_labels,
+       |    CASE WHEN n > 0 THEN round(CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS po,
+       |    CASE WHEN n > 0 THEN round(CAST(s AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) END AS pe
+       |  FROM nt, dg, marg
+       |)
+       |SELECT n, n_labels, po, pe,
+       |  CASE WHEN po IS NOT NULL AND pe <> 1.0
+       |       THEN round((po - pe) / (1.0 - pe), 4) END AS kappa
+       |FROM ps""".stripMargin
+
   /** Chi-square test of independence between two categorical columns:
     * one row with the contingency dimensions, dof, and the χ² statistic.
     * Observed and marginal counts are exact longs — ONE count shuffle on

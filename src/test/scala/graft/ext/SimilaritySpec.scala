@@ -221,6 +221,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(thrown.getMessage.contains("DIVIDE_BY_ZERO"), thrown.getMessage)
   }
 
+  test("centroidEval separates clean clusters and smears a planted mislabel") {
+    import spark.implicits._
+    // two tight, orthogonal-ish clusters + one vector labeled against its
+    // cluster: the confusion matrix must put exactly that one off-diagonal
+    val rows = Seq(
+      (1L, Array(1.0, 0.0, 0.1), 0), (2L, Array(0.9, 0.1, 0.0), 0),
+      (3L, Array(1.0, 0.1, 0.1), 0),
+      (4L, Array(0.0, 1.0, 0.1), 1), (5L, Array(0.1, 0.9, 0.0), 1),
+      (6L, Array(0.0, 1.0, 0.0), 0)) // mislabeled: sits in cluster 1
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidEval(rows).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got((0, 0)) == 3L) // the three true 0s stay 0
+    assert(got((0, 1)) == 1L) // the planted mislabel classifies as 1
+    assert(got((1, 1)) == 2L)
+    assert(!got.contains((1, 0)))
+  }
+
+  test("centroidEval is repartition-stable on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.centroidEval(emb).collect().toSeq
+    val b = Similarity.centroidEval(emb.repartition(7)).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // every vector classified exactly once
+    assert(a.map(_.getLong(2)).sum == emb.count())
+  }
+
   test("cosine_sim reaches SQL text via GraftExtensions") {
     graft.GraftExtensions.register(spark)
     import spark.implicits._

@@ -163,6 +163,27 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.gini(equal.where($"v" > 99), "v").head().isNullAt(1))
   }
 
+  test("cohenKappa: perfect, chance-level, and degenerate agreement") {
+    import spark.implicits._
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("r1", "r2")
+    assert(Stats.cohenKappa(perfect, "r1", "r2").head().getDouble(4) == 1.0)
+    // hand case: 2x2 with obs [[20,5],[10,15]]: po=0.7, pe=0.5*0.6+0.5*0.4=0.5
+    // kappa = 0.2/0.5 = 0.4
+    val hand = (Seq.fill(20)(("x", "x")) ++ Seq.fill(5)(("x", "y")) ++
+      Seq.fill(10)(("y", "x")) ++ Seq.fill(15)(("y", "y"))).toDF("r1", "r2")
+    val h = Stats.cohenKappa(hand, "r1", "r2").head()
+    assert(h.getLong(0) == 50L && h.getLong(1) == 2L)
+    assert(h.getDouble(2) == 0.7 && h.getDouble(3) == 0.5 && h.getDouble(4) == 0.4)
+    // single label on both sides: pe = 1 -> undefined, not perfect
+    val degen = Seq.fill(5)(("a", "a")).toDF("r1", "r2")
+    assert(Stats.cohenKappa(degen, "r1", "r2").head().isNullAt(4))
+    // disjoint label spaces: diagonal 0 AND zero margin overlap -> po=pe=0,
+    // kappa 0 (chance level), with the union label space counted
+    val disj = Seq(("a", "x"), ("b", "y")).toDF("r1", "r2")
+    val dj = Stats.cohenKappa(disj, "r1", "r2").head()
+    assert(dj.getLong(1) == 4L && dj.getDouble(4) == 0.0)
+  }
+
   test("corrMatrix fast path tracks the exact path within 4dp wobble") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val pairs = Seq("l_quantity" -> "l_extendedprice",
