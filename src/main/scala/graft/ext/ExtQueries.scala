@@ -1485,9 +1485,25 @@ object ExtQueries {
     (s, dir) => Similarity.centroidEval(t(s, dir, "embeddings")),
     Some(Similarity.centroidEvalSql("embeddings")))
 
+  // E-stats exact binary AUC (Mann–Whitney with tie correction): does the
+  // order total rank F-status orders above the rest. Scores bucketed to
+  // 100-currency-unit cells (decimals = -2) — the grid bound IS the scale
+  // contract. SQL GENERATED (Stats.aucBinarySql over a CTE).
+  private val e69 = Q(
+    "e69_auc",
+    (s, dir) => graft.ops.Stats.aucBinary(
+      t(s, dir, "orders").select(col("o_totalprice").as("score"),
+        (col("o_orderstatus") === "F").as("y")),
+      "score", "y", decimals = -2),
+    Some("""WITH scored AS (
+           |  SELECT o_totalprice AS score, o_orderstatus = 'F' AS y FROM orders
+           |), """.stripMargin +
+      graft.ops.Stats.aucBinarySql("scored", "score", "y", decimals = -2)
+        .stripPrefix("WITH ")))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
     e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56,
-    e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68)
+    e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68, e69)
 }

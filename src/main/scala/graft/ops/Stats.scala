@@ -478,6 +478,85 @@ object Stats {
        |       THEN round((po - pe) / (1.0 - pe), 4) END AS kappa
        |FROM ps""".stripMargin
 
+  /** Exact binary AUC — the Mann–Whitney rank form with the standard tie
+    * correction: AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻), the
+    * classifier-eval metric (and the quality-score sanity probe: does the
+    * score actually rank the positive class higher). One row:
+    * `(n_pos, n_neg, auc)`, 6dp; null when either class is empty.
+    *
+    * Scores are bucketed at `decimals` fixed-point BEFORE comparison —
+    * AUC's semantics here are over the bucketed scores, which is what a
+    * bounded-resolution model probability is anyway. That bound is also
+    * the scale contract: the per-class counting reduces to the
+    * distinct-bucket grid (≤ range·10^decimals rows, NEVER row-count-
+    * sized), so the running-sum window over it is bounded; 2U accumulates
+    * in DECIMAL(19,0) products (exact past n = 10⁹ where a long n² sum
+    * overflows).
+    *
+    * Determinism: counts and the 2U numerator are exact integers; the one
+    * float division fixes its association and rounds.
+    */
+  def aucBinary(df: DataFrame, scoreCol: String, labelCol: String,
+      decimals: Int = 4): DataFrame = {
+    require(decimals >= -6 && decimals <= 6,
+      s"decimals bounds the score grid; want [-6, 6], got $decimals")
+    val scaleF = math.pow(10, decimals)
+    val lab = col(labelCol).cast("boolean")
+    val cells = df
+      .where(col(scoreCol).isNotNull && lab.isNotNull)
+      .groupBy(round(col(scoreCol) * scaleF, 0).cast("long").as("sb"))
+      .agg(sum(when(lab, 1L).otherwise(0L)).as("np"),
+        sum(when(!lab, 1L).otherwise(0L)).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("sb"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val agg = cells
+      .withColumn("cumneg", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(
+        sum(col("np")).as("n_pos"),
+        sum(col("nn")).as("n_neg"),
+        sum(col("np").cast("decimal(19,0)") *
+          (lit(2L) * col("cumneg") + col("nn")).cast("decimal(19,0)")).as("u2"))
+    agg.select(
+      coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+      coalesce(col("n_neg"), lit(0L)).as("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        round(col("u2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+        .as("auc"))
+  }
+
+  /** DuckDB mirror of [[aucBinary]] — generated; same bucket grid, same
+    * exact 2U accumulation, same final association.
+    */
+  def aucBinarySql(table: String, scoreCol: String, labelCol: String,
+      decimals: Int = 4): String = {
+    val scaleF = math.pow(10, decimals)
+    s"""WITH cells AS (
+       |  SELECT CAST(round($scoreCol * $scaleF, 0) AS BIGINT) AS sb,
+       |    CAST(SUM(CASE WHEN CAST($labelCol AS BOOLEAN) THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |    CAST(SUM(CASE WHEN CAST($labelCol AS BOOLEAN) THEN 0 ELSE 1 END) AS BIGINT) AS nn
+       |  FROM $table
+       |  WHERE $scoreCol IS NOT NULL AND $labelCol IS NOT NULL
+       |  GROUP BY 1
+       |), run AS (
+       |  SELECT np, nn,
+       |    COALESCE(CAST(SUM(nn) OVER (ORDER BY sb
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumneg
+       |  FROM cells
+       |), agg AS (
+       |  SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+       |    SUM(CAST(np AS DECIMAL(19,0)) * CAST(2 * cumneg + nn AS DECIMAL(19,0)))
+       |      AS u2
+       |  FROM run
+       |)
+       |SELECT COALESCE(n_pos, 0) AS n_pos, COALESCE(n_neg, 0) AS n_neg,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0
+       |       THEN round(CAST(u2 AS DOUBLE)
+       |         / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+       |  END AS auc
+       |FROM agg""".stripMargin
+  }
+
   /** Chi-square test of independence between two categorical columns:
     * one row with the contingency dimensions, dof, and the χ² statistic.
     * Observed and marginal counts are exact longs — ONE count shuffle on

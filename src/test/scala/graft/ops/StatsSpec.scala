@@ -184,6 +184,34 @@ class StatsSpec extends AnyFunSuite {
     assert(dj.getLong(1) == 4L && dj.getDouble(4) == 0.0)
   }
 
+  test("aucBinary: perfect separation, chance ties, hand-computed mix") {
+    import spark.implicits._
+    // perfect: every positive outscores every negative
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))
+      .toDF("s", "y")
+    assert(Stats.aucBinary(perfect, "s", "y").head().getDouble(2) == 1.0)
+    // all scores tie -> AUC is exactly 0.5 (the 0.5 * P(=) term)
+    val ties = Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false))
+      .toDF("s", "y")
+    assert(Stats.aucBinary(ties, "s", "y").head().getDouble(2) == 0.5)
+    // hand case: pos {0.8, 0.4}, neg {0.6, 0.4}: pairs -> (0.8>0.6)=1,
+    // (0.8>0.4)=1, (0.4<0.6)=0, (0.4=0.4)=0.5 -> AUC = 2.5/4
+    val hand = Seq((0.8, true), (0.4, true), (0.6, false), (0.4, false))
+      .toDF("s", "y")
+    val h = Stats.aucBinary(hand, "s", "y").head()
+    assert(h.getLong(0) == 2L && h.getLong(1) == 2L && h.getDouble(2) == 0.625)
+    // inverted scores flip around 0.5
+    val inv = Stats.aucBinary(
+      hand.withColumn("s", -org.apache.spark.sql.functions.col("s")), "s", "y").head()
+    assert(inv.getDouble(2) == 1.0 - 0.625)
+    // single-class input -> null
+    val mono = Seq((0.9, true), (0.1, true)).toDF("s", "y")
+    assert(Stats.aucBinary(mono, "s", "y").head().isNullAt(2))
+    // bucketing at decimals=0 merges 0.4-vs-0.45 into a tie
+    val coarse = Seq((0.6, true), (1.4, false)).toDF("s", "y")
+    assert(Stats.aucBinary(coarse, "s", "y", decimals = 0).head().getDouble(2) == 0.5)
+  }
+
   test("corrMatrix fast path tracks the exact path within 4dp wobble") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val pairs = Seq("l_quantity" -> "l_extendedprice",
