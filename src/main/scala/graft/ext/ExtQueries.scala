@@ -1501,9 +1501,40 @@ object ExtQueries {
       graft.ops.Stats.aucBinarySql("scored", "score", "y", decimals = -2)
         .stripPrefix("WITH ")))
 
+  // E-stats ROC curve on the same bucketed score grid as e69 — per-
+  // threshold cumulative tp/fp and 6dp rates; trapezoid area over these
+  // points ≡ e69's Mann–Whitney AUC (spec-pinned). SQL GENERATED
+  // (Stats.rocPointsSql over the same CTE).
+  private val e70 = Q(
+    "e70_roc",
+    (s, dir) => graft.ops.Stats.rocPoints(
+      t(s, dir, "orders").select(col("o_totalprice").as("score"),
+        (col("o_orderstatus") === "F").as("y")),
+      "score", "y", decimals = -3),
+    Some("""WITH scored AS (
+           |  SELECT o_totalprice AS score, o_orderstatus = 'F' AS y FROM orders
+           |), """.stripMargin +
+      graft.ops.Stats.rocPointsSql("scored", "score", "y", decimals = -3)
+        .stripPrefix("WITH ")))
+
+  // E-stats calibration (reliability) bins: equi-width score bins with
+  // empirical positive rate vs fixed-point-exact mean score. SQL GENERATED
+  // (Stats.calibrationBinsSql).
+  private val e71 = Q(
+    "e71_calibration",
+    (s, dir) => graft.ops.Stats.calibrationBins(
+      t(s, dir, "orders").select(col("o_totalprice").as("score"),
+        (col("o_orderstatus") === "F").as("y")),
+      "score", "y", bins = 12),
+    Some("""WITH scored AS (
+           |  SELECT o_totalprice AS score, o_orderstatus = 'F' AS y FROM orders
+           |), """.stripMargin +
+      graft.ops.Stats.calibrationBinsSql("scored", "score", "y", bins = 12)
+        .stripPrefix("WITH ")))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
     e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56,
-    e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68, e69)
+    e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71)
 }

@@ -557,6 +557,159 @@ object Stats {
        |FROM agg""".stripMargin
   }
 
+  /** ROC curve points — one row per DISTINCT score bucket (the e69 grid):
+    * predicting positive at threshold `score_bucket` (score ≥ bucket) gives
+    * the cumulative `(tp, fp)` and the 6dp `(tpr, fpr)` rates. Trapezoidal
+    * area over these points equals the Mann–Whitney [[aucBinary]] exactly —
+    * spec-pinned — so the curve and the scalar cannot disagree.
+    *
+    * Scale contract = the bucket grid: the raw table reduces to
+    * ≤ range·10^decimals cells in one count shuffle; both running windows
+    * and the output are grid-sized, never row-count-sized. An empty class
+    * yields null for its rate column rather than a division error.
+    */
+  def rocPoints(df: DataFrame, scoreCol: String, labelCol: String,
+      decimals: Int = 4): DataFrame = {
+    require(decimals >= -6 && decimals <= 6,
+      s"decimals bounds the score grid; want [-6, 6], got $decimals")
+    import org.apache.spark.sql.expressions.Window
+    val scaleF = math.pow(10, decimals)
+    val lab = col(labelCol).cast("boolean")
+    val cells = df
+      .where(col(scoreCol).isNotNull && lab.isNotNull)
+      .groupBy(round(col(scoreCol) * scaleF, 0).cast("long").as("sb"))
+      .agg(sum(when(lab, 1L).otherwise(0L)).as("np"),
+        sum(when(!lab, 1L).otherwise(0L)).as("nn"))
+    val wCum = Window.orderBy(col("sb").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy(col("sb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("tp", sum(col("np")).over(wCum))
+      .withColumn("fp", sum(col("nn")).over(wCum))
+      .withColumn("p", sum(col("np")).over(wAll))
+      .withColumn("nneg", sum(col("nn")).over(wAll))
+      .select(col("sb").as("score_bucket"), col("tp"), col("fp"),
+        when(col("p") > 0,
+          round(col("tp").cast("double") / col("p").cast("double"), 6)).as("tpr"),
+        when(col("nneg") > 0,
+          round(col("fp").cast("double") / col("nneg").cast("double"), 6)).as("fpr"))
+      .orderBy(col("score_bucket").desc)
+  }
+
+  /** DuckDB mirror of [[rocPoints]] — generated; same grid, same windows,
+    * same rate association.
+    */
+  def rocPointsSql(table: String, scoreCol: String, labelCol: String,
+      decimals: Int = 4): String = {
+    val scaleF = math.pow(10, decimals)
+    s"""WITH cells AS (
+       |  SELECT CAST(round($scoreCol * $scaleF, 0) AS BIGINT) AS sb,
+       |    CAST(SUM(CASE WHEN CAST($labelCol AS BOOLEAN) THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |    CAST(SUM(CASE WHEN CAST($labelCol AS BOOLEAN) THEN 0 ELSE 1 END) AS BIGINT) AS nn
+       |  FROM $table
+       |  WHERE $scoreCol IS NOT NULL AND $labelCol IS NOT NULL
+       |  GROUP BY 1
+       |), run AS (
+       |  SELECT sb,
+       |    CAST(SUM(np) OVER (ORDER BY sb DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+       |    CAST(SUM(nn) OVER (ORDER BY sb DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+       |    CAST(SUM(np) OVER () AS BIGINT) AS p,
+       |    CAST(SUM(nn) OVER () AS BIGINT) AS nneg
+       |  FROM cells
+       |)
+       |SELECT sb AS score_bucket, tp, fp,
+       |  CASE WHEN p > 0 THEN round(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE), 6)
+       |  END AS tpr,
+       |  CASE WHEN nneg > 0 THEN round(CAST(fp AS DOUBLE) / CAST(nneg AS DOUBLE), 6)
+       |  END AS fpr
+       |FROM run
+       |ORDER BY score_bucket DESC""".stripMargin
+  }
+
+  /** Calibration (reliability) bins — equi-width score bins between the
+    * observed min/max (the Profile.histogram binning association, verbatim),
+    * each with its count, positive count, 6dp empirical positive rate, and
+    * 6dp mean score. A well-calibrated scorer has pos_rate tracking
+    * mean_score; systematic gaps are the miscalibration.
+    *
+    * Determinism: per-bin mean score sums `round(x·10⁴)` DECIMAL(19,0)
+    * atoms (exact, associative — safe past the ~10⁹-row point where a long
+    * sum of 10⁴-scaled scores overflows) and fixes the de-scale association
+    * `s/10⁴/n`. Empty bins are omitted (a reliability diagram has no point
+    * there); rows with a null score or label are excluded.
+    *
+    * Scale: min/max is a 1-row broadcast; the fact table then takes ONE
+    * count shuffle down to ≤ `bins` rows. Zero span puts everything in
+    * bin 0 (the histogram contract).
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, s"calibrationBins needs bins > 0, got $bins")
+    val lab = col(labelCol).cast("boolean")
+    val in = df.where(col(scoreCol).isNotNull && lab.isNotNull)
+    val mm = in.agg(min(col(scoreCol)).cast("double").as("__lo"),
+      max(col(scoreCol)).cast("double").as("__hi"))
+    val span = col("__hi") - col("__lo")
+    val bin = when(span === 0.0, lit(0))
+      .otherwise(least(lit(bins - 1),
+        floor((col(scoreCol).cast("double") - col("__lo")) / span * bins)
+          .cast("int")))
+    in.crossJoin(broadcast(mm))
+      .groupBy(bin.as("bin"), col("__lo"), col("__hi"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(lab, 1L).otherwise(0L)).as("n_pos"),
+        sum(round(col(scoreCol).cast("double") * 10000, 0)
+          .cast("decimal(19,0)")).as("s4"))
+      .select(col("bin"),
+        round(col("__lo") + col("bin") * (col("__hi") - col("__lo")) / bins, 4)
+          .as("lo"),
+        round(col("__lo") + (col("bin") + 1) * (col("__hi") - col("__lo")) / bins, 4)
+          .as("hi"),
+        col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"),
+        round(col("s4").cast("double") / lit(10000.0) / col("n").cast("double"), 6)
+          .as("mean_score"))
+      .orderBy(col("bin"))
+  }
+
+  /** DuckDB mirror of [[calibrationBins]] — generated; same binning, atom,
+    * and association.
+    */
+  def calibrationBinsSql(table: String, scoreCol: String, labelCol: String,
+      bins: Int = 10): String =
+    s"""WITH base AS (
+       |  SELECT $scoreCol AS score, CAST($labelCol AS BOOLEAN) AS y
+       |  FROM $table
+       |  WHERE $scoreCol IS NOT NULL AND $labelCol IS NOT NULL
+       |), mm AS (
+       |  SELECT CAST(min(score) AS DOUBLE) AS lo0,
+       |         CAST(max(score) AS DOUBLE) AS hi0
+       |  FROM base
+       |), agg AS (
+       |  SELECT CASE WHEN hi0 - lo0 = 0 THEN 0
+       |    ELSE LEAST($bins - 1, CAST(floor(
+       |      (CAST(score AS DOUBLE) - lo0) / (hi0 - lo0) * $bins) AS INTEGER))
+       |    END AS bin,
+       |    lo0, hi0, COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    SUM(CAST(round(CAST(score AS DOUBLE) * 10000, 0) AS DECIMAL(19,0)))
+       |      AS s4
+       |  FROM base CROSS JOIN mm
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT CAST(bin AS INTEGER) AS bin,
+       |  round(lo0 + bin * (hi0 - lo0) / $bins, 4) AS lo,
+       |  round(lo0 + (bin + 1) * (hi0 - lo0) / $bins, 4) AS hi,
+       |  n, n_pos,
+       |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+       |  round(CAST(s4 AS DOUBLE) / 10000.0 / CAST(n AS DOUBLE), 6) AS mean_score
+       |FROM agg
+       |ORDER BY bin""".stripMargin
+
   /** Chi-square test of independence between two categorical columns:
     * one row with the contingency dimensions, dof, and the χ² statistic.
     * Observed and marginal counts are exact longs — ONE count shuffle on

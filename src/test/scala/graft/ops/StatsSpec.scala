@@ -212,6 +212,59 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.aucBinary(coarse, "s", "y", decimals = 0).head().getDouble(2) == 0.5)
   }
 
+  test("rocPoints: endpoints, monotonicity, trapezoid area equals aucBinary") {
+    import spark.implicits._
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(org.apache.spark.sql.functions.col("o_totalprice").as("s"),
+        (org.apache.spark.sql.functions.col("o_orderstatus") === "F").as("y"))
+    val pts = Stats.rocPoints(orders, "s", "y", decimals = -3)
+      .orderBy(org.apache.spark.sql.functions.col("score_bucket").desc)
+      .collect()
+    assert(pts.nonEmpty)
+    // final point is (all positives, all negatives) -> (1.0, 1.0)
+    assert(pts.last.getDouble(3) == 1.0 && pts.last.getDouble(4) == 1.0)
+    // tp/fp cumulative counts never decrease along falling thresholds
+    assert(pts.sliding(2).forall { case Array(a, b) =>
+      b.getLong(1) >= a.getLong(1) && b.getLong(2) >= a.getLong(2)
+    })
+    // trapezoid over the EXACT (fp, tp) staircase = Mann-Whitney AUC:
+    // area = sum (fp_i - fp_{i-1}) * (tp_i + tp_{i-1}) / (2 P N)
+    val (p, n) = (pts.last.getLong(1), pts.last.getLong(2))
+    var (prevTp, prevFp, twoArea) = (0L, 0L, BigInt(0))
+    pts.foreach { r =>
+      twoArea += BigInt(r.getLong(2) - prevFp) * BigInt(r.getLong(1) + prevTp)
+      prevTp = r.getLong(1); prevFp = r.getLong(2)
+    }
+    val area = twoArea.toDouble / (2.0 * p * n)
+    val auc = Stats.aucBinary(orders, "s", "y", decimals = -3).head().getDouble(2)
+    assert(math.abs(area - auc) < 1e-6, s"trapezoid $area vs auc $auc")
+  }
+
+  test("calibrationBins: hand bins, zero-span, null exclusion") {
+    import spark.implicits._
+    // scores 0..1, bins=2: [0,0.5) -> bin 0, [0.5,1] -> bin 1 (max clamps)
+    val df = Seq((0.0, false), (0.2, false), (0.6, true), (1.0, true),
+      (0.4, true)).toDF("s", "y")
+    val rows = Stats.calibrationBins(df, "s", "y", bins = 2).collect()
+    assert(rows.length == 2)
+    val b0 = rows(0)
+    assert(b0.getInt(0) == 0 && b0.getLong(3) == 3L && b0.getLong(4) == 1L)
+    assert(b0.getDouble(5) == math.rint(1.0 / 3 * 1e6) / 1e6)
+    assert(b0.getDouble(6) == 0.2) // mean of 0.0, 0.2, 0.4
+    val b1 = rows(1)
+    assert(b1.getInt(0) == 1 && b1.getLong(3) == 2L && b1.getDouble(5) == 1.0)
+    assert(b1.getDouble(6) == 0.8)
+    // all-same score collapses into bin 0
+    val flat = Seq((0.5, true), (0.5, false)).toDF("s", "y")
+    val f = Stats.calibrationBins(flat, "s", "y", bins = 4).collect()
+    assert(f.length == 1 && f.head.getInt(0) == 0 && f.head.getLong(3) == 2L)
+    // null score / null label rows are excluded
+    val withNull = Seq((Some(0.1), Some(true)), (None, Some(false)),
+      (Some(0.9), None)).toDF("s", "y")
+    val w = Stats.calibrationBins(withNull, "s", "y", bins = 2).collect()
+    assert(w.map(_.getLong(3)).sum == 1L)
+  }
+
   test("corrMatrix fast path tracks the exact path within 4dp wobble") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val pairs = Seq("l_quantity" -> "l_extendedprice",
