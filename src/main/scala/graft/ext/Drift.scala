@@ -419,6 +419,94 @@ object Drift {
        |FROM filled
        |ORDER BY series, day""".stripMargin
 
+  /** Sample autocorrelation per series at lags 1..`maxLag` over the
+    * zero-filled daily grid ([[fillDailyGaps]]) — the seasonality/memory
+    * diagnostic beside [[dailyAnomalies]] and the forecaster: a weekly
+    * cycle shows as a peak at lag 7, white noise stays near 0. The standard
+    * estimator r_ℓ = Σ_{t>ℓ}(x_t−x̄)(x_{t−ℓ}−x̄) / Σ_t(x_t−x̄)².
+    *
+    * Determinism: with T days and S = Σx per series, both sums are
+    * computed on y_t = x_t·T − S — EXACT integers (the common 1/T² factor
+    * cancels in the ratio, so x̄ never exists as a float). y products
+    * accumulate as DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0) exact sums;
+    * ONE double division per (series, lag), 4dp-rounded. A constant series
+    * (zero variance) yields null.
+    *
+    * Scale: one count shuffle reduces the stream to the series×days grid;
+    * the window/lag passes and the final aggregate run on that grid, never
+    * on raw rows. Exactness bound: |x_t·T| < 2⁶³ — daily counts up to
+    * ~10¹⁴ at a 10⁵-day history.
+    */
+  def acf(events: DataFrame, maxLag: Int = 7,
+      seriesCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy(col("series"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wLag = Window.partitionBy(col("series")).orderBy(col("day"))
+    val ys = fillDailyGaps(events, seriesCol, tsCol)
+      .withColumn("t", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("n")).over(wAll))
+      .withColumn("y", (col("n") * col("t") - col("s")).cast("decimal(19,0)"))
+    val lagged = (1 to maxLag).foldLeft(ys) { (df, l) =>
+      df.withColumn(s"y_$l", lag(col("y"), l).over(wLag))
+    }
+    val aggs = sum(col("y") * col("y")).as("d") +:
+      (1 to maxLag).map(l => sum(col("y") * col(s"y_$l")).as(s"num_$l"))
+    val agg = lagged.groupBy(col("series"))
+      .agg(max(col("t")).as("n_days"), aggs: _*)
+    val rows = (1 to maxLag).map { l =>
+      struct(lit(l).as("lag"),
+        when(col("d") > 0,
+          round(col(s"num_$l").cast("double") / col("d").cast("double"), 4))
+          .as("acf"))
+    }
+    agg.select(col("series"), col("n_days"), explode(array(rows: _*)).as("r"))
+      .select(col("series"), col("r.lag").as("lag"), col("n_days"),
+        col("r.acf").as("acf"))
+      .orderBy(col("series"), col("lag"))
+  }
+
+  /** DuckDB mirror of [[acf]] — generated; same grid, same exact y atoms,
+    * same single-division association.
+    */
+  def acfSql(table: String, maxLag: Int = 7,
+      seriesCol: String = "event_type", tsCol: String = "ts"): String = {
+    val lagCols = (1 to maxLag).map(l =>
+      s"lag(y, $l) OVER (PARTITION BY series ORDER BY day) AS y_$l")
+      .mkString(",\n       |    ").stripMargin
+    val numAggs = (1 to maxLag).map(l => s"SUM(y * y_$l) AS num_$l")
+      .mkString(",\n       |    ").stripMargin
+    val branches = (1 to maxLag).map(l =>
+      s"""SELECT series, $l AS lag, n_days,
+         |  CASE WHEN d > 0
+         |       THEN round(CAST(num_$l AS DOUBLE) / CAST(d AS DOUBLE), 4)
+         |  END AS acf FROM agg""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH filled AS (${fillDailyGapsSql(table, seriesCol, tsCol)}
+       |), stats AS (
+       |  SELECT series, day, n,
+       |    COUNT(*) OVER (PARTITION BY series) AS t,
+       |    CAST(SUM(n) OVER (PARTITION BY series) AS BIGINT) AS s
+       |  FROM filled
+       |), ys AS (
+       |  SELECT series, day, t,
+       |    CAST(n * t - s AS DECIMAL(19,0)) AS y
+       |  FROM stats
+       |), lagged AS (
+       |  SELECT series, t, y,
+       |    $lagCols
+       |  FROM ys
+       |), agg AS (
+       |  SELECT series, CAST(MAX(t) AS BIGINT) AS n_days,
+       |    SUM(y * y) AS d,
+       |    $numAggs
+       |  FROM lagged GROUP BY series
+       |)
+       |SELECT * FROM ($branches) u
+       |ORDER BY series, lag""".stripMargin
+  }
+
   /** DuckDB mirror of [[fillDailyGaps]] — generated, same spine semantics. */
   def fillDailyGapsSql(table: String, seriesCol: String = "event_type",
       tsCol: String = "ts"): String =

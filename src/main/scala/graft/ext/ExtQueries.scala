@@ -1532,9 +1532,19 @@ object ExtQueries {
       graft.ops.Stats.calibrationBinsSql("scored", "score", "y", bins = 12)
         .stripPrefix("WITH ")))
 
+  // E-series autocorrelation at lags 1..7 over the zero-filled daily grid:
+  // the seasonality/memory diagnostic (weekly cycle → lag-7 peak). Exact
+  // integer y_t = n_t·T − Σn atoms, DECIMAL(38,0) product sums, ONE 4dp
+  // division per (series, lag). SQL GENERATED (Drift.acfSql).
+  private val e72 = Q(
+    "e72_acf",
+    (s, dir) => Drift.acf(graft.queries.Reference.events(s, dir)),
+    Some(Drift.acfSql("events")))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
     e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56,
-    e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71)
+    e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71,
+    e72)
 }

@@ -179,4 +179,48 @@ class DriftSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.nonEmpty && a.forall(_.getDouble(2) >= 0.0))
   }
+
+  test("acf matches the hand-computed alternating series and nulls a constant one") {
+    // "alt" spans 03-02..03-04, so the zero-filled grid is 2,0,2:
+    // T=3, S=4; y = n·T−S = 2,−4,2; d = 24; num_1 = y2y1+y3y2 = −16
+    // → r1 = round(−16/24, 4) = −0.6667; num_2 = y3y1 = 4 → r2 = 0.1667
+    // (the exact-integer form of the textbook estimator). "flat": constant
+    // 2/day → zero variance, d = 0 → null at every lag.
+    val rows =
+      Seq(("alt", "2024-03-02"), ("alt", "2024-03-02"),
+          ("alt", "2024-03-04"), ("alt", "2024-03-04")) ++
+      (1 to 4).flatMap(d => Seq.fill(2)(("flat", f"2024-03-0$d")))
+    val ev = rows.toDF("event_type", "ds")
+      .withColumn("ts", to_timestamp(concat(col("ds"), lit(" 12:00:00"))))
+      .drop("ds")
+    val got = Drift.acf(ev, maxLag = 2).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toSeq
+    assert(got == Seq(
+      ("alt", 1, 3L, Some(-0.6667)), ("alt", 2, 3L, Some(0.1667)),
+      ("flat", 1, 4L, None), ("flat", 2, 4L, None)), got.mkString(", "))
+  }
+
+  test("acf lag beyond the series length yields null, not a crash") {
+    val ev = Seq(("s", "2024-03-01 10:00:00"), ("s", "2024-03-02 10:00:00"))
+      .toDF("event_type", "tss")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    // 2-day grid 1,1: y = 0,0 → d = 0 → null at every lag, including lag 3
+    // where no pair exists at all (num is a SUM over zero rows → null·… null).
+    val got = Drift.acf(ev, maxLag = 3).collect()
+      .map(r => (r.getInt(1), Option(r.get(3))))
+    assert(got.toSeq == Seq((1, None), (2, None), (3, None)))
+    intercept[IllegalArgumentException](Drift.acf(ev, maxLag = 0))
+  }
+
+  test("acf is repartition-stable on real events and bounded in [-1, 1]") {
+    val ev = graft.queries.Reference.events(spark, "/root/testdata/sf0.001")
+    val a = Drift.acf(ev).collect().toSeq
+    val b = Drift.acf(ev.repartition(7)).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+    val scores = a.flatMap(r => Option(r.get(3)).map(_.asInstanceOf[Double]))
+    assert(scores.nonEmpty && scores.forall(s => s >= -1.0 && s <= 1.0))
+  }
 }
