@@ -507,6 +507,92 @@ object Drift {
        |ORDER BY series, lag""".stripMargin
   }
 
+  /** CUSUM changepoint per series over the zero-filled daily grid
+    * ([[fillDailyGaps]]): the day where the cumulative deviation from the
+    * series mean peaks — the level-shift locator beside [[dailyAnomalies]]'
+    * single-day spikes (a sustained regime change barely registers as any
+    * one day's z-score; it maxes the CUSUM). One row per series:
+    * `(series, cp_day, n_days, strength, mean_before, mean_after)` where
+    * `strength = max_t |Σ_{i≤t} x_i / S − t/T| ∈ [0, 1)` (0 ⇔ perfectly
+    * uniform) and the means bracket the located shift.
+    *
+    * Determinism: the CUSUM is compared as EXACT integers
+    * `|cumx_t·T − t·S|` (DECIMAL(19,0) products; T·S < 10¹⁹ bound), argmax
+    * resolved per series by the total (gap DESC, day ASC) order — earliest
+    * day among exact ties; the only float ops are three final divisions of
+    * exact integers (6dp strength, 4dp means). `mean_after` is null when
+    * the peak lands on the last day (empty after-window, undefined).
+    *
+    * Scale: the count shuffle reduces the stream to the series×days grid;
+    * the running window, ranks, and output are grid-sized.
+    */
+  def changePoint(events: DataFrame, seriesCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy(col("series"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRun = Window.partitionBy(col("series")).orderBy(col("day"))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    fillDailyGaps(events, seriesCol, tsCol)
+      .withColumn("tt", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("n")).over(wAll))
+      .withColumn("t", row_number().over(wRun))
+      .withColumn("cumx", sum(col("n")).over(wRun))
+      .withColumn("gap", abs(dec(col("cumx")) * dec(col("tt")) -
+        dec(col("t")) * dec(col("s"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("series"))
+          .orderBy(col("gap").desc, col("day").asc)))
+      .where(col("rk") === 1)
+      .select(col("series"), col("day").as("cp_day"), col("tt").as("n_days"),
+        when(col("s") > 0,
+          round(col("gap").cast("double") /
+            (col("tt").cast("double") * col("s").cast("double")), 6))
+          .as("strength"),
+        round(col("cumx").cast("double") / col("t").cast("double"), 4)
+          .as("mean_before"),
+        when(col("t") < col("tt"),
+          round((col("s") - col("cumx")).cast("double") /
+            (col("tt") - col("t")).cast("double"), 4)).as("mean_after"))
+      .orderBy(col("series"))
+  }
+
+  /** DuckDB mirror of [[changePoint]] — generated; same grid, same exact
+    * gap integers, same tie order, same final associations.
+    */
+  def changePointSql(table: String, seriesCol: String = "event_type",
+      tsCol: String = "ts"): String =
+    s"""WITH filled AS (${fillDailyGapsSql(table, seriesCol, tsCol)}
+       |), run AS (
+       |  SELECT series, day, n,
+       |    COUNT(*) OVER (PARTITION BY series) AS tt,
+       |    CAST(SUM(n) OVER (PARTITION BY series) AS BIGINT) AS s,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY series ORDER BY day) AS BIGINT) AS t,
+       |    CAST(SUM(n) OVER (PARTITION BY series ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumx
+       |  FROM filled
+       |), g AS (
+       |  SELECT series, day, tt, s, t, cumx,
+       |    abs(CAST(cumx AS DECIMAL(19,0)) * CAST(tt AS DECIMAL(19,0))
+       |      - CAST(t AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) AS gap
+       |  FROM run
+       |), rked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY series
+       |    ORDER BY gap DESC, day ASC) AS rk
+       |  FROM g
+       |)
+       |SELECT series, day AS cp_day, tt AS n_days,
+       |  CASE WHEN s > 0
+       |       THEN round(CAST(gap AS DOUBLE)
+       |         / (CAST(tt AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+       |  END AS strength,
+       |  round(CAST(cumx AS DOUBLE) / CAST(t AS DOUBLE), 4) AS mean_before,
+       |  CASE WHEN t < tt
+       |       THEN round(CAST(s - cumx AS DOUBLE) / CAST(tt - t AS DOUBLE), 4)
+       |  END AS mean_after
+       |FROM rked WHERE rk = 1
+       |ORDER BY series""".stripMargin
+
   /** DuckDB mirror of [[fillDailyGaps]] — generated, same spine semantics. */
   def fillDailyGapsSql(table: String, seriesCol: String = "event_type",
       tsCol: String = "ts"): String =

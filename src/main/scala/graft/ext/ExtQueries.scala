@@ -1541,10 +1541,34 @@ object ExtQueries {
     (s, dir) => Drift.acf(graft.queries.Reference.events(s, dir)),
     Some(Drift.acfSql("events")))
 
+  // E-stats two-sample Kolmogorov–Smirnov drift gate on the e69 bucketed
+  // grid: max ECDF gap between F and non-F order prices as EXACT integers
+  // |cum_a·n_b − cum_b·n_a|, total argmax order, one final 6dp division.
+  // SQL GENERATED (Stats.ksTestSql over the same CTE).
+  private val e73 = Q(
+    "e73_ks_test",
+    (s, dir) => graft.ops.Stats.ksTest(
+      t(s, dir, "orders").select(col("o_totalprice").as("score"),
+        (col("o_orderstatus") === "F").as("y")),
+      "score", "y", decimals = -2),
+    Some("""WITH scored AS (
+           |  SELECT o_totalprice AS score, o_orderstatus = 'F' AS y FROM orders
+           |), """.stripMargin +
+      graft.ops.Stats.ksTestSql("scored", "score", "y", decimals = -2)
+        .stripPrefix("WITH ")))
+
+  // E-series CUSUM changepoint per series on the zero-filled daily grid:
+  // the level-shift day via exact-integer |cumx·T − t·S| argmax (earliest
+  // day on ties), with bracketing means. SQL GENERATED (Drift.changePointSql).
+  private val e74 = Q(
+    "e74_changepoint",
+    (s, dir) => Drift.changePoint(graft.queries.Reference.events(s, dir)),
+    Some(Drift.changePointSql("events")))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
     e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56,
     e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71,
-    e72)
+    e72, e73, e74)
 }

@@ -785,4 +785,101 @@ object Stats {
        |  CAST(SUM(CAST(round(t * $TermScale, 0) AS BIGINT)) AS DOUBLE) / $TermScale
        |    AS chi2
        |FROM terms""".stripMargin
+
+  /** Two-sample Kolmogorov–Smirnov distance between the `valueCol`
+    * distributions of the two classes of boolean `labelCol`, on the
+    * `decimals`-bucketed value grid (the [[aucBinary]] contract: the grid
+    * bound IS the scale contract — windows run over distinct buckets,
+    * never rows). One row: `(n_a, n_b, d_stat, at_value)` where
+    * `d_stat = max_v |F_a(v) − F_b(v)|` and `at_value` is the grid point
+    * attaining it (lowest among exact ties). The caller compares `d_stat`
+    * against `c(α)·sqrt((n_a+n_b)/(n_a·n_b))` — the drift gate between a
+    * new crawl slice and the established corpus.
+    *
+    * Determinism: ECDF gaps are compared as EXACT integers
+    * `|cum_a·n_b − cum_b·n_a|` (DECIMAL(19,0) products — exact past the
+    * point where a double ECDF would quantize away a tie); the argmax is a
+    * total `ORDER BY (gap DESC, bucket ASC) LIMIT 1`, and the ONLY float
+    * ops are the final 6dp division and the bucket→value rescale. A
+    * one-class input yields null `d_stat` (undefined, not 0); an empty
+    * input yields zero rows.
+    *
+    * Scale: one count shuffle reduces the corpus to ≤ range·10^decimals
+    * cells; the cumulative window, the 1-row totals broadcast, and the
+    * top-1 all run on that grid.
+    */
+  def ksTest(df: DataFrame, valueCol: String, labelCol: String,
+      decimals: Int = 4): DataFrame = {
+    require(decimals >= -6 && decimals <= 6,
+      s"decimals bounds the value grid; want [-6, 6], got $decimals")
+    val scaleF = math.pow(10, decimals)
+    val lab = col(labelCol).cast("boolean")
+    val cells = df
+      .where(col(valueCol).isNotNull && lab.isNotNull)
+      .groupBy(round(col(valueCol) * scaleF, 0).cast("long").as("sb"))
+      .agg(sum(when(lab, 1L).otherwise(0L)).as("na"),
+        sum(when(!lab, 1L).otherwise(0L)).as("nb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = cells.agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("sb"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    cells
+      .withColumn("cuma", sum(col("na")).over(w))
+      .withColumn("cumb", sum(col("nb")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("gap", abs(dec(col("cuma")) * dec(col("n_b")) -
+        dec(col("cumb")) * dec(col("n_a"))))
+      .orderBy(col("gap").desc, col("sb").asc)
+      .limit(1)
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("gap").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 6))
+          .as("d_stat"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("sb").cast("double") / lit(scaleF)).as("at_value"))
+  }
+
+  /** DuckDB mirror of [[ksTest]] — generated; same grid, same exact gap
+    * integers, same total argmax order, same final associations.
+    */
+  def ksTestSql(table: String, valueCol: String, labelCol: String,
+      decimals: Int = 4): String = {
+    val scaleF = math.pow(10, decimals)
+    s"""WITH cells AS (
+       |  SELECT CAST(round($valueCol * $scaleF, 0) AS BIGINT) AS sb,
+       |    CAST(SUM(CASE WHEN CAST($labelCol AS BOOLEAN) THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |    CAST(SUM(CASE WHEN CAST($labelCol AS BOOLEAN) THEN 0 ELSE 1 END) AS BIGINT) AS nb
+       |  FROM $table
+       |  WHERE $valueCol IS NOT NULL AND $labelCol IS NOT NULL
+       |  GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(na) AS BIGINT) AS n_a, CAST(SUM(nb) AS BIGINT) AS n_b
+       |  FROM cells
+       |), run AS (
+       |  SELECT sb,
+       |    CAST(SUM(na) OVER (ORDER BY sb
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+       |    CAST(SUM(nb) OVER (ORDER BY sb
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+       |  FROM cells
+       |), g AS (
+       |  SELECT sb, n_a, n_b,
+       |    abs(CAST(cuma AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))
+       |      - CAST(cumb AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0))) AS gap
+       |  FROM run CROSS JOIN tot
+       |)
+       |SELECT n_a, n_b,
+       |  CASE WHEN n_a > 0 AND n_b > 0
+       |       THEN round(CAST(gap AS DOUBLE)
+       |         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+       |  END AS d_stat,
+       |  CASE WHEN n_a > 0 AND n_b > 0
+       |       THEN CAST(sb AS DOUBLE) / $scaleF
+       |  END AS at_value
+       |FROM g
+       |ORDER BY gap DESC, sb ASC
+       |LIMIT 1""".stripMargin
+  }
 }

@@ -214,6 +214,45 @@ class DriftSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Drift.acf(ev, maxLag = 0))
   }
 
+  test("changePoint locates a planted level shift with exact before/after means") {
+    // "shift": 1,1,1,9,9,9 per day → T=6, S=30; gap = |cumx·6 − t·30| peaks
+    // at t=3 (72) — the last old-regime day; strength = 72/180 = 0.4;
+    // means 1.0 / 9.0. "mono": single day → gap 0, strength 0, after null.
+    val rows =
+      (1 to 6).flatMap { d =>
+        val k = if (d <= 3) 1 else 9
+        (1 to k).map(i => ("shift", f"2024-03-0$d 10:$i%02d:00"))
+      } :+ (("mono", "2024-03-01 10:00:00"))
+    val ev = rows.toDF("event_type", "tss")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val got = Drift.changePoint(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), Option(r.get(5)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      ("mono", "2024-03-01", 1L, 0.0, 1.0, None),
+      ("shift", "2024-03-03", 6L, 0.4, 1.0, Some(9.0))), got.mkString(", "))
+  }
+
+  test("changePoint on a uniform series ties to the earliest day") {
+    // constant 2/day over 4 days: every gap is 0 → argmax tie → day 1;
+    // mean_before = mean_after = 2
+    val ev = (1 to 4).flatMap(d =>
+      Seq.fill(2)(("flat", f"2024-03-0$d 10:00:00")))
+      .toDF("event_type", "tss")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val r = Drift.changePoint(ev).collect().head
+    assert((r.getString(1), r.getDouble(3), r.getDouble(4),
+      r.get(5).asInstanceOf[Double]) == (("2024-03-01", 0.0, 2.0, 2.0)))
+  }
+
+  test("changePoint is repartition-stable on real events") {
+    val ev = graft.queries.Reference.events(spark, "/root/testdata/sf0.001")
+    val a = Drift.changePoint(ev).collect().toSeq
+    val b = Drift.changePoint(ev.repartition(7)).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    assert(a.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0))
+  }
+
   test("acf is repartition-stable on real events and bounded in [-1, 1]") {
     val ev = graft.queries.Reference.events(spark, "/root/testdata/sf0.001")
     val a = Drift.acf(ev).collect().toSeq

@@ -276,6 +276,60 @@ class StatsSpec extends AnyFunSuite {
     e.foreach { case (k, v) => assert(math.abs(v - f(k)) <= 2e-4, s"$k: $v vs ${f(k)}") }
   }
 
+  test("ksTest: identical distributions → 0, disjoint → 1, hand case exact") {
+    import spark.implicits._
+    // identical: A and B both {1,2,3} → every gap 0, argmax ties → lowest bucket
+    val same = Seq((1.0, true), (2.0, true), (3.0, true),
+      (1.0, false), (2.0, false), (3.0, false)).toDF("v", "y")
+    val s = Stats.ksTest(same, "v", "y").collect().head
+    assert((s.getLong(0), s.getLong(1), s.getDouble(2), s.getDouble(3)) ==
+      ((3L, 3L, 0.0, 1.0)))
+    // disjoint: A = {1,2}, B = {5,6} → D = 1 at the last A bucket
+    val dis = Seq((1.0, true), (2.0, true), (5.0, false), (6.0, false))
+      .toDF("v", "y")
+    val d = Stats.ksTest(dis, "v", "y").collect().head
+    assert((d.getDouble(2), d.getDouble(3)) == ((1.0, 2.0)))
+    // hand case: A = {1,2,3,4}, B = {3,4,5,6}; at v=2: F_a=1/2, F_b=0 →
+    // gap = |2·4 − 0·4| = 8 of 16 → D = 0.5 (also at v=4: |16−8|=8 → tie,
+    // argmax keeps the LOWEST bucket, v=2)
+    val h = Seq(1, 2, 3, 4).map(v => (v.toDouble, true)) ++
+      Seq(3, 4, 5, 6).map(v => (v.toDouble, false))
+    val r = Stats.ksTest(h.toDF("v", "y"), "v", "y").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ==
+      ((4L, 4L, 0.5, 2.0)))
+  }
+
+  test("ksTest: one-class → null D, empty → zero rows, coarse grid merges") {
+    import spark.implicits._
+    val one = Seq((1.0, true), (2.0, true)).toDF("v", "y")
+    val r = Stats.ksTest(one, "v", "y").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L && r.isNullAt(2) && r.isNullAt(3))
+    val empty = Seq.empty[(Double, Boolean)].toDF("v", "y")
+    assert(Stats.ksTest(empty, "v", "y").collect().isEmpty)
+    // decimals = -1: 14 vs 16 land in different buckets (1 vs 2), so a
+    // planted shift survives the coarse grid; 14 vs 15 would merge at 0dp…
+    // pin the rescaled at_value: bucket 1 → 10.0
+    val c = Stats.ksTest(Seq((14.0, true), (16.0, false)).toDF("v", "y"),
+      "v", "y", decimals = -1).collect().head
+    assert(c.getDouble(2) == 1.0 && c.getDouble(3) == 10.0)
+    intercept[IllegalArgumentException](Stats.ksTest(one, "v", "y", decimals = 9))
+  }
+
+  test("ksTest detects a planted shift on real orders and is repartition-stable") {
+    import org.apache.spark.sql.functions._
+    val od = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_totalprice").as("v"), (col("o_orderkey") % 2 === 0).as("y"))
+    // even/odd keys draw from the same distribution → D near 0 but exact
+    val a = Stats.ksTest(od, "v", "y", decimals = -2).collect().toSeq
+    val b = Stats.ksTest(od.repartition(7), "v", "y", decimals = -2).collect().toSeq
+    assert(a == b && a.head.getDouble(2) < 0.2)
+    // shift the even half up by 10⁶ → disjoint supports → D = 1
+    val shifted = od.withColumn("v",
+      when(col("y"), col("v") + 1000000.0).otherwise(col("v")))
+    assert(Stats.ksTest(shifted, "v", "y", decimals = -2)
+      .collect().head.getDouble(2) == 1.0)
+  }
+
   test("stats are repartition-stable on real lineitem data") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val pairs = Seq("l_quantity" -> "l_extendedprice")
