@@ -507,6 +507,187 @@ object Drift {
        |ORDER BY series, lag""".stripMargin
   }
 
+  /** Vocabulary overlap per source pair: distinct-token intersection,
+    * Jaccard, and containment — the cheap set-level companion to
+    * [[sourceJsd]]'s distributional distance (a crawl slice that is a
+    * near-subset of an existing source shows containment ≈ 1 long before
+    * its token MIX converges). One row per unordered pair:
+    * `(source_a, source_b, v_a, v_b, inter, jaccard, containment)` with
+    * `containment = inter / min(v_a, v_b)`.
+    *
+    * Determinism: all set sizes are exact longs; the two ratios are single
+    * 6dp-rounded divisions. Pairs with EMPTY intersection are densified
+    * from the source spine (a disjoint pair is a 0.0 row, not a missing
+    * one). A source whose documents tokenize to nothing has no vocabulary
+    * and drops out entirely.
+    *
+    * Scale: the corpus reduces to the distinct (source, token) table in
+    * one shuffle (|S|×|V|-bounded, persisted); the intersection self-join
+    * shuffles that table by token — a token in k sources contributes
+    * k(k−1)/2 pair rows, so the join is |V|·|S|²-bounded, never
+    * corpus-sized; sizes and the pair spine are |S|-row frames.
+    */
+  def vocabOverlap(docs: DataFrame, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val tk = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val vocab = docs
+      .select(col(sourceCol).as("source"), explode(tk).as("w"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    val inter = vocab.select(col("source").as("source_a"), col("w"))
+      .join(vocab.select(col("source").as("source_b"), col("w")), Seq("w"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    val spine = sizes.select(col("source").as("source_a"), col("v").as("v_a"))
+      .crossJoin(sizes.select(col("source").as("source_b"), col("v").as("v_b")))
+      .where(col("source_a") < col("source_b"))
+    spine.join(inter, Seq("source_a", "source_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .select(col("source_a"), col("source_b"), col("v_a"), col("v_b"),
+        col("inter"),
+        round(col("inter").cast("double") /
+          (col("v_a") + col("v_b") - col("inter")).cast("double"), 6)
+          .as("jaccard"),
+        round(col("inter").cast("double") /
+          least(col("v_a"), col("v_b")).cast("double"), 6).as("containment"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** DuckDB mirror of [[vocabOverlap]] — generated; same tokenizer, same
+    * densified spine, same final associations.
+    */
+  def vocabOverlapSql(table: String, textCol: String = "text",
+      sourceCol: String = "source"): String =
+    s"""WITH vocab AS (
+       |  SELECT DISTINCT $sourceCol AS source,
+       |    unnest(list_filter(string_split_regex(lower(trim($textCol)), '\\s+'),
+       |      t -> length(t) > 0)) AS w
+       |  FROM $table
+       |), sizes AS (
+       |  SELECT source, COUNT(*) AS v FROM vocab GROUP BY source
+       |), inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS inter
+       |  FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+       |  GROUP BY 1, 2
+       |), spine AS (
+       |  SELECT a.source AS source_a, a.v AS v_a, b.source AS source_b,
+       |    b.v AS v_b
+       |  FROM sizes a CROSS JOIN sizes b
+       |  WHERE a.source < b.source
+       |)
+       |SELECT s.source_a, s.source_b, s.v_a, s.v_b,
+       |  COALESCE(i.inter, 0) AS inter,
+       |  round(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+       |    / CAST(s.v_a + s.v_b - COALESCE(i.inter, 0) AS DOUBLE), 6) AS jaccard,
+       |  round(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+       |    / CAST(least(s.v_a, s.v_b) AS DOUBLE), 6) AS containment
+       |FROM spine s
+       |LEFT JOIN inter i ON i.source_a = s.source_a AND i.source_b = s.source_b
+       |ORDER BY s.source_a, s.source_b""".stripMargin
+
+  /** Distinctive terms per source by smoothed log-odds z-score (Monroe,
+    * Colaresi & Quinn 2008 "Fightin' Words", add-one prior): for each
+    * (source, token), the log-odds of the token in the source vs the REST
+    * of the corpus, standardized by its estimated variance — the "what
+    * makes this slice different" report that raw TF-IDF overstates for
+    * rare tokens. Output: top `topK` rows per source,
+    * `(source, token, c, z_score, rank)`.
+    *
+    * Determinism: with `o = c_t − c` (rest count), `m = n_s − c + 1` and
+    * `mo = (N − n_s) − o + 1`, the two odds ratios combine into ONE ln on
+    * an exact-integer ratio — `δ = ln((c+1)·mo / (m·(o+1)))`, numerator
+    * and denominator EXACT DECIMAL(38,0) products, one division, one
+    * libm `ln`; `σ² = 1/(c+1) + 1/(o+1)` is a fixed two-term textual sum;
+    * `z = round(δ/sqrt(σ²), 4)`. Ranks order by the ROUNDED z then token
+    * (total), so both engines rank identically.
+    *
+    * Scale: everything runs on the persisted |S|×|V| count table — corpus
+    * totals re-aggregate from it (the stream is scanned once), the rest
+    * counts come from a token-keyed join of grid-sized frames, and the
+    * top-k window is per-source over the grid.
+    */
+  def logOddsTerms(docs: DataFrame, topK: Int = 10, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    import org.apache.spark.sql.expressions.Window
+    val tk = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val cst = docs
+      .select(col(sourceCol).as("source"), explode(tk).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ns = cst.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val ct = cst.groupBy(col("w")).agg(sum(col("c")).as("c_t"))
+    val nTot = cst.agg(sum(col("c")).as("n_tot"))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val g = cst
+      .join(ct, Seq("w"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("o", col("c_t") - col("c"))
+      .withColumn("num", dec(col("c") + 1) *
+        dec(col("n_tot") - col("n_s") - col("o") + 1))
+      .withColumn("den", dec(col("n_s") - col("c") + 1) * dec(col("o") + 1))
+      .withColumn("delta", log(col("num").cast("double") / col("den").cast("double")))
+      .withColumn("sig2",
+        lit(1.0) / (col("c") + 1).cast("double") +
+          lit(1.0) / (col("o") + 1).cast("double"))
+      .withColumn("z", round(col("delta") / sqrt(col("sig2")), 4))
+    g.withColumn("rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("z").desc, col("w").asc)))
+      .where(col("rank") <= topK)
+      .select(col("source"), col("w").as("token"), col("c"),
+        col("z").as("z_score"), col("rank").cast("long").as("rank"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** DuckDB mirror of [[logOddsTerms]] — generated; same single-ln exact
+    * ratio, same fixed σ² association, same rounded-z rank order.
+    */
+  def logOddsTermsSql(table: String, topK: Int = 10, textCol: String = "text",
+      sourceCol: String = "source"): String =
+    s"""WITH toks AS (
+       |  SELECT $sourceCol AS source,
+       |    unnest(list_filter(string_split_regex(lower(trim($textCol)), '\\s+'),
+       |      t -> length(t) > 0)) AS w
+       |  FROM $table
+       |), cst AS (
+       |  SELECT source, w, COUNT(*) AS c FROM toks GROUP BY source, w
+       |), ns AS (
+       |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM cst GROUP BY source
+       |), ct AS (
+       |  SELECT w, CAST(SUM(c) AS BIGINT) AS c_t FROM cst GROUP BY w
+       |), nt AS (
+       |  SELECT CAST(SUM(c) AS BIGINT) AS n_tot FROM cst
+       |), g AS (
+       |  SELECT cst.source, cst.w, cst.c,
+       |    ct.c_t - cst.c AS o, ns.n_s, nt.n_tot
+       |  FROM cst
+       |  JOIN ct ON ct.w = cst.w
+       |  JOIN ns ON ns.source = cst.source
+       |  CROSS JOIN nt
+       |), scored AS (
+       |  SELECT source, w, c,
+       |    round(
+       |      ln(CAST(CAST(c + 1 AS DECIMAL(19,0))
+       |            * CAST(n_tot - n_s - o + 1 AS DECIMAL(19,0)) AS DOUBLE)
+       |        / CAST(CAST(n_s - c + 1 AS DECIMAL(19,0))
+       |            * CAST(o + 1 AS DECIMAL(19,0)) AS DOUBLE))
+       |      / sqrt(1.0 / CAST(c + 1 AS DOUBLE) + 1.0 / CAST(o + 1 AS DOUBLE)),
+       |      4) AS z
+       |  FROM g
+       |), rked AS (
+       |  SELECT source, w, c, z,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY z DESC, w ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT source, w AS token, c, z AS z_score, rank
+       |FROM rked WHERE rank <= $topK
+       |ORDER BY source, rank""".stripMargin
+
   /** CUSUM changepoint per series over the zero-filled daily grid
     * ([[fillDailyGaps]]): the day where the cumulative deviation from the
     * series mean peaks — the level-shift locator beside [[dailyAnomalies]]'

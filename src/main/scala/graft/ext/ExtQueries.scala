@@ -1565,10 +1565,27 @@ object ExtQueries {
     (s, dir) => Drift.changePoint(graft.queries.Reference.events(s, dir)),
     Some(Drift.changePointSql("events")))
 
+  // E-corpus vocabulary overlap per source pair: exact set sizes,
+  // Jaccard + containment, disjoint pairs densified — the near-subset
+  // detector beside e63's JSD. SQL GENERATED (Drift.vocabOverlapSql).
+  private val e75 = Q(
+    "e75_vocab_overlap",
+    (s, dir) => Drift.vocabOverlap(t(s, dir, "documents")),
+    Some(Drift.vocabOverlapSql("documents")))
+
+  // E-corpus distinctive terms per source: Monroe et al. smoothed
+  // log-odds z (add-one prior), ONE ln on exact DECIMAL(38,0) ratio
+  // products, rank on the 4dp-rounded z with token tie-break. SQL
+  // GENERATED (Drift.logOddsTermsSql).
+  private val e76 = Q(
+    "e76_log_odds",
+    (s, dir) => Drift.logOddsTerms(t(s, dir, "documents")),
+    Some(Drift.logOddsTermsSql("documents")))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
     e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56,
     e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71,
-    e72, e73, e74)
+    e72, e73, e74, e75, e76)
 }

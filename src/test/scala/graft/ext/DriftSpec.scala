@@ -214,6 +214,54 @@ class DriftSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Drift.acf(ev, maxLag = 0))
   }
 
+  test("vocabOverlap: hand Jaccard/containment with disjoint pairs densified") {
+    val docs = Seq(("A", "x y z"), ("B", "y z w"), ("C", "q"))
+      .toDF("source", "text")
+    val got = Drift.vocabOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq == Seq(
+      ("A", "B", 3L, 3L, 2L, 0.5, 0.666667),
+      ("A", "C", 3L, 1L, 0L, 0.0, 0.0),
+      ("B", "C", 3L, 1L, 0L, 0.0, 0.0)), got.mkString(", "))
+  }
+
+  test("vocabOverlap is relabel-symmetric and repartition-stable on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Drift.vocabOverlap(docs).collect().toSeq
+    val b = Drift.vocabOverlap(docs.repartition(7)).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    assert(a.forall { r =>
+      val (j, c) = (r.getDouble(5), r.getDouble(6))
+      j >= 0.0 && j <= c && c <= 1.0 // jaccard ≤ containment always
+    })
+  }
+
+  test("logOddsTerms surfaces each source's over-represented token (hand case)") {
+    // A: x x y — x appears only in A; B: y y y z — z only in B but y is
+    // B's bulk. Hand z for (A, x): δ = ln((2+1)·5 / ((3−2+1)·1)) = ln 7.5,
+    // σ² = 1/3 + 1, z = 1.745; for (B, y): δ = ln(4·3/(2·2)) = ln 3,
+    // σ² = 1/4 + 1/2, z = 1.2686.
+    val docs = Seq(("A", "x x y"), ("B", "y y y z")).toDF("source", "text")
+    val got = Drift.logOddsTerms(docs, topK = 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("A", "x", 2L, 1.745, 1L), ("B", "y", 3L, 1.2686, 1L)),
+      got.mkString(", "))
+    intercept[IllegalArgumentException](Drift.logOddsTerms(docs, topK = 0))
+  }
+
+  test("logOddsTerms is repartition-stable and caps at topK on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Drift.logOddsTerms(docs, topK = 5).collect().toSeq
+    val b = Drift.logOddsTerms(docs.repartition(7), topK = 5).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    val bySrc = a.groupBy(_.getString(0))
+    assert(bySrc.values.forall(rs => rs.size <= 5 &&
+      rs.map(_.getLong(4)).sorted == (1L to rs.size).toSeq))
+  }
+
   test("changePoint locates a planted level shift with exact before/after means") {
     // "shift": 1,1,1,9,9,9 per day → T=6, S=30; gap = |cumx·6 − t·30| peaks
     // at t=3 (72) — the last old-regime day; strength = 72/180 = 0.4;
