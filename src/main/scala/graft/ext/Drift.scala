@@ -467,6 +467,143 @@ object Drift {
       .orderBy(col("series"), col("lag"))
   }
 
+  /** Lead–lag cross-correlation between two named series at lags
+    * −`maxLag`..+`maxLag` over a SHARED zero-filled daily spine — the
+    * "does B's volume foreshadow A's" diagnostic beside [[acf]]'s
+    * self-memory: `r_ℓ` correlates `a_t` with `b_{t−ℓ}`, so a peak at
+    * ℓ > 0 means B leads A by ℓ days. One spine (global min..max day of
+    * the two series, missing days = 0 on both) keeps the pairing honest —
+    * per-series spans would silently shift the alignment.
+    *
+    * Determinism: the [[acf]] atoms — `y_t = x_t·T − Σx` EXACT integers
+    * per series, DECIMAL(19,0)² product sums; ONE double division per lag
+    * against `sqrt(d_a·d_b)` (the product taken on doubles of exact
+    * decimals, fixed order), 4dp. Either series constant on the spine →
+    * null at every lag. Both-series-absent input → zero rows.
+    *
+    * Scale: one count shuffle to the day grid; windows, lag passes, and
+    * the aggregate run on the days-bounded grid (the resolution bound, not
+    * a row bound).
+    */
+  def crossCorr(events: DataFrame, seriesA: String, seriesB: String,
+      maxLag: Int = 7, seriesCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .where(col(seriesCol).isin(seriesA, seriesB))
+      .groupBy(to_date(col(tsCol)).as("day"), col(seriesCol).as("series"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spine = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .where(col("d0").isNotNull)
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("day"))
+    val grid = spine
+      .join(daily.where(col("series") === seriesA)
+        .select(col("day"), col("n").as("na")), Seq("day"), "left")
+      .join(daily.where(col("series") === seriesB)
+        .select(col("day"), col("n").as("nb")), Seq("day"), "left")
+      .na.fill(0L, Seq("na", "nb"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wOrd = Window.orderBy(col("day"))
+    def nm(l: Int) = if (l < 0) s"yb_m${-l}" else s"yb_p$l"
+    val ys = grid
+      .withColumn("t", count(lit(1)).over(wAll))
+      .withColumn("sa", sum(col("na")).over(wAll))
+      .withColumn("sb", sum(col("nb")).over(wAll))
+      .withColumn("ya", (col("na") * col("t") - col("sa")).cast("decimal(19,0)"))
+      .withColumn("yb", (col("nb") * col("t") - col("sb")).cast("decimal(19,0)"))
+    val lagged = (-maxLag to maxLag).foldLeft(ys) { (df, l) =>
+      val c = if (l >= 0) lag(col("yb"), l).over(wOrd)
+        else lead(col("yb"), -l).over(wOrd)
+      df.withColumn(nm(l), c)
+    }
+    val aggs = Seq(sum(col("ya") * col("ya")).as("da"),
+      sum(col("yb") * col("yb")).as("db")) ++
+      (-maxLag to maxLag).map(l => sum(col("ya") * col(nm(l))).as(s"num_${nm(l)}"))
+    val agg = lagged.agg(max(col("t")).as("n_days"), aggs: _*)
+    val rows = (-maxLag to maxLag).map { l =>
+      struct(lit(l).as("lag"),
+        when(col("da") > 0 && col("db") > 0,
+          round(col(s"num_${nm(l)}").cast("double") /
+            sqrt(col("da").cast("double") * col("db").cast("double")), 4))
+          .as("ccf"))
+    }
+    agg.select(col("n_days"), explode(array(rows: _*)).as("r"))
+      .where(col("n_days").isNotNull)
+      .select(col("r.lag").as("lag"), col("n_days"), col("r.ccf").as("ccf"))
+      .orderBy(col("lag"))
+  }
+
+  /** DuckDB mirror of [[crossCorr]] — generated; same spine, same exact
+    * atoms, same divisions.
+    */
+  def crossCorrSql(table: String, seriesA: String, seriesB: String,
+      maxLag: Int = 7, seriesCol: String = "event_type",
+      tsCol: String = "ts"): String = {
+    def nm(l: Int) = if (l < 0) s"yb_m${-l}" else s"yb_p$l"
+    val lagCols = (-maxLag to maxLag).map { l =>
+      val f = if (l >= 0) s"lag(yb, $l)" else s"lead(yb, ${-l})"
+      s"$f OVER (ORDER BY day) AS ${nm(l)}"
+    }.mkString(",\n    ")
+    val numAggs = (-maxLag to maxLag)
+      .map(l => s"SUM(ya * ${nm(l)}) AS num_${nm(l)}")
+      .mkString(",\n    ")
+    val branches = (-maxLag to maxLag).map { l =>
+      s"""SELECT $l AS lag, n_days,
+         |  CASE WHEN da > 0 AND db > 0
+         |       THEN round(CAST(num_${nm(l)} AS DOUBLE)
+         |         / sqrt(CAST(da AS DOUBLE) * CAST(db AS DOUBLE)), 4)
+         |  END AS ccf FROM agg""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH daily AS (
+       |  SELECT CAST($tsCol AS DATE) AS day, $seriesCol AS series,
+       |    COUNT(*) AS n
+       |  FROM $table
+       |  WHERE $seriesCol IN ('$seriesA', '$seriesB')
+       |  GROUP BY 1, 2
+       |), mm AS (
+       |  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily
+       |), spine AS (
+       |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+       |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM mm WHERE d0 IS NOT NULL
+       |), grid AS (
+       |  SELECT s.day,
+       |    COALESCE(a.n, 0) AS na, COALESCE(b.n, 0) AS nb
+       |  FROM spine s
+       |  LEFT JOIN daily a ON a.day = s.day AND a.series = '$seriesA'
+       |  LEFT JOIN daily b ON b.day = s.day AND b.series = '$seriesB'
+       |), ys AS (
+       |  SELECT day,
+       |    CAST(na * t - sa AS DECIMAL(19,0)) AS ya,
+       |    CAST(nb * t - sb AS DECIMAL(19,0)) AS yb, t
+       |  FROM (
+       |    SELECT day, na, nb,
+       |      COUNT(*) OVER () AS t,
+       |      CAST(SUM(na) OVER () AS BIGINT) AS sa,
+       |      CAST(SUM(nb) OVER () AS BIGINT) AS sb
+       |    FROM grid
+       |  )
+       |), lagged AS (
+       |  SELECT day, t, ya, yb,
+       |    $lagCols
+       |  FROM ys
+       |), agg AS (
+       |  SELECT CAST(MAX(t) AS BIGINT) AS n_days,
+       |    SUM(ya * ya) AS da,
+       |    SUM(yb * yb) AS db,
+       |    $numAggs
+       |  FROM lagged
+       |)
+       |SELECT lag, n_days, ccf FROM ($branches) u
+       |WHERE n_days IS NOT NULL
+       |ORDER BY lag""".stripMargin
+  }
+
   /** DuckDB mirror of [[acf]] — generated; same grid, same exact y atoms,
     * same single-division association.
     */

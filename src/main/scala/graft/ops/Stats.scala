@@ -786,6 +786,108 @@ object Stats {
        |    AS chi2
        |FROM terms""".stripMargin
 
+  /** Mutual information (nats) and normalized MI between two categorical
+    * columns: one row `(n_a, n_b, mi_nats, h_a, h_b, nmi)` — the
+    * effect-SIZE companion to [[chiSquare]]'s significance statistic
+    * (χ² grows with N on any fixed dependence; MI measures the dependence
+    * itself, and `nmi = mi/sqrt(h_a·h_b)` lands in [0, 1]).
+    *
+    * Determinism (the Drift KL discipline): all counts exact longs; each
+    * joint term fixes its count-ratio association `(obs·N)/(a_tot·b_tot)`
+    * before the ONE `ln`, is scaled by the exact count, 6dp-rounded and
+    * 1e-6 fixed-point-summed; marginal entropies use the same pattern on
+    * `N/a_tot`; `nmi` is computed from the ROUNDED 6dp components, null
+    * when either margin is single-category (H = 0 — undefined, not 0).
+    * Null categories are EXCLUDED (the [[chiSquare]] rationale).
+    *
+    * Scale: ONE count shuffle to the (a, b) cell table (persisted,
+    * category²-bounded); marginals and totals re-aggregate from it; the
+    * corpus is scanned once.
+    */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("obs"))
+      .persist()
+    val aTot = cells.groupBy("a").agg(sum("obs").as("a_tot"))
+    val bTot = cells.groupBy("b").agg(sum("obs").as("b_tot"))
+    val nt = cells.agg(sum("obs").as("n_tot"))
+    val nD = col("n_tot").cast("double")
+    def fxSum(term: Column) =
+      sum(round(term * TermScale, 0).cast("long")).cast("double") / TermScale
+    val miTerm = round(col("obs").cast("double") *
+      log((col("obs").cast("double") * nD) /
+        (col("a_tot").cast("double") * col("b_tot").cast("double"))), 6)
+    def hTerm(tot: Column) =
+      round(tot.cast("double") * log(nD / tot.cast("double")), 6)
+    val sMi = cells.join(aTot, Seq("a")).join(bTot, Seq("b"))
+      .crossJoin(broadcast(nt))
+      .agg(fxSum(miTerm).as("s_mi"))
+    val ha = aTot.crossJoin(broadcast(nt))
+      .agg(count(lit(1)).as("n_a"), fxSum(hTerm(col("a_tot"))).as("s_a"))
+    val hb = bTot.crossJoin(broadcast(nt))
+      .agg(count(lit(1)).as("n_b"), fxSum(hTerm(col("b_tot"))).as("s_b"))
+    ha.crossJoin(broadcast(hb)).crossJoin(broadcast(sMi))
+      .crossJoin(broadcast(nt))
+      .select(col("n_a"), col("n_b"),
+        round(col("s_mi") / nD, 6).as("mi_nats"),
+        round(col("s_a") / nD, 6).as("h_a"),
+        round(col("s_b") / nD, 6).as("h_b"))
+      .withColumn("nmi",
+        when(col("h_a") > 0 && col("h_b") > 0,
+          round(col("mi_nats") / sqrt(col("h_a") * col("h_b")), 6)))
+  }
+
+  /** DuckDB mirror of [[mutualInfo]] — generated; same fixed points, same
+    * rounded-component nmi.
+    */
+  def mutualInfoSql(table: String, aCol: String, bCol: String): String =
+    s"""WITH cells AS (
+       |  SELECT $aCol AS a, $bCol AS b, COUNT(*) AS obs
+       |  FROM $table
+       |  WHERE $aCol IS NOT NULL AND $bCol IS NOT NULL
+       |  GROUP BY $aCol, $bCol
+       |), at AS (SELECT a, CAST(SUM(obs) AS BIGINT) AS a_tot FROM cells GROUP BY a),
+       |bt AS (SELECT b, CAST(SUM(obs) AS BIGINT) AS b_tot FROM cells GROUP BY b),
+       |nt AS (SELECT CAST(SUM(obs) AS BIGINT) AS n_tot FROM cells),
+       |mi AS (
+       |  SELECT CAST(SUM(CAST(round(
+       |      round(CAST(obs AS DOUBLE)
+       |        * ln(CAST(obs AS DOUBLE) * CAST(n_tot AS DOUBLE)
+       |          / (CAST(a_tot AS DOUBLE) * CAST(b_tot AS DOUBLE))), 6)
+       |      * $TermScale, 0) AS BIGINT)) AS DOUBLE) / $TermScale AS s_mi
+       |  FROM cells
+       |  JOIN at ON at.a = cells.a
+       |  JOIN bt ON bt.b = cells.b
+       |  CROSS JOIN nt
+       |), ha AS (
+       |  SELECT COUNT(*) AS n_a,
+       |    CAST(SUM(CAST(round(
+       |      round(CAST(a_tot AS DOUBLE)
+       |        * ln(CAST(n_tot AS DOUBLE) / CAST(a_tot AS DOUBLE)), 6)
+       |      * $TermScale, 0) AS BIGINT)) AS DOUBLE) / $TermScale AS s_a
+       |  FROM at CROSS JOIN nt
+       |), hb AS (
+       |  SELECT COUNT(*) AS n_b,
+       |    CAST(SUM(CAST(round(
+       |      round(CAST(b_tot AS DOUBLE)
+       |        * ln(CAST(n_tot AS DOUBLE) / CAST(b_tot AS DOUBLE)), 6)
+       |      * $TermScale, 0) AS BIGINT)) AS DOUBLE) / $TermScale AS s_b
+       |  FROM bt CROSS JOIN nt
+       |), fin AS (
+       |  SELECT n_a, n_b,
+       |    round(s_mi / CAST(n_tot AS DOUBLE), 6) AS mi_nats,
+       |    round(s_a / CAST(n_tot AS DOUBLE), 6) AS h_a,
+       |    round(s_b / CAST(n_tot AS DOUBLE), 6) AS h_b
+       |  FROM ha CROSS JOIN hb CROSS JOIN mi CROSS JOIN nt
+       |)
+       |SELECT n_a, n_b, mi_nats, h_a, h_b,
+       |  CASE WHEN h_a > 0 AND h_b > 0
+       |       THEN round(mi_nats / sqrt(h_a * h_b), 6)
+       |  END AS nmi
+       |FROM fin""".stripMargin
+
   /** Two-sample Kolmogorov–Smirnov distance between the `valueCol`
     * distributions of the two classes of boolean `labelCol`, on the
     * `decimals`-bucketed value grid (the [[aucBinary]] contract: the grid

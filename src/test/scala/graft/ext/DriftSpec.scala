@@ -301,6 +301,49 @@ class DriftSpec extends AnyFunSuite {
     assert(a.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0))
   }
 
+  test("crossCorr finds the planted one-day lead with hand-exact values") {
+    // B spikes on day 2, A on day 3 (B leads A by 1). Spine days 1-4:
+    // ya = −4,−4,12,−4; yb = −4,12,−4,−4; da = db = 192;
+    // r₊₁ = 176/192 = 0.9167, r₀ = −64/192 = −0.3333, r₋₁ = −80/192 = −0.4167.
+    val rows =
+      (1 to 4).flatMap { d =>
+        val ka = if (d == 3) 5 else 1
+        val kb = if (d == 2) 5 else 1
+        (1 to ka).map(i => ("A", f"2024-03-0$d 10:$i%02d:00")) ++
+          (1 to kb).map(i => ("B", f"2024-03-0$d 11:$i%02d:00"))
+      }
+    val ev = rows.toDF("event_type", "tss")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val got = Drift.crossCorr(ev, "A", "B", maxLag = 1).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      (-1, 4L, Some(-0.4167)), (0, 4L, Some(-0.3333)), (1, 4L, Some(0.9167))),
+      got.mkString(", "))
+  }
+
+  test("crossCorr: absent series → all-null ccf; empty input → zero rows") {
+    val ev = Seq(("A", "2024-03-01 10:00:00"), ("A", "2024-03-02 10:00:00"),
+      ("A", "2024-03-02 11:00:00"))
+      .toDF("event_type", "tss")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val got = Drift.crossCorr(ev, "A", "ZZZ", maxLag = 2).collect()
+    assert(got.length == 5 && got.forall(r => r.isNullAt(2)))
+    assert(got.forall(_.getLong(1) == 2L))
+    val none = Drift.crossCorr(ev, "X", "ZZZ", maxLag = 2).collect()
+    assert(none.isEmpty)
+    intercept[IllegalArgumentException](Drift.crossCorr(ev, "A", "B", maxLag = 0))
+  }
+
+  test("crossCorr is repartition-stable on real events and bounded") {
+    val ev = graft.queries.Reference.events(spark, "/root/testdata/sf0.001")
+    val a = Drift.crossCorr(ev, "click", "purchase").collect().toSeq
+    val b = Drift.crossCorr(ev.repartition(7), "click", "purchase").collect().toSeq
+    assert(a == b && a.size == 15)
+    val vals = a.flatMap(r => Option(r.get(2)).map(_.asInstanceOf[Double]))
+    assert(vals.nonEmpty && vals.forall(v => v >= -1.0 && v <= 1.0))
+  }
+
   test("acf is repartition-stable on real events and bounded in [-1, 1]") {
     val ev = graft.queries.Reference.events(spark, "/root/testdata/sf0.001")
     val a = Drift.acf(ev).collect().toSeq

@@ -330,6 +330,55 @@ class StatsSpec extends AnyFunSuite {
       .collect().head.getDouble(2) == 1.0)
   }
 
+  test("mutualInfo: identity → nmi 1, independence → 0, degenerate → null") {
+    import spark.implicits._
+    // perfect dependence, uniform margins: mi = h = ln 2, nmi = 1
+    val dep = Seq(("x", "x"), ("y", "y")).toDF("a", "b")
+    val d = Stats.mutualInfo(dep, "a", "b").collect().head
+    assert((d.getLong(0), d.getLong(1), d.getDouble(2), d.getDouble(5)) ==
+      ((2L, 2L, 0.693147, 1.0)))
+    // full uniform 2×2 grid: every ratio is 1 → mi = 0, nmi = 0
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")).toDF("a", "b")
+    val i = Stats.mutualInfo(ind, "a", "b").collect().head
+    assert(i.getDouble(2) == 0.0 && i.getDouble(5) == 0.0)
+    // single category on one side: H_a = 0 → nmi null, mi 0
+    val deg = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val g = Stats.mutualInfo(deg, "a", "b").collect().head
+    assert(g.getLong(0) == 1L && g.getDouble(2) == 0.0 && g.isNullAt(5))
+    // nulls excluded entirely
+    val withNull = Seq((Some("x"), Some("p")), (None, Some("q")),
+      (Some("y"), None)).toDF("a", "b")
+    val w = Stats.mutualInfo(withNull, "a", "b").collect().head
+    assert(w.getLong(0) == 1L && w.getLong(1) == 1L)
+  }
+
+  test("mutualInfo matches a hand-computed skewed joint and bounds nmi") {
+    import spark.implicits._
+    // cells: (x,p)=2 (x,q)=1 (y,q)=1; N=4; margins x=3 y=1 p=2 q=2
+    // mi = [2·ln(8/6) + 1·ln(4/6) + 1·ln(4/2)]/4 — fix each 6dp term
+    val df = Seq(("x", "p"), ("x", "p"), ("x", "q"), ("y", "q")).toDF("a", "b")
+    def t(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    def fx(v: Double) = math.round(v * 1000000)
+    val sMi = (fx(t(2 * math.log(8.0 / 6))) + fx(t(math.log(4.0 / 6))) +
+      fx(t(math.log(4.0 / 2)))).toDouble / 1000000
+    val want = t(sMi / 4)
+    val r = Stats.mutualInfo(df, "a", "b").collect().head
+    assert(r.getDouble(2) == want, s"${r.getDouble(2)} vs $want")
+    assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1.0)
+  }
+
+  test("mutualInfo is repartition-stable on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Stats.mutualInfo(docs, "source", "lang").collect().toSeq
+    val b = Stats.mutualInfo(docs.repartition(7), "source", "lang").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    val r = a.head
+    assert(r.getDouble(2) >= 0.0)
+    Option(r.get(5)).foreach(v =>
+      assert(v.asInstanceOf[Double] >= -1e-6 && v.asInstanceOf[Double] <= 1.0))
+  }
+
   test("stats are repartition-stable on real lineitem data") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val pairs = Seq("l_quantity" -> "l_extendedprice")
