@@ -24,14 +24,19 @@ class PlanGuardSpec extends AnyFunSuite {
   // predicate — not equi-expressible; e64: the one-row BM25 stats and
   // query-vector frames feeding both rankers; e65: the one-row mixture
   // normalizer; e67: the three 1-row kappa component frames; e68: the
-  // |labels|-row centroid frame against every vector)
+  // |labels|-row centroid frame against every vector; e71: the one-row
+  // score-range frame; e73: the one-row per-class totals; e75: the
+  // |sources|-row vocab-size frames densifying disjoint pairs; e76: the
+  // one-row corpus totals beside the vocab-sized per-token broadcast;
+  // e77: the one-row margin-entropy/total frames)
   private val bnljByDesign =
     Set("e02_cosine_topk", "e15_decontam", "e17_bm25", "e18_editdist",
       "e29_lm_score", "e30_dsir_select", "e33_pmi_bigrams", "e35_source_kl",
       "e37_semantic_decontam", "e40_winsorize", "e43_chi_square",
       "e44_quantile_buckets", "e47_histogram", "e56_dq_report",
       "e60_benford", "e63_source_jsd", "e64_rrf_hybrid", "e65_mixture_plan",
-      "e67_cohen_kappa", "e68_centroid_eval")
+      "e67_cohen_kappa", "e68_centroid_eval", "e71_calibration",
+      "e73_ks_test", "e75_vocab_overlap", "e76_log_odds", "e77_mutual_info")
 
   test("no declared query plans a CartesianProduct; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
