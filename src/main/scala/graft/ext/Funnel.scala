@@ -219,4 +219,87 @@ object Funnel {
        |  round(CAST(p.n AS DOUBLE) / CAST(f.n_from AS DOUBLE), 4) AS p
        |FROM pairs p JOIN froms f USING (from_type)
        |ORDER BY p.from_type, p.to_type""".stripMargin
+
+  /** Association rules over per-user item baskets — the market-basket
+    * primitive (support / confidence / lift for every directed item pair
+    * `antecedent → consequent`). A basket is a user's DISTINCT item set;
+    * counts are over users, not event rows, so repeat events never inflate
+    * a rule.
+    *
+    * Determinism: all four counts (`n_both`, the two item supports, the
+    * user total) are exact longs; support and confidence are ONE 4dp
+    * division each, and lift fixes its association as
+    * `(n_both·N) / (n_ante·n_cons)` — two correctly-rounded IEEE products
+    * feeding one division, identical on both engines.
+    *
+    * Scale: the basket frame (one distinct-shuffle, persisted — three
+    * consumers) is user×item sized; the pair expansion self-joins it on
+    * the user key, so per-user work is basket-size², bounded by the item
+    * vocabulary — for heavy-tailed baskets cap them first
+    * (`Splits.groupCap`). Item supports broadcast (|items| rows); the
+    * user total is a 1-row cross join. Nothing corpus-sized survives the
+    * first aggregation.
+    */
+  def associationRules(events: DataFrame, userCol: String = "user_id",
+      itemCol: String = "event_type", minBoth: Long = 2): DataFrame = {
+    val baskets = events
+      .select(col(userCol).as("u"), col(itemCol).as("item"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nUsers = baskets.agg(count_distinct(col("u")).as("n_users"))
+    val items = baskets.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.u") === col("b.u") && col("a.item") =!= col("b.item"))
+      .groupBy(col("a.item").as("antecedent"), col("b.item").as("consequent"))
+      .agg(count(lit(1)).as("n_both"))
+      .where(col("n_both") >= minBoth)
+    pairs
+      .join(broadcast(items.select(col("item").as("antecedent"),
+        col("n_item").as("n_ante"))), Seq("antecedent"))
+      .join(broadcast(items.select(col("item").as("consequent"),
+        col("n_item").as("n_cons"))), Seq("consequent"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        round(col("n_both").cast("double") / col("n_users").cast("double"), 4)
+          .as("support"),
+        round(col("n_both").cast("double") / col("n_ante").cast("double"), 4)
+          .as("confidence"),
+        round((col("n_both").cast("double") * col("n_users").cast("double")) /
+          (col("n_ante").cast("double") * col("n_cons").cast("double")), 4)
+          .as("lift"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
+  /** DuckDB mirror of [[associationRules]] — generated, same counts, same
+    * fixed divisions.
+    */
+  def associationRulesSql(table: String, userCol: String = "user_id",
+      itemCol: String = "event_type", minBoth: Long = 2): String =
+    s"""WITH baskets AS (
+       |  SELECT DISTINCT $userCol AS u, $itemCol AS item FROM $table
+       |), n AS (
+       |  SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users FROM baskets
+       |), items AS (
+       |  SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+       |  FROM baskets GROUP BY 1
+       |), pairs AS (
+       |  SELECT a.item AS antecedent, b.item AS consequent,
+       |    CAST(COUNT(*) AS BIGINT) AS n_both
+       |  FROM baskets a JOIN baskets b ON a.u = b.u AND a.item <> b.item
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minBoth
+       |)
+       |SELECT p.antecedent, p.consequent, p.n_both,
+       |  round(CAST(p.n_both AS DOUBLE) / CAST(n.n_users AS DOUBLE), 4)
+       |    AS support,
+       |  round(CAST(p.n_both AS DOUBLE) / CAST(ia.n_item AS DOUBLE), 4)
+       |    AS confidence,
+       |  round((CAST(p.n_both AS DOUBLE) * CAST(n.n_users AS DOUBLE)) /
+       |    (CAST(ia.n_item AS DOUBLE) * CAST(ic.n_item AS DOUBLE)), 4)
+       |    AS lift
+       |FROM pairs p
+       |JOIN items ia ON ia.item = p.antecedent
+       |JOIN items ic ON ic.item = p.consequent
+       |CROSS JOIN n
+       |ORDER BY p.antecedent, p.consequent""".stripMargin
 }

@@ -115,4 +115,39 @@ class FunnelSpec extends AnyFunSuite {
       .collect().map(_.getDouble(1))
     assert(sums.nonEmpty && sums.forall(s => math.abs(s - 1.0) < 0.01), sums.mkString(","))
   }
+
+  test("associationRules computes hand-checked support/confidence/lift on baskets") {
+    import spark.implicits._
+    // baskets: u1{a,b,c} u2{a,b} u3{a} u4{b,c} — N=4; a:3 b:3 c:2;
+    // {a,b}:2 {a,c}:1 {b,c}:2. Repeat (u1,a) event must not inflate counts.
+    val ev = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a"),
+      (4L, "b"), (4L, "c"))
+      .toDF("user_id", "event_type")
+    val got = Funnel.associationRules(ev, minBoth = 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // a→b: n=2, support 2/4=0.5, confidence 2/3=0.6667, lift 2·4/(3·3)=0.8889
+    assert(got(("a", "b")) == ((2L, 0.5, 0.6667, 0.8889)))
+    assert(got(("b", "a")) == ((2L, 0.5, 0.6667, 0.8889)))
+    // b→c: n=2, conf 2/3, lift 2·4/(3·2)=1.3333 (positively associated)
+    assert(got(("b", "c")) == ((2L, 0.5, 0.6667, 1.3333)))
+    assert(got(("c", "b")) == ((2L, 0.5, 1.0, 1.3333)))
+    // a→c: n=1, conf 1/3=0.3333, lift 4/(3·2)=0.6667
+    assert(got(("a", "c")) == ((1L, 0.25, 0.3333, 0.6667)))
+    assert(got.size == 6)
+    // minBoth prunes the n=1 pairs
+    val pruned = Funnel.associationRules(ev, minBoth = 2).collect()
+    assert(pruned.length == 4 && pruned.forall(_.getLong(2) >= 2L))
+  }
+
+  test("associationRules is repartition-stable on real events") {
+    val ev = graft.queries.Reference.events(spark, "/root/testdata/sf0.001")
+    val a = Funnel.associationRules(ev).collect()
+    val b = Funnel.associationRules(ev.repartition(17)).collect()
+    assert(a.nonEmpty && a.sameElements(b))
+  }
 }
