@@ -419,6 +419,67 @@ object Drift {
        |FROM filled
        |ORDER BY series, day""".stripMargin
 
+  /** Trailing exponentially-weighted moving average of daily volume per
+    * series, α = ½, over the zero-filled grid ([[fillDailyGaps]]) — the
+    * fast-reacting smoother between [[rollingDailyMedian]] (robust, laggy)
+    * and [[dailyAnomalies]] (no smoothing at all). The "adjusted" form:
+    * ewma_t = Σ_k 2^(W−1−k)·n_{t−k} / Σ_k 2^(W−1−k) over the available
+    * trailing `window` days, so the series head is a true average of what
+    * exists, not biased toward a phantom zero history.
+    *
+    * Determinism: α = ½ makes every weight an exact power-of-two long —
+    * numerator and denominator are EXACT integer sums (no float pow, no
+    * reduction-order hazard), and each row emits ONE 4dp division. A
+    * general α would put libm `pow` in both engines; ½ keeps the whole
+    * computation in integers, which is why it is the only α offered.
+    *
+    * Scale: runs entirely on the series×days grid — the `window` lag
+    * columns are per-grid-row, never per-event. Exactness bound:
+    * n·2^(window−1) per term must stay under 2⁶³ — daily counts to ~10¹⁴
+    * at the default window 8.
+    */
+  def ewmaDaily(events: DataFrame, window: Int = 8,
+      seriesCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(window >= 1 && window <= 48,
+      s"window must be in [1, 48] (weights are 2^(window-1) longs): $window")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series")).orderBy(col("day"))
+    def lagN(k: Int): Column = if (k == 0) col("n") else lag(col("n"), k).over(w)
+    val terms = (0 until window).map { k =>
+      val wt = 1L << (window - 1 - k)
+      (when(lagN(k).isNotNull, lagN(k) * lit(wt)).otherwise(lit(0L)),
+        when(lagN(k).isNotNull, lit(wt)).otherwise(lit(0L)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    fillDailyGaps(events, seriesCol, tsCol)
+      .select(col("series"), col("day"), col("n"),
+        round(num.cast("double") / den.cast("double"), 4).as("ewma"))
+      .orderBy(col("series"), col("day"))
+  }
+
+  /** DuckDB mirror of [[ewmaDaily]] — generated, same exact-integer
+    * weights and fixed division.
+    */
+  def ewmaDailySql(table: String, window: Int = 8,
+      seriesCol: String = "event_type", tsCol: String = "ts"): String = {
+    def lagN(k: Int) = if (k == 0) "n" else s"LAG(n, $k) OVER w"
+    val num = (0 until window).map { k =>
+      val wt = 1L << (window - 1 - k)
+      s"CASE WHEN ${lagN(k)} IS NULL THEN 0 ELSE ${lagN(k)} * $wt END"
+    }.mkString(" + ")
+    val den = (0 until window).map { k =>
+      val wt = 1L << (window - 1 - k)
+      s"CASE WHEN ${lagN(k)} IS NULL THEN 0 ELSE $wt END"
+    }.mkString(" + ")
+    s"""WITH filled AS (${fillDailyGapsSql(table, seriesCol, tsCol)})
+       |SELECT series, day, n,
+       |  round(CAST($num AS DOUBLE) / CAST($den AS DOUBLE), 4) AS ewma
+       |FROM filled
+       |WINDOW w AS (PARTITION BY series ORDER BY day)
+       |ORDER BY series, day""".stripMargin
+  }
+
   /** Sample autocorrelation per series at lags 1..`maxLag` over the
     * zero-filled daily grid ([[fillDailyGaps]]) — the seasonality/memory
     * diagnostic beside [[dailyAnomalies]] and the forecaster: a weekly

@@ -353,4 +353,43 @@ class DriftSpec extends AnyFunSuite {
     val scores = a.flatMap(r => Option(r.get(3)).map(_.asInstanceOf[Double]))
     assert(scores.nonEmpty && scores.forall(s => s >= -1.0 && s <= 1.0))
   }
+
+  test("ewmaDaily: hand weights over zero-filled days with adjusted head") {
+    import spark.implicits._
+    // click days: [4, 0(fill), 0(fill), 2] — window 2 → weights (2, 1)
+    val ev = Seq(
+      ("click", "2024-03-01 10:00:00"), ("click", "2024-03-01 11:00:00"),
+      ("click", "2024-03-01 12:00:00"), ("click", "2024-03-01 13:00:00"),
+      ("click", "2024-03-04 09:00:00"), ("click", "2024-03-04 10:00:00"))
+      .toDF("event_type", "tss")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val got = Drift.ewmaDaily(ev, window = 2).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("2024-03-01", 4L, 4.0),     // head: only its own weight → plain n
+      ("2024-03-02", 0L, 1.3333),  // (0·2 + 4·1) / 3
+      ("2024-03-03", 0L, 0.0),
+      ("2024-03-04", 2L, 1.3333)))
+  }
+
+  test("ewmaDaily: window 1 is the identity; a constant series stays constant") {
+    import spark.implicits._
+    val ev = Seq(
+      ("a", "2024-03-01 10:00:00"), ("a", "2024-03-02 10:00:00"),
+      ("a", "2024-03-03 10:00:00"))
+      .toDF("event_type", "tss")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val w1 = Drift.ewmaDaily(ev, window = 1).collect()
+    assert(w1.forall(r => r.getDouble(3) == r.getLong(2).toDouble))
+    // window 3 on the constant series: adjusted head keeps ewma ≡ 1
+    val w3 = Drift.ewmaDaily(ev, window = 3).collect()
+    assert(w3.length == 3 && w3.forall(_.getDouble(3) == 1.0))
+  }
+
+  test("ewmaDaily is repartition-stable on real events") {
+    val ev = graft.queries.Reference.events(spark, "/root/testdata/sf0.001")
+    val a = Drift.ewmaDaily(ev).collect().toSeq
+    val b = Drift.ewmaDaily(ev.repartition(11)).collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
 }
