@@ -1617,10 +1617,30 @@ object ExtQueries {
     (s, dir) => Drift.ewmaDaily(graft.queries.Reference.events(s, dir)),
     Some(Drift.ewmaDailySql("events")))
 
+  // E-graph personalized PageRank on the e23 user↔item graph, teleport
+  // pinned to users 0-4: rank = proximity to the seed set, the "related
+  // items" primitive. Same fixed-point integer recurrence as e23. SQL
+  // GENERATED (PageRank.personalizedPageRankSql).
+  private val e81Seeds = Seq(0L, 1L, 2L, 3L, 4L)
+  private val e81 = Q(
+    "e81_ppr",
+    (s, dir) => {
+      val ue = graft.queries.Reference.events(s, dir)
+        .select(col("user_id").as("u"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .where(col("k").isNotNull)
+        .distinct()
+      val edges = ue.select(col("u").as("src"), (lit(1000000L) + col("k")).as("dst"))
+        .unionAll(ue.select((lit(1000000L) + col("k")).as("src"), col("u").as("dst")))
+      graft.ops.PageRank.personalizedPageRank(edges, e81Seeds, iters = 5)
+    },
+    Some(graft.ops.PageRank.personalizedPageRankSql(e23EdgesCte, e81Seeds,
+      iters = 5)))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
     e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56,
     e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71,
-    e72, e73, e74, e75, e76, e77, e78, e79, e80)
+    e72, e73, e74, e75, e76, e77, e78, e79, e80, e81)
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -41,11 +41,45 @@ object PageRank {
     */
   def pageRank(edges: DataFrame, iters: Int = 5, dampingPct: Int = 85,
       checkpointEvery: Int = 5): DataFrame = {
+    val base = (100 - dampingPct) * Micro / 100
+    iterate(edges, iters, dampingPct, checkpointEvery,
+      baseOf = _ => lit(base), initOf = _ => lit(Micro))
+  }
+
+  /** Personalized PageRank: the teleport lands only on `seeds`, so rank
+    * measures proximity to the seed set rather than global centrality —
+    * the "related items" / "similar users" primitive over the same
+    * co-occurrence graphs [[pageRank]] ranks globally. Same unnormalized
+    * micro-units convention: each SEED starts at 1.0 and receives the
+    * (1−d) restart share every step; every other node starts at 0 and
+    * earns mass only through in-edges. Seeds absent from the edge list are
+    * ignored (the node universe is src ∪ dst). The seed membership test is
+    * a literal IN over the node id — seed sets are small by definition
+    * (a query vector, not a table); a frame-sized personalization vector
+    * would join instead.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long],
+      iters: Int = 5, dampingPct: Int = 85,
+      checkpointEvery: Int = 5): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs at least one seed")
+    val base = (100 - dampingPct) * Micro / 100
+    def isSeed(node: Column) = node.isin(seeds.distinct: _*)
+    iterate(edges, iters, dampingPct, checkpointEvery,
+      baseOf = n => when(isSeed(n), lit(base)).otherwise(lit(0L)),
+      initOf = n => when(isSeed(n), lit(Micro)).otherwise(lit(0L)))
+  }
+
+  /** The shared damped-iteration loop: `baseOf`/`initOf` map the node id
+    * column to that node's restart mass and starting rank (constants for
+    * the global walk, seed-gated for the personalized one).
+    */
+  private def iterate(edges: DataFrame, iters: Int, dampingPct: Int,
+      checkpointEvery: Int, baseOf: Column => Column,
+      initOf: Column => Column): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
     require(iters <= 10 || checkpointEvery > 0,
       s"iters=$iters without lineage truncation: each iteration's plan embeds " +
         "the previous one, so long runs need checkpointEvery > 0")
-    val base = (100 - dampingPct) * Micro / 100
 
     val e = edges.select(col("src").cast("long"), col("dst").cast("long")).distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -58,7 +92,7 @@ object PageRank {
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var ranks = nodes.withColumn("rank_micro", lit(Micro))
+    var ranks = nodes.withColumn("rank_micro", initOf(col("node")))
     for (i <- 1 to iters) {
       // disjoint column names (not dataset-qualified refs): iteration ≥ 2
       // joins ranks against its own lineage, where qualified resolution
@@ -72,7 +106,8 @@ object PageRank {
       // left join keeps rank mass on nodes nothing points at
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + expr(s"($dampingPct * coalesce(in_mass, 0L)) div 100"))
+          (baseOf(col("node")) +
+            expr(s"($dampingPct * coalesce(in_mass, 0L)) div 100"))
             .as("rank_micro"))
       // truncating the FINAL frame is pointless (nothing builds on it) and
       // would eagerly materialize the whole result once for nothing
@@ -113,6 +148,38 @@ object PageRank {
        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |r0 AS (SELECT node, CAST($Micro AS BIGINT) AS rank_micro FROM nodes),
+       |$steps
+       |SELECT node, rank_micro, CAST(rank_micro AS DOUBLE) / $Micro AS rank
+       |FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** DuckDB mirror of [[personalizedPageRank]] — the [[pageRankSql]]
+    * unroll with the restart mass and the starting rank gated on seed
+    * membership, GENERATED from the same (seeds, iters, dampingPct).
+    */
+  def personalizedPageRankSql(edgesCte: String, seeds: Seq[Long],
+      iters: Int = 5, dampingPct: Int = 85): String = {
+    require(seeds.nonEmpty, "personalized PageRank needs at least one seed")
+    val base = (100 - dampingPct) * Micro / 100
+    val in = seeds.distinct.sorted.mkString("(", ", ", ")")
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(SUM(r${i - 1}.rank_micro // deg.deg) AS BIGINT) AS in_mass
+         |  FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.node = e.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT n.node,
+         |    CASE WHEN n.node IN $in THEN $base ELSE 0 END
+         |      + ($dampingPct * COALESCE(c$i.in_mass, CAST(0 AS BIGINT))) // 100 AS rank_micro
+         |  FROM nodes n LEFT JOIN c$i ON c$i.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesCte)),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT node,
+       |  CAST(CASE WHEN node IN $in THEN $Micro ELSE 0 END AS BIGINT)
+       |    AS rank_micro FROM nodes),
        |$steps
        |SELECT node, rank_micro, CAST(rank_micro AS DOUBLE) / $Micro AS rank
        |FROM r$iters ORDER BY node""".stripMargin

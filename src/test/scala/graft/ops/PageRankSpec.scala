@@ -101,4 +101,71 @@ class PageRankSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(PageRank.pageRank(empty, iters = 2).collect().isEmpty)
   }
+
+  /** The [[reference]] unroll with seed-gated restart mass and init. */
+  private def pprReference(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int, dampingPct: Int = 85): Map[Long, Long] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val base = (100L - dampingPct) * 1000000L / 100L
+    var r = nodes.map(n => n -> (if (seeds(n)) 1000000L else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+      r = nodes.map(n => n ->
+        ((if (seeds(n)) base else 0L) + dampingPct * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("personalized rank decays with distance from the seed") {
+    // chain 1→2→3→4, seed {1}: mass enters only at 1 and dilutes hop by hop
+    val chain = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val got = ranks(PageRank.personalizedPageRank(edgesDf(chain: _*),
+      seeds = Seq(1L), iters = 4))
+    assert(got == pprReference(chain, Set(1L), iters = 4))
+    assert(got(1L) > got(2L) && got(2L) > got(3L) && got(3L) > got(4L))
+    // a non-seed node with no path from the seed holds zero rank
+    val forked = chain :+ (5L -> 4L)
+    val got2 = ranks(PageRank.personalizedPageRank(edgesDf(forked: _*),
+      seeds = Seq(1L), iters = 4))
+    assert(got2(5L) == 0L)
+  }
+
+  test("seeding every node reproduces the global walk") {
+    val edges = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 1L)
+    val global = ranks(PageRank.pageRank(edgesDf(edges: _*), iters = 3))
+    val allSeeds = ranks(PageRank.personalizedPageRank(edgesDf(edges: _*),
+      seeds = Seq(1L, 2L, 3L), iters = 3))
+    assert(global == allSeeds)
+  }
+
+  test("personalized walk matches the SQL mirror's recurrence shape and is stable") {
+    val edges = (1L to 30L).flatMap(i => Seq(i -> (i % 30 + 1), (i % 30 + 1) -> i))
+    val expected = pprReference(edges, Set(1L, 2L), iters = 5)
+    Seq(
+      edgesDf(edges: _*),
+      edgesDf(edges: _*).repartition(13),
+      edgesDf((edges ++ edges.take(9)): _*).orderBy(rand(3))
+    ).foreach { d =>
+      assert(ranks(PageRank.personalizedPageRank(d, Seq(1L, 2L), iters = 5))
+        == expected)
+    }
+    val sql = PageRank.personalizedPageRankSql("SELECT 1 AS src, 2 AS dst",
+      Seq(2L, 1L), iters = 2)
+    // seed list is deduped+sorted into the literal; universe left-joined
+    assert(sql.contains("IN (1, 2)"))
+    (1 to 2).foreach(i => assert(sql.contains(s"FROM nodes n LEFT JOIN c$i")))
+    // seeds outside the graph contribute nothing — all-zero ranks, no rows lost
+    val offGraph = ranks(PageRank.personalizedPageRank(
+      edgesDf(1L -> 2L, 2L -> 1L), seeds = Seq(99L), iters = 3))
+    assert(offGraph == Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("empty seed set is rejected loudly") {
+    intercept[IllegalArgumentException] {
+      PageRank.personalizedPageRank(edgesDf(1L -> 2L), seeds = Seq.empty, iters = 2)
+    }
+  }
 }
