@@ -473,4 +473,106 @@ object Similarity {
        |SELECT label, c_label AS pred_label, COUNT(*) AS n
        |FROM best WHERE r = 1
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Simplified (centroid) silhouette per label — the cluster-quality
+    * scalar beside [[centroidEval]]'s confusion matrix: for each vector,
+    * a = cosine distance to its OWN label centroid, b = distance to the
+    * nearest OTHER centroid, s = (b−a)/max(a,b) ∈ [−1, 1]. High mean s =
+    * tight, well-separated label clusters; near 0 = overlapping; negative
+    * = vectors sit closer to a foreign centroid than their own. The
+    * centroid form (Hruschka et al.'s "simplified silhouette") is the
+    * scale-sane variant: the classic one needs all pairwise distances
+    * WITHIN each cluster — quadratic per cluster and pointless at corpus
+    * scale when the centroid already summarizes it.
+    *
+    * Output: one row per label, `(label, n, mean_sil)`.
+    *
+    * Determinism: centroids are the [[centroidEval]] fixed-point-exact
+    * arrays; every cosine rounds at 4dp before a/b are formed, s rounds
+    * at 4dp, and the per-label mean sums 1e-4 atoms as longs — ONE final
+    * division. Conventions: a = b = 0 (a vector ON two centroids) scores
+    * 0; a single-label corpus has no "other" centroid → mean_sil null.
+    *
+    * Scale: same shape as [[centroidEval]] — one |rows|×|dims| reduce to
+    * the centroid grid, a |labels|-row broadcast, per-row fused cosine
+    * loops, then one |labels|-sized aggregate.
+    */
+  def silhouette(emb: DataFrame, vecCol: String = "embedding",
+      labelCol: String = "label", idCol: String = "vec_id"): DataFrame = {
+    val base = emb
+      .where(col(labelCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol), col(labelCol).as("label"),
+        col(vecCol).cast("array<double>").as("v"))
+    val cent = base
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(round(col("x") * lit(1000000), 0).cast("long")).as("sa"),
+        count(lit(1)).as("cnt"))
+      .select(col("label"), col("dim"),
+        (col("sa").cast("double") / col("cnt").cast("double") / lit(1000000))
+          .as("c"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("c")))).as("sc"))
+      .select(col("label").as("c_label"),
+        transform(col("sc"), s => s("c")).as("cvec"))
+    val scored = base
+      .crossJoin(broadcast(cent))
+      .select(col(idCol), col("label"), col("c_label"),
+        (lit(1.0) - round(cosine(col("v"), col("cvec")), 4)).as("d"))
+    val s = scored
+      .groupBy(col(idCol), col("label"))
+      .agg(min(when(col("label") === col("c_label"), col("d"))).as("a"),
+        min(when(col("label") =!= col("c_label"), col("d"))).as("b"))
+      .select(col("label"),
+        when(col("b").isNull, lit(null).cast("double"))
+          .when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+          .otherwise(round((col("b") - col("a")) / greatest(col("a"), col("b")), 4))
+          .as("s"))
+    s.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("s") * lit(10000), 0).cast("long")).cast("double")
+          / lit(10000) / count(col("s")).cast("double"), 4).as("mean_sil"))
+      .orderBy(col("label"))
+  }
+
+  /** DuckDB mirror of [[silhouette]] — generated; same fixed-point
+    * centroids, 4dp distances, and atom-summed mean.
+    */
+  def silhouetteSql(table: String, vecCol: String = "embedding",
+      labelCol: String = "label", idCol: String = "vec_id"): String =
+    s"""WITH e AS (
+       |  SELECT $idCol AS vec_id, $labelCol AS label,
+       |    CAST($vecCol AS DOUBLE[]) AS v
+       |  FROM $table
+       |  WHERE $labelCol IS NOT NULL AND $vecCol IS NOT NULL
+       |), atoms AS (
+       |  SELECT label, unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x
+       |  FROM e
+       |), cm AS (
+       |  SELECT label, dim,
+       |    CAST(SUM(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+       |      / COUNT(*) / 1000000 AS c
+       |  FROM atoms GROUP BY 1, 2
+       |), cent AS (
+       |  SELECT label AS c_label, list(c ORDER BY dim) AS cvec FROM cm GROUP BY 1
+       |), scored AS (
+       |  SELECT e.vec_id, e.label, c.c_label,
+       |    1.0 - round(list_cosine_similarity(e.v, c.cvec), 4) AS d
+       |  FROM e CROSS JOIN cent c
+       |), ab AS (
+       |  SELECT vec_id, label,
+       |    MIN(CASE WHEN label = c_label THEN d END) AS a,
+       |    MIN(CASE WHEN label <> c_label THEN d END) AS b
+       |  FROM scored GROUP BY 1, 2
+       |), sil AS (
+       |  SELECT label,
+       |    CASE WHEN b IS NULL THEN NULL
+       |         WHEN GREATEST(a, b) = 0.0 THEN 0.0
+       |         ELSE round((b - a) / GREATEST(a, b), 4) END AS s
+       |  FROM ab
+       |)
+       |SELECT label, COUNT(*) AS n,
+       |  round(CAST(SUM(CAST(round(s * 10000) AS BIGINT)) AS DOUBLE)
+       |    / 10000 / COUNT(s), 4) AS mean_sil
+       |FROM sil GROUP BY label ORDER BY label""".stripMargin
 }

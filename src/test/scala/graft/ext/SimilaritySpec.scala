@@ -248,6 +248,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.map(_.getLong(2)).sum == emb.count())
   }
 
+  test("silhouette scores orthogonal clusters 1 and coincident centroids 0") {
+    import spark.implicits._
+    // labels A (two copies of e_x) and B (e_y): every a = 0, every b = 1
+    val clean = Seq(
+      (1L, Array(1.0, 0.0), "A"), (2L, Array(1.0, 0.0), "A"),
+      (3L, Array(0.0, 1.0), "B"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.silhouette(clean).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map("A" -> ((2L, 1.0)), "B" -> ((1L, 1.0))))
+    // a vector exactly ON both centroids: a = b = 0 → s = 0 by convention
+    val onTop = Seq(
+      (1L, Array(1.0, 0.0), "A"), (2L, Array(1.0, 0.0), "B"))
+      .toDF("vec_id", "embedding", "label")
+    val s2 = Similarity.silhouette(onTop).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(s2 == Map("A" -> 0.0, "B" -> 0.0))
+  }
+
+  test("silhouette: mislabeled vector scores negative; single label yields null") {
+    import spark.implicits._
+    // vec 3 labeled B but sitting on A's axis → its own-centroid distance
+    // exceeds its distance to A → negative s drags B's mean below A's
+    val rows = Seq(
+      (1L, Array(1.0, 0.0), "A"), (2L, Array(0.9, 0.1), "A"),
+      (3L, Array(1.0, 0.1), "B"), (4L, Array(0.0, 1.0), "B"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.silhouette(rows).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("A") > 0.5 && got("B") < got("A"))
+    val single = Seq((1L, Array(1.0, 0.0), "A"), (2L, Array(0.0, 1.0), "A"))
+      .toDF("vec_id", "embedding", "label")
+    val sr = Similarity.silhouette(single).collect()
+    assert(sr.length == 1 && sr.head.getLong(1) == 2L && sr.head.isNullAt(2))
+  }
+
+  test("silhouette is repartition-stable and bounded on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.silhouette(emb).collect().toSeq
+    val b = Similarity.silhouette(emb.repartition(7)).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    val sils = a.flatMap(r => Option(r.get(2)).map(_.asInstanceOf[Double]))
+    assert(sils.nonEmpty && sils.forall(s => s >= -1.0 && s <= 1.0))
+  }
+
   test("cosine_sim reaches SQL text via GraftExtensions") {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
