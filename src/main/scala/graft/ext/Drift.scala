@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
   * term join) reads the cache. The per-token totals broadcast (vocab-sized),
   * per-source totals broadcast (|sources| rows), so the term computation is
   * shuffle-free after the count pass.
+  *
+  * Cache lifetime: the persisted intermediates back the LAZY frame each
+  * operator returns, so they cannot be unpersisted here — they live until
+  * the session ends or the caller releases them. The frames are bounded
+  * (vocab/spine-sized, never corpus-sized) and MEMORY_AND_DISK evicts under
+  * pressure, but a long-lived session issuing many calls should
+  * `spark.catalog.clearCache()` between batches (or materialize the result
+  * and drop it) — the convention for every persisting operator in graft.
   */
 object Drift {
 

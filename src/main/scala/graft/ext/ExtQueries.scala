@@ -1141,7 +1141,8 @@ object ExtQueries {
       """SELECT doc_id, source, n_chars,
         |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars)
         |    AS n_chars_pr
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents WHERE n_chars IS NOT NULL
+        |ORDER BY doc_id""".stripMargin))
 
   // E5e rolling daily median over the zero-filled grid (e45's spine) —
   // the robust smoothing companion to e36's mean/variance z-scores. SQL

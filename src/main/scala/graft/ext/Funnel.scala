@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   * shrinking), never the raw event stream twice. k steps = k filtered
   * scans + k shrinking shuffles; no arrays of per-user events are ever
   * collected.
+  *
+  * Cache lifetime: transitionMatrix/associationRules persist their bounded
+  * pair-count frames and return LAZY results over that cache; the cache
+  * lives until the session ends or the caller clears it
+  * (`spark.catalog.clearCache()`) — the graft-wide convention (see Drift's
+  * scaladoc).
   */
 object Funnel {
 

@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
   *
   * Each operator ships a GENERATED DuckDB mirror (the Profile.profileSql
   * pattern) so formula and constants cannot drift between engines.
+  *
+  * Cache lifetime: operators that persist a bounded intermediate (the
+  * marginal/count tables behind chiSquare, mutualInfo, cohenKappa, ksTest)
+  * return LAZY frames over that cache, so they cannot unpersist it
+  * themselves; it lives until the session ends or the caller clears it.
+  * Long-lived sessions should `spark.catalog.clearCache()` between batches
+  * — the graft-wide convention (see Drift's scaladoc).
   */
 object Stats {
 
@@ -273,11 +280,18 @@ object Stats {
     * integer-derived and bit-identical across engines. One shuffle (the
     * window partition); a single-row group ranks 0.0. Per-group work is a
     * sort, the same contract as any per-key window at scale.
+    *
+    * Null-value rows are EXCLUDED (the modeBy convention): Spark orders
+    * nulls FIRST ascending while DuckDB defaults to NULLS LAST — the exact
+    * engine divergence Reference.scala's q16 pins — and a null "value" has
+    * no meaningful rank; including it would also inflate (n − 1) for every
+    * real row in the group. Mirrors must carry the same IS NOT NULL filter.
     */
   def percentRankBy(df: DataFrame, keyCol: String, valCol: String): DataFrame =
-    df.withColumn(s"${valCol}_pr",
-      percent_rank().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col(keyCol)).orderBy(col(valCol))))
+    df.where(col(valCol).isNotNull)
+      .withColumn(s"${valCol}_pr",
+        percent_rank().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol)).orderBy(col(valCol))))
 
   /** Benford first-digit analysis — the classic fabricated-numbers
     * forensic: observed first-significant-digit frequencies of a positive
@@ -290,13 +304,24 @@ object Stats {
     * the 9-value digit key. Output: (digit, n, obs_p, exp_p) for digits
     * 1–9 (absent digits reported with n = 0 via the 9-row spine), null and
     * non-positive amounts excluded.
+    *
+    * SUB-UNIT amounts (positive but below one fixed-point unit — the
+    * UNROUNDED scaled value < 1, e.g. anything under 0.01 at decimals=2)
+    * are excluded too: rounding would map them to integer 0 (digit '0' —
+    * outside the 1–9 spine, silently distorting obs_p's denominator) or
+    * round-promote them to digit '1' (0.0099 → 1 unit). The digit of a
+    * value below the chosen resolution is not measurable at that
+    * resolution; pick `decimals` to cover the amounts you care about. The
+    * gate is on the raw `value·10^decimals` (one IEEE multiply, identical
+    * in both engines), so no rounding artifact can admit or invent a digit.
     */
   def benford(df: DataFrame, valueCol: String, decimals: Int = 2): DataFrame = {
     require(decimals >= 0, s"decimals must be >= 0: $decimals")
     val scaleF = math.pow(10, decimals)
     val units = round(col(valueCol) * scaleF, 0).cast("bigint")
     val counts = df
-      .where(col(valueCol).isNotNull && col(valueCol) > 0)
+      .where(col(valueCol).isNotNull && col(valueCol) > 0 &&
+        col(valueCol) * scaleF >= 1)
       .select(substring(units.cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
     val spark = df.sparkSession
@@ -332,6 +357,7 @@ object Stats {
        |    COUNT(*) AS n
        |  FROM $table
        |  WHERE $valueCol IS NOT NULL AND $valueCol > 0
+       |    AND $valueCol * $scaleF >= 1
        |  GROUP BY 1
        |), spine(digit, exp_p) AS (VALUES $spine),
        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot FROM counts)

@@ -223,7 +223,10 @@ object EventStream {
     * Ordering compares (seconds, nanos, id) — the FULL timestamp
     * precision, matching the batch operator's microsecond ordering
     * (`Timestamp.getTime` alone is millisecond-truncated and would pick a
-    * different winner for sub-millisecond-apart events).
+    * different winner for sub-millisecond-apart events). The seconds
+    * component uses `Math.floorDiv`: `/ 1000` truncates toward zero, which
+    * for PRE-EPOCH timestamps (−1500 ms → −1 s carrying nanos 5e8) would
+    * order sub-second-apart 1969 events differently from the batch winner.
     *
     * NoTimeout deliberately: current-state tables serve lookups
     * indefinitely, so state lives as long as the key; bound the key space
@@ -232,7 +235,7 @@ object EventStream {
   def latestStateStream(events: Dataset[Event]): Dataset[LatestOut] = {
     import events.sparkSession.implicits._
     def key(o: LatestOut): (Long, Int, Long) =
-      (o.ts.getTime / 1000, o.ts.getNanos, o.event_id)
+      (Math.floorDiv(o.ts.getTime, 1000L), o.ts.getNanos, o.event_id)
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[LatestOut, LatestOut](

@@ -131,6 +131,17 @@ class StatsSpec extends AnyFunSuite {
       ("solo", 5.0, 0.0)), got.toString)
   }
 
+  test("percentRankBy excludes null values instead of ranking them") {
+    import spark.implicits._
+    // a null value must neither receive a rank nor inflate (n−1) for the
+    // real rows: with the null excluded the group ranks over 3 rows, not 4
+    val df = Seq(("g", Some(10.0)), ("g", None), ("g", Some(20.0)),
+      ("g", Some(40.0))).toDF("k", "v")
+    val got = Stats.percentRankBy(df, "k", "v").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2))).toSet
+    assert(got == Set((10.0, 0.0), (20.0, 0.5), (40.0, 1.0)), got.toString)
+  }
+
   test("benford derives first digits through integers and densifies all nine") {
     import spark.implicits._
     // 0.05 → 5 cents → digit 5; 123.45 → digit 1; 9000 → 9; negatives and
@@ -146,6 +157,19 @@ class StatsSpec extends AnyFunSuite {
     // expectations sum to ~1 and decrease monotonically (Benford shape)
     val exps = (1 to 9).map(got(_)._3)
     assert(math.abs(exps.sum - 1.0) < 0.001 && exps == exps.sorted.reverse)
+  }
+
+  test("benford excludes sub-unit amounts below the fixed-point resolution") {
+    import spark.implicits._
+    // 0.001 at decimals=2 rounds to 0 units (digit '0' — off the spine) and
+    // 0.0099 would round-PROMOTE to digit 1; both are excluded so obs_p
+    // still sums to 1 over the spine and no digit is invented by rounding
+    val df = Seq(0.001, 0.0099, 2.0, 2.0, 7.0).toDF("v")
+    val got = Stats.benford(df, "v").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1)._1 == 0L, "rounding must not promote 0.0099 to digit 1")
+    assert(got(2) == ((2L, 0.6667)) && got(7) == ((1L, 0.3333)))
+    assert(got.values.map(_._1).sum == 3L) // the two sub-unit rows excluded
   }
 
   test("gini is 0 on equality, approaches 1 under concentration, handles ties") {

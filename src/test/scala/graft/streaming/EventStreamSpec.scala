@@ -150,11 +150,25 @@ class EventStreamSpec extends AnyFunSuite {
       // identical full timestamp: higher event_id wins (the batch tie-break)
       ms.addData(ev(6, "2024-01-01 13:00:00.000900", 7, "tie-hi"))
       q.processAllAvailable()
+      // PRE-EPOCH ordering (separate user): 23:59-ish 1969 timestamps have
+      // negative millis, where a truncating `/ 1000` maps −1500 ms to
+      // (−1 s, nanos 5e8) — i.e. as if it were HALF A SECOND LATER than
+      // the whole second it precedes — so :58.5 would wrongly beat :59.0
+      // and the replay below would regress state. floorDiv keeps the
+      // (seconds, nanos) key monotone in true time.
+      ms.addData(ev(11, "1969-12-01 00:00:58.5", 5, "pre-epoch-old"))
+      q.processAllAvailable()
+      ms.addData(ev(12, "1969-12-01 00:00:59", 5, "pre-epoch-new"))
+      q.processAllAvailable()
+      ms.addData(ev(11, "1969-12-01 00:00:58.5", 5, "pre-epoch-old"))
+      q.processAllAvailable()
       val rows = spark.table("latest_state").collect()
         .map(r => (r.getLong(1), r.getString(2)))
-      // exactly the CHANGES were emitted: the late replay produced no row
+      // exactly the CHANGES were emitted: the late replays produced no row
+      // and the pre-epoch .5 event never displaced the whole-second winner
       assert(rows.toSeq == Seq((1L, "old"), (2L, "new"),
-        (9L, "sub-ms-early"), (4L, "sub-ms-late"), (6L, "tie-hi")),
+        (9L, "sub-ms-early"), (4L, "sub-ms-late"), (6L, "tie-hi"),
+        (11L, "pre-epoch-old"), (12L, "pre-epoch-new")),
         rows.mkString(", "))
       // ≡ batch operator on the same event set
       val batch = Seq(
