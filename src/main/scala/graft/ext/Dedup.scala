@@ -236,12 +236,17 @@ object Dedup {
     * Near-dups are pairs within small Hamming distance; candidate pairing at
     * scale uses the classic rotate-and-block trick on the packed value.
     */
-  def simhash(c: Column, nBits: Int = 64): Column = {
-    val hashes = transform(split(normText(c), "\\s+"), t => xxhash64(t))
-    // ONE aggregate pass carrying all nBits vote counters (a per-bit
-    // aggregate would re-evaluate the tokenize+hash subtree nBits times per
-    // row). Bit extraction shifts by the lambda index via BitOps (the
-    // Catalyst shift expressions accept column shift amounts).
+  def simhash(c: Column, nBits: Int = 64): Column =
+    simhashFromHashes(transform(split(normText(c), "\\s+"), t => xxhash64(t)), nBits)
+
+  /** Vote-and-pack core shared by the SimHash variants: per-bit ±1 votes
+    * over the token-hash array, sign vector, packed Long. ONE aggregate pass
+    * carrying all nBits vote counters (a per-bit aggregate would re-evaluate
+    * the tokenize+hash subtree nBits times per row). Bit extraction shifts
+    * by the lambda index via BitOps (the Catalyst shift expressions accept
+    * column shift amounts).
+    */
+  private def simhashFromHashes(hashes: Column, nBits: Int): Column = {
     val votes = aggregate(
       hashes,
       array_repeat(lit(0L), nBits),
@@ -253,6 +258,185 @@ object Dedup {
         when(v > 0, graft.functions.BitOps.shiftLeft(lit(1L), i)).otherwise(lit(0L))),
       lit(0L),
       (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** ENGINE-PORTABLE 60-bit hash: the first 15 hex chars of md5 decoded as
+    * an integer — the e13 `splitByHash` discipline widened from 16 bits to
+    * 60. md5 because every engine emits the same lowercase hex; 15 chars
+    * (not 16) so the value stays below 2⁶⁰ — positive in any signed-64
+    * representation, and `conv`'s unsigned 16-hex-char reading can never
+    * wrap. Spark computes it with built-in `conv`; mirrors decode the same
+    * prefix with the generated Horner expansion ([[md5Hex60Sql]]).
+    */
+  private[graft] def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Generated SQL twin of [[md5Hash60]]'s decode step: Horner expansion of
+    * 15 hex chars of an md5-hex expression `m` (compute the md5 ONCE into a
+    * column named `m` first — the expansion references it 15 times).
+    */
+  private[graft] def md5Hex60Sql(m: String): String =
+    (1 to 15)
+      .map(i => s"(strpos('0123456789abcdef', substr($m, $i, 1)) - 1)")
+      .reduceLeft((acc, c) => s"($acc * 16 + $c)")
+
+  /** ENGINE-PORTABLE SimHash: the [[simhash]] semantics with the per-token
+    * hash swapped from xxhash64 to [[md5Hash60]], so an independent engine
+    * can replay the fingerprint bit for bit (the e08 xxhash64 form stays the
+    * fast path — xxhash64 is one codegen'd primitive vs md5's digest + hex
+    * decode). 60 bits (not 64) because that is what one md5 prefix yields
+    * portably; empty tokens are filtered (an empty text fingerprints to 0
+    * rather than voting on hash("")). Multiset semantics — every occurrence
+    * votes — matching [[simhash]].
+    */
+  def simhashMd5(c: Column, nBits: Int = 60): Column =
+    simhashFromHashes(
+      transform(
+        filter(split(normText(c), "\\s+"), t => length(t) > 0),
+        t => md5Hash60(t)),
+      nBits)
+
+  /** Generated DuckDB mirror of [[simhashMd5]] over `idCol, textCol` of
+    * `table`: same tokenization, same 60-bit md5 hash, same ±1 votes, same
+    * sign-pack — emitted from the SAME constants so the two engines cannot
+    * drift. Tokenless docs pack to 0 on both sides (Spark: empty aggregate
+    * over the init array; SQL: LEFT JOIN + COALESCE).
+    */
+  def simhashMd5Sql(table: String, textCol: String = "text",
+      idCol: String = "doc_id", nBits: Int = 60): String =
+    s"""WITH toks AS (
+       |  SELECT $idCol, [t FOR t IN string_split_regex(trim(lower($textCol)), '\\s+')
+       |                  IF len(t) > 0] AS tk
+       |  FROM $table
+       |), tokx AS (
+       |  SELECT $idCol, unnest(tk) AS t FROM toks
+       |), hm AS (
+       |  SELECT $idCol, md5(t) AS m FROM tokx
+       |), hv AS (
+       |  SELECT $idCol, ${md5Hex60Sql("m")} AS h FROM hm
+       |), votes AS (
+       |  SELECT $idCol, b.i AS i, SUM(((h >> b.i) & 1) * 2 - 1) AS v
+       |  FROM hv CROSS JOIN (SELECT unnest(range(0, $nBits)) AS i) b
+       |  GROUP BY 1, 2
+       |), packed AS (
+       |  SELECT $idCol,
+       |    CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i)
+       |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY 1
+       |)
+       |SELECT d.$idCol, COALESCE(p.simhash, 0) AS simhash
+       |FROM $table d LEFT JOIN packed p ON d.$idCol = p.$idCol
+       |ORDER BY d.$idCol""".stripMargin
+
+  /** ENGINE-PORTABLE MinHash signature ([[minhashSignature]] with
+    * [[md5Hash60]] as the permutation hash): slot i is
+    * min over shingles g of md5_60("i:" ∥ g). Same banding theory, but the
+    * signature — and therefore band assignment and the candidate pair set —
+    * is reproducible by any engine that can compute md5.
+    */
+  def minhashSignatureMd5(shCol: Column, k: Int): Seq[Column] =
+    (0 until k).map { i =>
+      aggregate(
+        transform(shCol, g => md5Hash60(concat(lit(s"$i:"), g))),
+        lit(Long.MaxValue),
+        (acc, h) => least(acc, h))
+    }
+
+  /** ENGINE-PORTABLE MinHash-LSH near-dup pairs: the
+    * [[minhashNearDupNative]] pipeline (signature → band keys → id-only
+    * band buckets → candidate pairs → exact-Jaccard verification) with
+    * md5-derived signatures and PLAIN-TEXT band keys (the joined signature
+    * values — no second hash an engine could disagree on), so an
+    * independent engine replays the IDENTICAL candidate set and scores
+    * (mirror: [[minhashNearDupMd5Sql]]). The xxhash64 native form stays
+    * the fast path — md5 costs a digest per (permutation, shingle) vs one
+    * codegen'd xxhash64 — with the same bucket posture: the aggregation
+    * touches (id, band-key) only, never shingle arrays, and verification
+    * re-derives shingles just for candidate-pair members.
+    */
+  def minhashNearDupMd5(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleSize: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      minJaccard: Double = 0.7): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sigs = sh.select(col("id"),
+      array(minhashSignatureMd5(col("sh"), bands * rowsPerBand): _*).as("sig"))
+    val bandKeys = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("key"))
+    }
+    val pairs = sigs
+      .select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+      .groupBy(col("bk"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+    verifyExactJaccard(pairs, sh, minJaccard)
+  }
+
+  /** Generated DuckDB mirror of [[minhashNearDupMd5]] over `idCol, textCol`
+    * of `table` (which may be a parenthesized subquery — e.g. a doubled
+    * corpus): same shingles, same md5 permutation hashes, same band keys,
+    * same exact-Jaccard verification, emitted from the SAME constants.
+    */
+  def minhashNearDupMd5Sql(
+      table: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleSize: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      minJaccard: Double = 0.7): String = {
+    val grams = (0 until shingleSize).map(o => s"toks[i+$o]").mkString(", ")
+    s"""WITH toksed AS (
+       |  SELECT $idCol, string_split_regex(trim(lower($textCol)), '\\s+') AS toks
+       |  FROM $table
+       |), shn AS (
+       |  SELECT $idCol, sh FROM (
+       |    SELECT $idCol, list_distinct([
+       |      concat_ws(' ', $grams)
+       |      FOR i IN range(1, greatest(len(toks) - ${shingleSize - 2}, 1))
+       |    ]) AS sh
+       |    FROM toksed)
+       |  WHERE len(sh) > 0
+       |), shx AS (
+       |  SELECT $idCol, unnest(sh) AS g FROM shn
+       |), hm AS (
+       |  SELECT $idCol, p.perm AS perm,
+       |    md5(CAST(p.perm AS VARCHAR) || ':' || g) AS m
+       |  FROM shx CROSS JOIN (SELECT unnest(range(0, ${bands * rowsPerBand})) AS perm) p
+       |), sig AS (
+       |  SELECT $idCol, perm, MIN(${md5Hex60Sql("m")}) AS s
+       |  FROM hm GROUP BY 1, 2
+       |), bk AS (
+       |  SELECT $idCol, perm // $rowsPerBand AS band,
+       |    string_agg(CAST(s AS VARCHAR), ',' ORDER BY perm) AS key
+       |  FROM sig GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT DISTINCT a.$idCol AS id_a, b.$idCol AS id_b
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+       |    AND a.$idCol < b.$idCol
+       |)
+       |SELECT * FROM (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |  FROM cand c
+       |  JOIN shn a ON c.id_a = a.$idCol
+       |  JOIN shn b ON c.id_b = b.$idCol
+       |)
+       |WHERE jaccard >= $minJaccard
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Hamming distance between two packed 64-bit SimHashes. */

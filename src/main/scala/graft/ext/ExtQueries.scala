@@ -1647,10 +1647,42 @@ object ExtQueries {
     (s, dir) => Similarity.silhouette(t(s, dir, "embeddings")),
     Some(Similarity.silhouetteSql("embeddings")))
 
+  // E1c-PORTABLE SimHash twin of e08: per-token hash = md5Hash60 (the e13
+  // md5-bucket discipline widened to 60 bits) instead of xxhash64, so the
+  // fingerprint replays bit-for-bit in DuckDB — the vote/pack arithmetic
+  // previously covered only by rows-only checks is now under the hash
+  // oracle. e08 stays the fast path (one codegen'd xxhash64 per token);
+  // DedupSpec pins the two forms' Hamming-neighborhood agreement.
+  private val e83 = Q(
+    "e83_simhash_md5",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          coalesce(Dedup.simhashMd5(col("text")), lit(0L)).as("simhash"))
+        .orderBy(col("doc_id")),
+    Some(Dedup.simhashMd5Sql("documents")))
+
+  // E1d-PORTABLE MinHash-LSH twin of e09 over the same doubled corpus:
+  // md5-derived signatures + plain-text band keys, so band assignment, the
+  // candidate pair set, and the exact-Jaccard verification all replay in
+  // DuckDB (SQL GENERATED — Dedup.minhashNearDupMd5Sql, same constants).
+  // Every doc must still collide with its offset exact copy at jaccard 1.0.
+  private val e84 = Q(
+    "e84_minhash_md5",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L))
+      Dedup.minhashNearDupMd5(doubled, minJaccard = 0.7)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(Dedup.minhashNearDupMd5Sql(
+      """(SELECT doc_id, text FROM documents
+        | UNION ALL SELECT doc_id + 100000, text FROM documents)""".stripMargin)))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
     e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56,
     e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71,
-    e72, e73, e74, e75, e76, e77, e78, e79, e80, e81, e82)
+    e72, e73, e74, e75, e76, e77, e78, e79, e80, e81, e82, e83, e84)
 }

@@ -66,6 +66,45 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhashMd5 portable fingerprint: copies agree, near/far ordering holds, empty -> 0") {
+    import spark.implicits._
+    val h = docs.select(col("doc_id"), Dedup.simhashMd5(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(5L) && h(1L) == h(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)),
+      s"near ${ham(h(1L), h(3L))} !< far ${ham(h(1L), h(4L))}")
+    // 60-bit budget: no fingerprint can set bits 60-63
+    assert(h.values.forall(v => (v >>> 60) == 0L))
+    // tokenless docs pack to 0 (empty aggregate over the init array), the
+    // value the generated mirror's LEFT JOIN + COALESCE reproduces
+    val edge = Seq("", "   ").toDF("text")
+      .select(Dedup.simhashMd5(col("text"))).collect()
+    assert(edge.forall(_.getLong(0) == 0L))
+  }
+
+  test("minhashNearDupMd5 portable pairs: verified scores, same verdicts as native on real docs") {
+    val pairs = Dedup.minhashNearDupMd5(docs, minJaccard = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((1L, 5L)).contains(1.0), s"missing exact pair in $pairs")
+    assert(pairs.get((1L, 2L)).contains(1.0))
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated doc paired: $pairs")
+    // pair-set equivalence with the xxhash64 fast path on the doubled real
+    // corpus at the e84 operating point: different hash families draw
+    // different band permutations, but at threshold 0.7 over this corpus
+    // both candidate sets cover every true pair, and verification makes the
+    // emitted (pair, score) sets — not just their sizes — identical
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val doubled = real.unionAll(real.withColumn("doc_id", col("doc_id") + 100000L))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val portable = asSet(Dedup.minhashNearDupMd5(doubled, minJaccard = 0.7))
+    val native = asSet(Dedup.minhashNearDupNative(doubled, minJaccard = 0.7))
+    assert(portable == native,
+      s"portable minus native: ${portable -- native}; native minus portable: ${native -- portable}")
+  }
+
   test("minhash LSH finds exact and near duplicates, not the unrelated doc") {
     val pairs = Dedup.minhashNearDup(docs, numHashTables = 16, maxJaccardDistance = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
