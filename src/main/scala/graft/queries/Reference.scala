@@ -677,7 +677,125 @@ object Reference {
          |FROM big FULL OUTER JOIN rich ON o_custkey = c_custkey
          |ORDER BY custkey""".stripMargin))
 
+  // ---------------------------------------------- Q28: 6-table join (TPC-H Q5)
+  // The reference's merge chain (ipynb cells 31→32) stops at two dimensions;
+  // this generalizes it to the commonest real-user plan family the suite
+  // didn't yet cover: a fact⋈fact join (lineitem⋈orders — both shuffle on
+  // the order key) under a selective dimension chain
+  // customer⋈supplier⋈nation⋈region with a region filter and the classic Q5
+  // co-location constraint c_nationkey = s_nationkey. nation/region are
+  // bounded (25/5 rows at any SF) and explicitly broadcast; customer and
+  // supplier scale with SF, so they are left to the planner — AQE broadcasts
+  // them while they fit and shuffles them when they don't, which is exactly
+  // the 100 TB behavior wanted. Revenue is the 4dp-exact fixed-point sum of
+  // l_extendedprice·(1−l_discount) (both factors ≤2dp, so the double product
+  // is ≤4dp — msum's exactness domain).
+  private val q28 = Q(
+    "q28_q5join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cst = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cst, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(msum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some(
+      s"""SELECT n_name,
+         |  ${msumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin))
+
+  // --------------------------------- Q29: part-filtered profit (TPC-H Q9 shape)
+  // The second untouched-table family: lineitem⋈part under a substring part
+  // filter (the Q9 LIKE), supplier⋈nation for the grouping attribute, and a
+  // second fact join to orders for the year — five tables, two of them
+  // fact-sized. No partsupp table exists in the testdata, so "profit" is the
+  // discounted revenue rather than revenue − supplycost; the plan family
+  // (scan-filtered mid-size dim + double fact join + broadcast tail) is the
+  // point. o_year is cast to BIGINT on both engines (DuckDB's year() yields
+  // BIGINT; Spark's year() yields INT — dtype-strict compare).
+  private val q29 = Q(
+    "q29_q9profit",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val prt = t(s, dir, "part").where(col("p_name").contains("widget"))
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val ord = t(s, dir, "orders")
+      li.join(prt, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(count(lit(1)).as("n_lines"),
+          msum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("profit"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    },
+    Some(
+      s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  COUNT(*) AS n_lines,
+         |  ${msumSql("l_extendedprice * (1.0 - l_discount)")} AS profit
+         |FROM lineitem, part, supplier, nation, orders
+         |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+         |  AND s_nationkey = n_nationkey AND l_orderkey = o_orderkey
+         |  AND p_name LIKE '%widget%'
+         |GROUP BY 1, 2
+         |ORDER BY n_name, o_year DESC""".stripMargin))
+
+  // ------------------------------------------------ Q30: wide pivot (34 columns)
+  // The reference's capacity timeseries pivots to an 88k×40 wide frame
+  // (ipynb cell 5); q19 exercised pivot at 3 output columns. This one
+  // proves the conditional-aggregation plan scales in COLUMNS: ship-year
+  // rows × day-of-month 1–31 revenue cells — 32 output columns, each cell
+  // an exact fixed-point sum, one aggregation pass (no per-column scan).
+  // Pivot values are pinned explicitly (1 to 31): Spark never runs the
+  // distinct-values job, and the mirror generates the same 31 conditional
+  // sums from the same range.
+  private val q30 = Q(
+    "q30_widepivot",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(year(col("l_shipdate")).cast("long").as("ship_year"),
+          dayofmonth(col("l_shipdate")).as("dom"), col("l_extendedprice"))
+        .groupBy(col("ship_year"))
+        .pivot("dom", 1 to 31)
+        .agg(msum(col("l_extendedprice")))
+        .orderBy(col("ship_year")),
+    Some {
+      val cells = (1 to 31).map(d =>
+        s"""  ${msumSql(s"CASE WHEN date_part('day', l_shipdate) = $d THEN l_extendedprice END")} AS "$d"""")
+        .mkString(",\n")
+      s"""SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         |$cells
+         |FROM lineitem
+         |GROUP BY 1
+         |ORDER BY ship_year""".stripMargin
+    })
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q05, q07, q08, q09, q10, q12, q13, q14, q15, q16, q17,
-      q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
+      q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
 }
