@@ -1679,10 +1679,26 @@ object ExtQueries {
       """(SELECT doc_id, text FROM documents
         | UNION ALL SELECT doc_id + 100000, text FROM documents)""".stripMargin)))
 
+  // F-eval forecast evaluation under the oracle (the §2.d surface was
+  // spec-only): classical additive decomposition — closed-form OLS trend on
+  // exact integer moments + 4dp fixed-point day-of-week effects — fitted on
+  // the first 24 days of the zero-filled daily event-volume series and
+  // scored on the last 6, with per-day APE and the holdout MAPE. The
+  // portable twin of the Prophet-class forecaster (which needs a matrix
+  // solve no SQL engine replays); TrendSeasonForecasterSpec pins the two
+  // against each other on a planted trend+weekly series. SQL GENERATED
+  // (TrendSeasonForecaster.decompEvalSql).
+  private val e85 = Q(
+    "e85_forecast_eval",
+    (s, dir) => graft.forecast.TrendSeasonForecaster.decompEval(
+      graft.queries.Reference.events(s, dir), cutoff = "2024-01-25"),
+    Some(graft.forecast.TrendSeasonForecaster.decompEvalSql(
+      "events", cutoff = "2024-01-25")))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
     e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56,
     e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71,
-    e72, e73, e74, e75, e76, e77, e78, e79, e80, e81, e82, e83, e84)
+    e72, e73, e74, e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85)
 }

@@ -245,6 +245,158 @@ object TrendSeasonForecaster {
       .agg(avg(abs((col(yCol) - col(yhatCol)) / col(yCol))))
       .head().getDouble(0)
 
+  /** ENGINE-PORTABLE forecast evaluation (e85): classical additive
+    * decomposition — closed-form OLS trend + day-of-week effects — fitted on
+    * the zero-filled daily event-volume series before `cutoff` and evaluated
+    * on the days at/after it. This is the oracle-expressible twin of the
+    * Prophet-class [[fit]] model: the full Fourier OLS needs a matrix solve
+    * no SQL engine replays, so the DECLARED evaluation uses the decomposition
+    * form whose every estimate is a closed-form ratio of exact integer
+    * moments (the e42 linearFit discipline) and whose seasonal means sum
+    * 4dp fixed-point atoms — bit-identical in any engine.
+    * TrendSeasonForecasterSpec pins the two models against each other on a
+    * planted trend+weekly series (both must clear the reference's own
+    * MAPE < 0.02 bar).
+    *
+    * Determinism inventory: the daily series is an exact count on the
+    * e45-style zero-filled spine; t is the integer epoch day; dow is the
+    * PORTABLE `(t + 4) % 7` (0 = Sunday — engines disagree on the numbering
+    * of their native dayofweek, the epoch anchor never does); slope's
+    * numerator/denominator are exact BIGINT moments (Σt·y fits a long for
+    * any daily series shorter than ~10⁵ years at 10¹⁴ events/day) divided
+    * ONCE; residuals and predictions are rounded to the 4dp grid before any
+    * float aggregation; MAPE sums 1e-6 atoms. Zero-volume days are excluded
+    * from APE/MAPE (the F4 convention — APE is undefined at y = 0) but kept
+    * as forecast rows.
+    *
+    * Output: one row per holdout day — (ds, y, yhat, ape, mape), mape
+    * constant across rows (broadcast 1-row cross join, no window).
+    */
+  def decompEval(events: DataFrame, cutoff: String,
+      tsCol: String = "ts"): DataFrame = {
+    val daily0 = events
+      .select(to_date(col(tsCol)).as("ds"))
+      .groupBy(col("ds")).agg(count(lit(1)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded (one row per observed day); persisted because the spine
+    // min/max and the fill join both consume it (the e45 double-scan fix)
+    val mm = daily0.agg(min(col("ds")).as("d0"), max(col("ds")).as("d1"))
+    val spine = mm.select(
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("ds"))
+    val t = datediff(col("ds"), lit("1970-01-01").cast("date")).cast("long")
+    val daily = spine.join(daily0, Seq("ds"), "left")
+      .select(col("ds"), t.as("t"), ((t + 4) % 7).as("dow"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val train = daily.where(col("ds") < lit(cutoff).cast("date"))
+
+    val m = train.agg(
+      count(lit(1)).as("n"),
+      sum(col("t")).as("st"),
+      sum(col("y")).as("sy"),
+      sum(col("t") * col("t")).as("stt"),
+      sum(col("t") * col("y")).as("sty"))
+    val fit = broadcast(m.select(
+      ((col("n") * col("sty") - col("st") * col("sy")).cast("double") /
+        (col("n") * col("stt") - col("st") * col("st")).cast("double"))
+        .as("slope"),
+      col("st"), col("sy"), col("n")))
+      .select(col("slope"),
+        ((col("sy").cast("double") - col("slope") * col("st").cast("double")) /
+          col("n").cast("double")).as("icept"))
+    def trendOf(tc: Column) = col("icept") + col("slope") * tc.cast("double")
+
+    val dowEff = broadcast(
+      train.crossJoin(fit)
+        .select(col("dow"),
+          round(col("y").cast("double") - trendOf(col("t")), 4).as("r4"))
+        .groupBy(col("dow"))
+        .agg((sum(round(col("r4") * 10000, 0).cast("long")).cast("double") /
+          lit(10000) / count(lit(1)).cast("double")).as("eff")))
+
+    val holdout = daily.where(col("ds") >= lit(cutoff).cast("date"))
+      .join(dowEff, Seq("dow"))
+      .crossJoin(fit)
+      .select(col("ds"), col("y"),
+        round(trendOf(col("t")) + col("eff"), 4).as("yhat"))
+    val scored = holdout.select(col("ds"), col("y"), col("yhat"),
+      when(col("y") > 0,
+        round(abs(col("y").cast("double") - col("yhat")) /
+          col("y").cast("double"), 6)).as("ape"))
+    val mapeRow = broadcast(scored.agg(
+      (sum(round(col("ape") * 1000000, 0).cast("long")).cast("double") /
+        lit(1000000) / count(col("ape")).cast("double")).as("mape")))
+    scored.crossJoin(mapeRow)
+      .select(date_format(col("ds"), "yyyy-MM-dd").as("ds"),
+        col("y"), col("yhat"), col("ape"), col("mape"))
+      .orderBy(col("ds"))
+  }
+
+  /** Generated DuckDB mirror of [[decompEval]] — same spine, same integer
+    * moments, same association and rounding at every step.
+    */
+  def decompEvalSql(table: String, cutoff: String,
+      tsCol: String = "ts"): String =
+    s"""WITH daily0 AS (
+       |  SELECT CAST($tsCol AS DATE) AS ds, COUNT(*) AS y
+       |  FROM $table GROUP BY 1
+       |), mm AS (
+       |  SELECT MIN(ds) AS d0, MAX(ds) AS d1 FROM daily0
+       |), spine AS (
+       |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+       |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS ds
+       |  FROM mm
+       |), daily AS (
+       |  SELECT s.ds,
+       |    datediff('day', DATE '1970-01-01', s.ds) AS t,
+       |    (datediff('day', DATE '1970-01-01', s.ds) + 4) % 7 AS dow,
+       |    COALESCE(d.y, 0) AS y
+       |  FROM spine s LEFT JOIN daily0 d ON s.ds = d.ds
+       |), train AS (
+       |  SELECT * FROM daily WHERE ds < DATE '$cutoff'
+       |), m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(t) AS BIGINT) AS st,
+       |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(t * t) AS BIGINT) AS stt,
+       |    CAST(SUM(t * y) AS BIGINT) AS sty
+       |  FROM train
+       |), fit0 AS (
+       |  SELECT CAST(n * sty - st * sy AS DOUBLE) /
+       |      CAST(n * stt - st * st AS DOUBLE) AS slope,
+       |    st, sy, n
+       |  FROM m
+       |), fit AS (
+       |  SELECT slope,
+       |    (CAST(sy AS DOUBLE) - slope * CAST(st AS DOUBLE)) /
+       |      CAST(n AS DOUBLE) AS icept
+       |  FROM fit0
+       |), doweff AS (
+       |  SELECT dow,
+       |    CAST(SUM(CAST(round(r4 * 10000, 0) AS BIGINT)) AS DOUBLE)
+       |      / 10000 / CAST(COUNT(*) AS DOUBLE) AS eff
+       |  FROM (
+       |    SELECT dow,
+       |      round(CAST(y AS DOUBLE) -
+       |        (icept + slope * CAST(t AS DOUBLE)), 4) AS r4
+       |    FROM train CROSS JOIN fit)
+       |  GROUP BY 1
+       |), scored AS (
+       |  SELECT h.ds, h.y,
+       |    round((icept + slope * CAST(h.t AS DOUBLE)) + eff, 4) AS yhat,
+       |    CASE WHEN h.y > 0 THEN
+       |      round(abs(CAST(h.y AS DOUBLE) -
+       |        round((icept + slope * CAST(h.t AS DOUBLE)) + eff, 4))
+       |        / CAST(h.y AS DOUBLE), 6)
+       |    END AS ape
+       |  FROM daily h JOIN doweff e ON h.dow = e.dow CROSS JOIN fit
+       |  WHERE h.ds >= DATE '$cutoff'
+       |), mp AS (
+       |  SELECT CAST(SUM(CAST(round(ape * 1000000, 0) AS BIGINT)) AS DOUBLE)
+       |      / 1000000 / CAST(COUNT(ape) AS DOUBLE) AS mape
+       |  FROM scored
+       |)
+       |SELECT strftime(ds, '%Y-%m-%d') AS ds, y, yhat, ape, mape
+       |FROM scored CROSS JOIN mp
+       |ORDER BY ds""".stripMargin
+
   /** P8: the reference's positional 83/17 train/test split (ipynb cell 13) —
     * ordered row_number window vs the fraction cut.
     *

@@ -117,4 +117,50 @@ class TrendSeasonForecasterSpec extends AnyFunSuite {
     val slope = model.trendAt(t0 + 1000) - model.trendAt(t0 + 999)
     assert(math.abs(slope - 0.05) < 0.01, s"slope $slope")
   }
+
+  test("decompEval twin clears the same MAPE bar as the OLS model on planted trend+weekly data") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // events whose daily volume is exactly trend + day-of-week effect: the
+    // additive structure BOTH models assume. 8 full train weeks (a balanced
+    // dow×trend design — a partial week correlates the weekly pattern with
+    // t and biases the OLS slope on BOTH models) + a 7-day holdout.
+    val start = java.time.LocalDate.parse("2024-03-01")
+    def dailyN(i: Int): Int = {
+      val dow = ((start.plusDays(i.toLong).toEpochDay + 4) % 7).toInt
+      1000 + 4 * i + (if (dow == 0 || dow == 6) -150 else 40)
+    }
+    val events = (0 until 63).flatMap { i =>
+      val ts = java.sql.Timestamp.valueOf(start.plusDays(i.toLong).atTime(12, 0))
+      Seq.fill(dailyN(i))(ts)
+    }.toDF("ts")
+    val cutoff = start.plusDays(56).toString
+    val got = TrendSeasonForecaster.decompEval(events, cutoff).collect()
+    // 7 holdout days, mape constant across rows, and the decomposition
+    // nails the exactly-additive series
+    assert(got.length == 7)
+    val mapes = got.map(_.getAs[Double]("mape")).distinct
+    assert(mapes.length == 1)
+    assert(mapes.head < 0.02, s"decomp MAPE ${mapes.head} >= 0.02")
+    // per-row internal consistency: ape = |y - yhat| / y at 6dp
+    got.foreach { r =>
+      val (y, yhat, ape) = (r.getAs[Long]("y"), r.getAs[Double]("yhat"),
+        r.getAs[Double]("ape"))
+      val expect = BigDecimal(math.abs(y.toDouble - yhat) / y.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(ape - expect) < 1e-12, s"ape $ape != $expect")
+    }
+    // the Prophet-class OLS model on the same daily series clears the same
+    // bar — the two evaluation paths agree on what a good fit is
+    val daily = (0 until 56)
+      .map(i => (start.plusDays(i.toLong).toString, dailyN(i).toDouble))
+      .toDF("ds_s", "y").select(col("ds_s").cast("date").as("ds"), col("y"))
+    val m = TrendSeasonForecaster.fit(daily,
+      TrendSeasonForecaster.Config(yearlyOrder = 0, weeklyOrder = 3))
+    val ho = (56 until 63)
+      .map(i => (start.plusDays(i.toLong).toString, dailyN(i).toDouble))
+      .toDF("ds_s", "y").select(col("ds_s").cast("date").as("ds"), col("y"))
+    val olsMape = TrendSeasonForecaster.mape(m.transform(ho))
+    assert(olsMape < 0.02, s"OLS MAPE $olsMape >= 0.02")
+  }
 }
