@@ -1695,10 +1695,24 @@ object ExtQueries {
     Some(graft.forecast.TrendSeasonForecaster.decompEvalSql(
       "events", cutoff = "2024-01-25")))
 
+  // E5c streaming-state semantics under the hash oracle: the batch replay of
+  // sessionizeStateful (flatMapGroupsWithState) — strict > gap closure,
+  // session_end = LAST EVENT (the fMGWS contract, not session_window's
+  // +gap), ms-truncated gap arithmetic, and each user's trailing open
+  // session withheld exactly as append mode withholds it before the
+  // watermark timeout. e32 verified the island arithmetic; this verifies
+  // the stateful operator's own output contract (SQL GENERATED —
+  // EventStream.statefulReplaySql, same constants).
+  private val e86 = Q(
+    "e86_stateful_sessions",
+    (s, dir) => graft.streaming.EventStream.statefulReplay(
+      graft.queries.Reference.events(s, dir)),
+    Some(graft.streaming.EventStream.statefulReplaySql("events")))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
     e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56,
     e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71,
-    e72, e73, e74, e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85)
+    e72, e73, e74, e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86)
 }

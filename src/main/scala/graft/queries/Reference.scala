@@ -31,21 +31,32 @@ object Reference {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark cannot read as a
-    * timestamp (SURVEY.md §7 risk 2). Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, the column arrives as Long
-    * nanos, and this loader truncates ns→µs with integer arithmetic (`div`,
-    * not `/` — a double round-trip would lose precision above 2^53) into a
-    * proper TimestampType column.
+  /** The `events.ts` physical shape has varied across testdata generations:
+    * TIMESTAMP(NANOS) parquet (unreadable as a Spark timestamp — SURVEY.md
+    * §7 risk 2; sessions set `spark.sql.legacy.parquet.nanosAsLong=true` and
+    * the column arrives as Long nanos) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (arrives as TIMESTAMP_NTZ under Spark's default
+    * NTZ inference). This loader normalizes every shape to a proper
+    * TimestampType column: ns→µs truncation uses integer `div`, not `/` (a
+    * double round-trip would lose precision above 2^53), and the NTZ cast is
+    * value-preserving because every session here pins
+    * `spark.sql.session.timeZone=UTC`.
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
+  def events(s: SparkSession, dir: String): DataFrame =
+    normalizeTs(s.read.parquet(s"$dir/events.parquet"))
+
+  /** Shape-adaptive ts normalization shared by the batch and streaming
+    * event loaders — see [[events]] for the inventory of source shapes.
+    */
+  def normalizeTs(raw: DataFrame, tsCol: String = "ts"): DataFrame =
+    raw.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        raw.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn(tsCol,
+          col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
-  }
 
   /** Fixed-point sum of a double column that carries at most 4 decimal
     * digits: scale to integer units, sum exactly as Long, scale back. The

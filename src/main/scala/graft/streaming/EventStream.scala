@@ -18,24 +18,21 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** The events table schema as a stream source contract. `ts` arrives as
-    * Long nanos (TIMESTAMP(NANOS) parquet read under nanosAsLong) and is
-    * normalized to a µs TimestampType column, exactly like the batch loader.
+  /** File-stream source over a directory of event parquet files. A stream
+    * source needs an explicit schema, but the testdata's `ts` physical shape
+    * has varied across generations (Long nanos under nanosAsLong vs
+    * TIMESTAMP_NTZ micros — see [[graft.queries.Reference.events]]), so the
+    * schema is probed from the files already in the directory with one batch
+    * footer read, then `ts` is normalized to TimestampType exactly like the
+    * batch loader. Requires at least one file present at call time — true
+    * for every staging pattern here, and the natural contract for a replay
+    * source (an empty directory has no shape to promise).
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-stream source over a directory of event parquet files. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val probed = spark.read.parquet(dir).schema
+    graft.queries.Reference.normalizeTs(
+      spark.readStream.schema(probed).parquet(dir))
+  }
 
   /** Tumbling-window counts/sums with a watermark: the streaming twin of
     * Jsonish.tumbling. Append-mode-compatible (watermark closes windows).
@@ -252,6 +249,86 @@ object EventStream {
           }
       }
   }
+
+  /** Batch replay of [[sessionizeStateful]]'s append-mode semantics over the
+    * events table, shaped for the DuckDB oracle — the one streaming-state
+    * operator whose OUTPUT CONTRACT (not just its aggregates) is
+    * hash-verified: strict `>` gap closure, `session_end` = last event (no
+    * +gap — the fMGWS contract, unlike `session_window`), millisecond gap
+    * arithmetic (`Timestamp.getTime`), and each user's trailing OPEN session
+    * withheld exactly as append mode withholds it until the watermark fires
+    * the event-time timeout.
+    *
+    * Determinism inventory: the fold sorts a user's events by ms timestamp
+    * only, so every emitted field must be invariant to the arrival order of
+    * same-ms events — island membership is (a 0 gap never closes), counts
+    * and boundaries are, and the value sum is made exact by pre-scaling to
+    * 1e-4 integer units carried in the Double field (integer-valued double
+    * addition is associative below 2^53; the [[graft.queries.Reference.msum]]
+    * atom applied to streaming state). Catalyst converts micros→ms with
+    * `Math.floorDiv`, and DuckDB's `//` is floor division, so the ms grid
+    * agrees between engines even pre-epoch.
+    *
+    * Scale: ONE shuffle on `user_id` into the flatMapGroupsWithState sort —
+    * the same topology the streaming twin runs with a state store; the
+    * replay is how you backfill a sessionized history at rest beside the
+    * live stream.
+    */
+  def statefulReplay(events: DataFrame, gapMillis: Long = 30 * 60 * 1000L): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val ds = events.select(
+        col("event_id").cast("long").as("event_id"),
+        col("ts"),
+        col("user_id").cast("long").as("user_id"),
+        col("event_type"),
+        round(col("value") * 10000, 0).as("value"))
+      .as[Event]
+    sessionizeStateful(ds, gapMillis).toDF()
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"),
+        (col("sum_value").cast("long").cast("double") / 10000).as("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Generated DuckDB mirror of [[statefulReplay]] — gaps-and-islands on the
+    * ms grid with strict `>` closure, last-event session ends, and the
+    * trailing island per user excluded (the withheld open session). Keep in
+    * lockstep with the Scala form.
+    */
+  def statefulReplaySql(table: String, gapMillis: Long = 30 * 60 * 1000L): String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts) // 1000 AS ms,
+       |    CAST(round(value * 10000) AS BIGINT) AS units
+       |  FROM $table
+       |), lagged AS (
+       |  SELECT user_id, event_id, ms, units,
+       |    LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms
+       |  FROM ev
+       |), isl AS (
+       |  SELECT user_id, ms, units,
+       |    SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > $gapMillis
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |        ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM lagged
+       |), ses AS (
+       |  SELECT user_id, sid, MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+       |    COUNT(*) AS n_events,
+       |    CAST(SUM(units) AS DOUBLE) / 10000 AS sum_value
+       |  FROM isl GROUP BY user_id, sid
+       |)
+       |SELECT user_id,
+       |  strftime(make_timestamp(start_ms * 1000), '%Y-%m-%d %H:%M:%S')
+       |    AS session_start,
+       |  strftime(make_timestamp(end_ms * 1000), '%Y-%m-%d %H:%M:%S')
+       |    AS session_end,
+       |  n_events, sum_value
+       |FROM ses
+       |QUALIFY sid < MAX(sid) OVER (PARTITION BY user_id)
+       |ORDER BY user_id, session_start""".stripMargin
 
   /** Run a streaming frame to completion against the files currently in the
     * source directory, collecting results via the memory sink — the local

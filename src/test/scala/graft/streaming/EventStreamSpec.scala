@@ -243,6 +243,46 @@ class EventStreamSpec extends AnyFunSuite {
       ("2024-01-01 10:30:00.0", "2024-01-01 11:29:00.0", 2L, 6.0)), got.mkString(", "))
   }
 
+  test("statefulReplay ≡ an independent window-function reconstruction on real events") {
+    import graft.queries.Reference
+    val ev = Reference.events(spark, sfDir)
+    val got = EventStream.statefulReplay(ev)
+    // third voice beside the fMGWS fold and the DuckDB mirror: gaps-and-
+    // islands with the replay's exact contract — ms grid, strict > closure,
+    // end = last event, trailing island per user dropped
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val gapMs = 30 * 60 * 1000L
+    val isl = ev
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts) div 1000").as("ms"),
+        round(col("value") * 10000, 0).cast("long").as("units"))
+      .withColumn("__prev", lag(col("ms"), 1).over(byUser))
+      .withColumn("__sid", sum(
+        when(col("__prev").isNull || col("ms") - col("__prev") > gapMs, 1L)
+          .otherwise(0L))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val want = isl
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(
+        date_format(timestamp_millis(min(col("ms"))), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(timestamp_millis(max(col("ms"))), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        count(lit(1)).as("n_events"),
+        (sum(col("units")).cast("double") / 10000).as("sum_value"))
+      .withColumn("__last", max(col("__sid")).over(Window.partitionBy(col("user_id"))))
+      .where(col("__sid") < col("__last"))
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    assert(got.count() > 0, "no closed sessions on real events")
+    assert(got.exceptAll(want).count() == 0, "replay row the reconstruction lacks")
+    assert(want.exceptAll(got).count() == 0, "reconstruction row the replay lacks")
+    // withholding is real: every user's trailing open session is absent
+    val users = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    val islands = isl.select(col("user_id"), col("__sid")).distinct().count()
+    assert(got.count() == islands - users, "withheld-session accounting is off")
+  }
+
   test("sessionizeBatch is stable under adversarial repartitioning and plans one exchange") {
     import graft.queries.Reference
     val ev = Reference.events(spark, sfDir)
