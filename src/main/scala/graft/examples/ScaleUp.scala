@@ -1,0 +1,114 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic scale-up of a testdata directory: writes `factor`× the rows of
+  * every table as key-shifted DISJOINT UNIVERSES — copy k's keys live at
+  * `k * 1e9 + key`, so every join relationship (lineitem⋈orders⋈customer,
+  * events.user_id, …) holds within each copy and never across copies. The
+  * result has the same per-key cardinalities, join fan-outs, and value
+  * distributions as the source, at `factor`× the volume — the scale
+  * rehearsal input for the bench (VERDICT r8 item 3: "confirm per-query
+  * scaling exponents empirically, not by plan argument").
+  *
+  * Two columns get a per-copy perturbation so content-addressed operators
+  * see a realistic corpus instead of a `factor`×-exact-copy degenerate one
+  * (real sf1 documents are mostly unique; `factor` identical copies of every
+  * text would inflate every near-dup bucket by C(2·factor,2)/1 and measure a
+  * corpus no one curates):
+  *  - `documents.text` gets a copy-marker token appended (and `n_chars`
+  *    recomputed) — exact/MinHash/shingle dedup group sizes stay what they
+  *    are at the source scale;
+  *  - `embeddings.embedding` is rotated by the copy index — rotation
+  *    preserves the norm and the per-coordinate distribution but decorrelates
+  *    cross-copy cosines, so SemDeDup cells and ANN buckets keep their
+  *    source-scale occupancy.
+  *
+  * One scan per table: the copy fan-out is an `explode(sequence(...))`
+  * generator (the Reference.doubled trick generalized), not `factor` unions
+  * of the same scan.
+  *
+  * Run: `sbt "runMain graft.examples.ScaleUp /root/testdata/sf0.1 /tmp/sf1 10"`
+  */
+object ScaleUp {
+
+  private val Stride = 1000000000L
+
+  /** Shift `keys` by copy·stride under an exploded copy index; `text` and
+    * `embedding` perturbations applied where the columns exist.
+    */
+  private def fanOut(df: DataFrame, factor: Int, keys: Seq[String]): DataFrame = {
+    require(!df.columns.contains("__copy"), "fanOut would clobber __copy")
+    val exploded = df.withColumn("__copy",
+      explode(sequence(lit(0L), lit(factor - 1L))))
+    val shifted = keys.foldLeft(exploded) { (d, k) =>
+      d.withColumn(k, col(k) + col("__copy") * Stride)
+    }
+    val texted =
+      if (shifted.columns.contains("text"))
+        shifted.withColumn("text",
+            when(col("__copy") === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" c"), col("__copy"))))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      else shifted
+    val rotated =
+      if (texted.columns.contains("embedding"))
+        texted.withColumn("embedding",
+          when(col("__copy") === 0, col("embedding")).otherwise(
+            concat(
+              slice(col("embedding"), col("__copy").cast("int") + 1,
+                size(col("embedding")) - col("__copy").cast("int")),
+              slice(col("embedding"), lit(1), col("__copy").cast("int")))))
+      else texted
+    rotated.drop("__copy")
+  }
+
+  /** (table, key columns to shift). Dimension tables that are fixed-size in
+    * TPC-H (nation, region) replicate as-is — their keys are referenced by
+    * UNSHIFTED `*_nationkey`/`*_regionkey` columns, so they must keep their
+    * identity (they are also the broadcast sides; holding them constant is
+    * the honest scale model).
+    */
+  private val tables: Seq[(String, Seq[String])] = Seq(
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  def scaleUp(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    tables.foreach { case (name, keys) =>
+      fanOut(spark.read.parquet(s"$srcDir/$name.parquet"), factor, keys)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[scaleup] $name x$factor written")
+    }
+    Seq("nation", "region").foreach { name =>
+      spark.read.parquet(s"$srcDir/$name.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[scaleup] $name copied")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = if (args.length > 1) args(1) else "/tmp/sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scaleup")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    scaleUp(spark, srcDir, outDir, factor)
+    spark.stop()
+  }
+}
