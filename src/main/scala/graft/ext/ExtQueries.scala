@@ -1709,10 +1709,32 @@ object ExtQueries {
       graft.queries.Reference.events(s, dir)),
     Some(graft.streaming.EventStream.statefulReplaySql("events")))
 
+  // E3j Gopher rule battery (Rae et al. 2021 §A1.1) under the hash oracle:
+  // the qualityFilter gate was spec-only; this dumps the four signals
+  // (6dp), the pass verdict, and the violated rules per document. Ratios
+  // are one division of integer-derived values; thresholds compare the
+  // unrounded signal on both engines (SQL GENERATED —
+  // TextStats.gopherReportSql, same constants + stopword list).
+  private val e87 = Q(
+    "e87_gopher_rules",
+    (s, dir) => TextStats.gopherReport(t(s, dir, "documents")),
+    Some(TextStats.gopherReportSql("documents")))
+
+  // E2c int8 embedding quantization under the hash oracle (was spec-only):
+  // per-vector float32 absmax/127 scale + clamp-round codes, dumped as a
+  // comma-joined string so the compare is engine-portable. Proves the 4×
+  // shuffle-reduction path computes identical codes in both engines (SQL
+  // GENERATED — Similarity.quantizeInt8ReportSql).
+  private val e88 = Q(
+    "e88_int8_quant",
+    (s, dir) => Similarity.quantizeInt8Report(t(s, dir, "embeddings")),
+    Some(Similarity.quantizeInt8ReportSql("embeddings")))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
     e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56,
     e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71,
-    e72, e73, e74, e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86)
+    e72, e73, e74, e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86,
+    e87, e88)
 }

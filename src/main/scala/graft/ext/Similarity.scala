@@ -390,6 +390,42 @@ object Similarity {
     emb.withColumn(vecCol,
       transform(col(vecCol), x => (x.cast("float") * col(s"${vecCol}_scale"))))
 
+  /** [[quantizeInt8]] in oracle shape: per-vector scale (float32-exact,
+    * presented at 6dp) and the int8 codes as a comma-joined string — a
+    * string, not an array, so the compare is engine-portable. Every code is
+    * integer-valued after ONE float division both engines perform on
+    * identical doubles (the absmax fold is order-free, float32 rounding is
+    * IEEE on both sides), so the dump is bit-stable.
+    */
+  def quantizeInt8Report(emb: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame =
+    quantizeInt8(emb, vecCol)
+      .select(col(idCol),
+        round(col(s"${vecCol}_scale").cast("double"), 6).as("scale6"),
+        array_join(transform(col(vecCol), _.cast("string")), ",").as("codes"))
+      .orderBy(col(idCol))
+
+  /** Generated DuckDB mirror of [[quantizeInt8Report]] — same absmax/127
+    * float32 scale, same clamp-then-round code path. Keep in lockstep.
+    */
+  def quantizeInt8ReportSql(table: String): String =
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    CAST(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> abs(x))) / 127.0 AS REAL) AS scale
+       |  FROM $table
+       |)
+       |SELECT vec_id,
+       |  round(CAST(scale AS DOUBLE), 6) AS scale6,
+       |  CASE WHEN scale = 0 THEN
+       |    array_to_string(list_transform(v, x -> '0'), ',')
+       |  ELSE array_to_string(list_transform(v, x ->
+       |    CAST(CAST(least(127.0, greatest(-127.0,
+       |      round(x / CAST(scale AS DOUBLE), 0))) AS TINYINT) AS VARCHAR)),
+       |    ',')
+       |  END AS codes
+       |FROM base ORDER BY vec_id""".stripMargin
+
   /** Nearest-centroid label evaluation — the standard embedding-quality
     * probe: per-label mean vectors, every vector classified to its
     * nearest centroid by cosine, confusion counts out. A diagonal-heavy

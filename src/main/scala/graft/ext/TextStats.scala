@@ -150,7 +150,25 @@ object TextStats {
       minTokens: Int = 5, maxTokens: Int = 100000,
       minMeanTokenLen: Double = 2.0, maxMeanTokenLen: Double = 12.0,
       maxSymbolRatio: Double = 0.25, minStopwordRatio: Double = 0.01): DataFrame = {
-    val c = col(textCol)
+    val (_, _, _, _, reasons) = gopherSignals(col(textCol),
+      minTokens, maxTokens, minMeanTokenLen, maxMeanTokenLen,
+      maxSymbolRatio, minStopwordRatio)
+    docs
+      .withColumn("quality_fail_reasons", reasons)
+      .withColumn("quality_pass", size(col("quality_fail_reasons")) === 0)
+  }
+
+  /** The Gopher rule signals + fail reasons for one text column, shared by
+    * [[qualityFilter]] (the curation gate) and [[gopherReport]] (the
+    * oracle-shaped per-doc report). Every ratio is ONE division of
+    * integer-derived values (so engines agree bit-for-bit) and thresholds
+    * compare the UNROUNDED signal — rounding is presentation only.
+    */
+  private def gopherSignals(c: Column,
+      minTokens: Int, maxTokens: Int,
+      minMeanTokenLen: Double, maxMeanTokenLen: Double,
+      maxSymbolRatio: Double, minStopwordRatio: Double)
+      : (Column, Column, Column, Column, Column) = {
     val toks = tokens(c)
     val meanLen = when(size(toks) > 0,
       aggregate(toks, lit(0), (a, t) => a + length(t)).cast("double") / size(toks))
@@ -159,21 +177,92 @@ object TextStats {
     val symbolRatio = when(length(c) > 0,
       length(regexp_replace(c, "[\\p{L}\\p{N}\\s]", "")).cast("double") / length(c))
       .otherwise(lit(0.0))
+    val swRatio = stopwordRatio(c)
     val checks: Seq[(String, Column)] = Seq(
       "too_few_tokens" -> (size(toks) < minTokens),
       "too_many_tokens" -> (size(toks) > maxTokens),
       "mean_token_too_short" -> (meanLen < minMeanTokenLen),
       "mean_token_too_long" -> (meanLen > maxMeanTokenLen),
       "symbol_heavy" -> (symbolRatio > maxSymbolRatio),
-      "no_stopwords" -> (stopwordRatio(c) < minStopwordRatio))
+      "no_stopwords" -> (swRatio < minStopwordRatio))
     val reasons = filter(
       array(checks.map { case (name, bad) =>
         when(bad, lit(name)).otherwise(lit(null))
       }: _*),
       r => r.isNotNull)
-    docs
-      .withColumn("quality_fail_reasons", reasons)
-      .withColumn("quality_pass", size(col("quality_fail_reasons")) === 0)
+    (size(toks).cast("long"), meanLen, symbolRatio, swRatio, reasons)
+  }
+
+  /** Per-document Gopher rule report in oracle shape (Rae et al. 2021 §A1.1
+    * heuristics, public): the four signals 6dp-rounded, the pass verdict,
+    * and the violated rules as a comma-joined string (strings, not arrays —
+    * engine-portable compare). Zero shuffle: pure codegen'd row
+    * projections, exactly what a 100 TB curation pass maps over the corpus.
+    */
+  def gopherReport(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id",
+      minTokens: Int = 5, maxTokens: Int = 100000,
+      minMeanTokenLen: Double = 2.0, maxMeanTokenLen: Double = 12.0,
+      maxSymbolRatio: Double = 0.25, minStopwordRatio: Double = 0.01): DataFrame = {
+    val (nToks, meanLen, symbolRatio, swRatio, reasons) = gopherSignals(
+      col(textCol), minTokens, maxTokens, minMeanTokenLen, maxMeanTokenLen,
+      maxSymbolRatio, minStopwordRatio)
+    docs.select(col(idCol),
+      nToks.as("n_tokens"),
+      round(meanLen, 6).as("mean_token_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(swRatio, 6).as("stopword_ratio"),
+      (size(reasons) === 0).as("quality_pass"),
+      array_join(reasons, ",").as("fail_reasons"))
+      .orderBy(col(idCol))
+  }
+
+  /** Generated DuckDB mirror of [[gopherReport]] — same tokenization as the
+    * e03 oracle, same single-division ratios, same check order. Keep in
+    * lockstep.
+    */
+  def gopherReportSql(table: String,
+      minTokens: Int = 5, maxTokens: Int = 100000,
+      minMeanTokenLen: Double = 2.0, maxMeanTokenLen: Double = 12.0,
+      maxSymbolRatio: Double = 0.25, minStopwordRatio: Double = 0.01): String = {
+    val sw = stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH sig AS (
+       |  SELECT doc_id,
+       |    string_split_regex(trim(text), '\\s+') AS toks,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS ltoks,
+       |    length(text) AS nc,
+       |    length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS nsym
+       |  FROM $table
+       |), m AS (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |    CASE WHEN len(toks) > 0 THEN
+       |      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+       |        / len(toks) ELSE 0.0 END AS mean_len,
+       |    CASE WHEN nc > 0 THEN CAST(nsym AS DOUBLE) / nc
+       |      ELSE 0.0 END AS symbol_ratio,
+       |    CASE WHEN len(ltoks) > 0 THEN
+       |      CAST(len(list_filter(ltoks, t -> list_contains($sw, t)))
+       |        AS DOUBLE) / len(ltoks) ELSE 0.0 END AS sw_ratio
+       |  FROM sig
+       |), r AS (
+       |  SELECT doc_id, n_tokens, mean_len, symbol_ratio, sw_ratio,
+       |    list_filter([
+       |      CASE WHEN n_tokens < $minTokens THEN 'too_few_tokens' END,
+       |      CASE WHEN n_tokens > $maxTokens THEN 'too_many_tokens' END,
+       |      CASE WHEN mean_len < $minMeanTokenLen THEN 'mean_token_too_short' END,
+       |      CASE WHEN mean_len > $maxMeanTokenLen THEN 'mean_token_too_long' END,
+       |      CASE WHEN symbol_ratio > $maxSymbolRatio THEN 'symbol_heavy' END,
+       |      CASE WHEN sw_ratio < $minStopwordRatio THEN 'no_stopwords' END],
+       |      x -> x IS NOT NULL) AS reasons
+       |  FROM m
+       |)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  round(mean_len, 6) AS mean_token_len,
+       |  round(symbol_ratio, 6) AS symbol_ratio,
+       |  round(sw_ratio, 6) AS stopword_ratio,
+       |  len(reasons) = 0 AS quality_pass,
+       |  COALESCE(array_to_string(reasons, ','), '') AS fail_reasons
+       |FROM r ORDER BY doc_id""".stripMargin
   }
 
   /** Token frequency table over a corpus: explode + count. One shuffle on

@@ -88,6 +88,27 @@ class TextStatsSpec extends AnyFunSuite {
     assert(!got("symbols")._1 && got("symbols")._2.contains("symbol_heavy"))
   }
 
+  test("gopherReport: hand-computed signals, verdicts, and reason strings") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the data pipeline keeps all of the documents that look like real text and it works well"),
+      (2L, "tiny text"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextStats.gopherReport(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(5),
+        r.getString(6)))).toMap
+    // doc 1: 17 tokens, 71 letter-chars / 17 -> mean_token_len, passes all
+    assert(got(1L)._1 == 17L && got(1L)._3, got(1L).toString)
+    assert(got(1L)._2 == math.rint(71.0 / 17 * 1e6) / 1e6)
+    assert(got(1L)._4 == "")
+    // doc 2: 2 tokens -> too_few; "tinytext" has no stopword hit
+    assert(got(2L) == ((2L, 4.0, false, "too_few_tokens,no_stopwords")))
+    // empty text: split yields one empty token -> mean len 0 trips both
+    // length rules' floor and the stopword floor
+    assert(!got(3L)._3 &&
+      got(3L)._4 == "too_few_tokens,mean_token_too_short,no_stopwords")
+  }
+
   test("wordFreq counts tokens across the corpus") {
     import spark.implicits._
     val df = Seq(("a b a"), ("b a")).toDF("text")
