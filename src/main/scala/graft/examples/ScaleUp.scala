@@ -17,9 +17,14 @@ import org.apache.spark.sql.functions._
   * (real sf1 documents are mostly unique; `factor` identical copies of every
   * text would inflate every near-dup bucket by C(2·factor,2)/1 and measure a
   * corpus no one curates):
-  *  - `documents.text` gets a copy-marker token appended (and `n_chars`
-  *    recomputed) — exact/MinHash/shingle dedup group sizes stay what they
-  *    are at the source scale;
+  *  - `documents.text` is re-ordered per copy by a hash-keyed token
+  *    permutation (and `n_chars` recomputed) — unigram statistics (word
+  *    freq, lang-id, stopword/quality signals) are copy-invariant, while
+  *    prefixes, shingles, ordered n-grams, and spans decorrelate, so
+  *    near-dup group sizes stay what they are at the source scale (a
+  *    marker-append perturbation was measurably wrong here: it left
+  *    cross-copy texts near-identical and inflated every blocked
+  *    candidate-pair family ~C(2·factor, 2)×);
   *  - `embeddings.embedding` is rotated by the copy index — rotation
   *    preserves the norm and the per-coordinate distribution but decorrelates
   *    cross-copy cosines, so SemDeDup cells and ANN buckets keep their
@@ -49,7 +54,13 @@ object ScaleUp {
       if (shifted.columns.contains("text"))
         shifted.withColumn("text",
             when(col("__copy") === 0, col("text"))
-              .otherwise(concat(col("text"), lit(" c"), col("__copy"))))
+              .otherwise(array_join(
+                transform(
+                  array_sort(transform(split(trim(col("text")), "\\s+"),
+                    t => struct(xxhash64(t, col("__copy")).as("h"),
+                      t.as("t")))),
+                  s => s.getField("t")),
+                " ")))
           .withColumn("n_chars", length(col("text")).cast("long"))
       else shifted
     val rotated =
