@@ -93,10 +93,21 @@ object ScaleUp {
 
   def scaleUp(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
+    val cpus = spark.sparkContext.defaultParallelism
     tables.foreach { case (name, keys) =>
+      // The explode fan-out is narrow: without a repartition the output
+      // inherits the SOURCE file count (testdata ships one file per table),
+      // and a one-file sf1 table collapses every downstream scan to one
+      // task whose rows then explode 10x — the single-task sort-aggregate
+      // spill that killed the first rehearsal. Write enough files that a
+      // scan parallelizes across the cores (~32MB ceiling per file).
+      val srcBytes = new java.io.File(s"$srcDir/$name.parquet").length()
+      val nFiles = math.max(cpus,
+        ((srcBytes * factor) / (32L << 20) + 1).toInt)
       fanOut(spark.read.parquet(s"$srcDir/$name.parquet"), factor, keys)
+        .repartition(nFiles)
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-      println(s"[scaleup] $name x$factor written")
+      println(s"[scaleup] $name x$factor written ($nFiles files)")
     }
     Seq("nation", "region").foreach { name =>
       spark.read.parquet(s"$srcDir/$name.parquet")
