@@ -13,6 +13,21 @@ object ExtQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** [[t]] + scan-parallelism repair, for the queries whose PER-ROW compute
+    * dominates (codegen'd md5/simhash loops, n-gram explodes, exact DECIMAL
+    * moment aggregation, iterative graph walks): the testdata's
+    * single-row-group files cap every scan at one task, and these queries'
+    * map-side work then runs single-core until the first exchange —
+    * measured 2-7× slower (e41 9.1→2.1 s, e83 4.5→0.7 s, e23 6.5→3.4 s at
+    * sf0.1). Cheap scan-bound queries keep plain [[t]]: for them the
+    * round-robin shuffle is pure tax (q14 minmax measured 0.8→1.5 s under a
+    * blanket repair). See [[graft.ops.Layout.repairScanParallelism]] — a
+    * well-split input passes through untouched, so this is a no-op at real
+    * scale.
+    */
+  private def tp(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.ops.Layout.repairScanParallelism(t(s, dir, name))
+
   // E1 exact dedup over a deliberately doubled documents corpus: keeper id +
   // copy count per content hash. Same shape as Dedup.exact, with md5 as the
   // hash because DuckDB's md5 == Spark's md5 (lowercase hex) for the oracle.
@@ -257,7 +272,7 @@ object ExtQueries {
   private val e12 = Q(
     "e12_repetition",
     (s, dir) =>
-      TextStats.repetitionStats(t(s, dir, "documents"))
+      TextStats.repetitionStats(tp(s, dir, "documents"))
         .orderBy(col("doc_id")),
     Some(
       """WITH toksed AS (
@@ -430,7 +445,7 @@ object ExtQueries {
   private val e17 = Q(
     "e17_bm25",
     (s, dir) =>
-      Ranking.bm25(t(s, dir, "documents"), bm25Terms)
+      Ranking.bm25(tp(s, dir, "documents"), bm25Terms)
         .orderBy(col("term"), col("doc_id")),
     Some(Ranking.bm25Sql("documents", bm25Terms) + "\nORDER BY term, doc_id"))
 
@@ -443,7 +458,7 @@ object ExtQueries {
   private val e18 = Q(
     "e18_editdist",
     (s, dir) =>
-      Dedup.editDistancePairs(t(s, dir, "documents"), maxDist = 5, prefixLen = 40)
+      Dedup.editDistancePairs(tp(s, dir, "documents"), maxDist = 5, prefixLen = 40)
         .orderBy(col("id_a"), col("id_b")),
     Some(
       """WITH p AS (
@@ -564,7 +579,7 @@ object ExtQueries {
   private val e24 = Q(
     "e24_repeated_spans",
     (s, dir) =>
-      Dedup.repeatedSpans(t(s, dir, "documents"), n = 10, minDocs = 2)
+      Dedup.repeatedSpans(tp(s, dir, "documents"), n = 10, minDocs = 2)
         .orderBy(col("doc_id"), col("pos")),
     Some(
       """WITH toksed AS (
@@ -596,7 +611,7 @@ object ExtQueries {
   private val e25 = Q(
     "e25_profile",
     (s, dir) =>
-      graft.ops.Profile.profile(t(s, dir, "orders"), profileCols),
+      graft.ops.Profile.profile(tp(s, dir, "orders"), profileCols),
     Some(graft.ops.Profile.profileSql("orders", profileCols, profileNum)))
 
   // E-ops bounded-memory heavy hitters: the Misra-Gries sketch
@@ -672,7 +687,7 @@ object ExtQueries {
   private val e28 = Q(
     "e28_span_ranges",
     (s, dir) =>
-      Dedup.repeatedSpanRanges(t(s, dir, "documents"), n = 10, minDocs = 2)
+      Dedup.repeatedSpanRanges(tp(s, dir, "documents"), n = 10, minDocs = 2)
         .orderBy(col("doc_id"), col("start_pos")),
     Some(
       """WITH toksed AS (
@@ -957,7 +972,9 @@ object ExtQueries {
           t(s, dir, "lineitem")
             .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
           "l_extendedprice", pLow = 0.05, pHigh = 0.95)
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        // l_extendedprice completes the total order — (okey, line) ties
+        // exist, and the _w column is a pure function of the price
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
     Some(
       """WITH b AS (
         |  SELECT round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
@@ -969,7 +986,7 @@ object ExtQueries {
         |    ELSE least(greatest(l_extendedprice, lo), hi) END
         |    AS l_extendedprice_w
         |FROM lineitem, b
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin))
 
   // E-stats Pearson correlation matrix: three lineitem pairs in ONE
   // aggregation pass over exact decimal moments (1e4 fixed-point atoms,
@@ -983,7 +1000,7 @@ object ExtQueries {
   private val e41 = Q(
     "e41_corr_matrix",
     (s, dir) =>
-      graft.ops.Stats.corrMatrix(t(s, dir, "lineitem"), statPairs)
+      graft.ops.Stats.corrMatrix(tp(s, dir, "lineitem"), statPairs)
         .orderBy(col("col_x"), col("col_y")),
     Some(s"""SELECT * FROM (${graft.ops.Stats.corrMatrixSql("lineitem", statPairs)})
             |ORDER BY col_x, col_y""".stripMargin))
@@ -993,7 +1010,7 @@ object ExtQueries {
   private val e42 = Q(
     "e42_linear_fit",
     (s, dir) =>
-      graft.ops.Stats.linearFit(t(s, dir, "lineitem"), "l_quantity", "l_extendedprice"),
+      graft.ops.Stats.linearFit(tp(s, dir, "lineitem"), "l_quantity", "l_extendedprice"),
     Some(graft.ops.Stats.linearFitSql("lineitem", "l_quantity", "l_extendedprice")))
 
   // E-stats chi-square independence of documents source × lang: exact
@@ -1017,11 +1034,13 @@ object ExtQueries {
           t(s, dir, "lineitem")
             .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
           "l_extendedprice", k = 4)
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        // l_extendedprice completes the total order (e40's note); the
+        // bucket column is a pure function of the price
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
     Some(s"""SELECT * FROM (${graft.ops.Normalize.quantileBucketsSql(
                "(SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem)",
                "l_extendedprice", 4)})
-            |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+            |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin))
 
   // E5d daily gap filling (time-series resampling): per-type daily counts
   // with missing calendar days zero-filled between each series' first and
@@ -1665,7 +1684,7 @@ object ExtQueries {
   private val e83 = Q(
     "e83_simhash_md5",
     (s, dir) =>
-      t(s, dir, "documents")
+      tp(s, dir, "documents")
         .select(col("doc_id"),
           coalesce(Dedup.simhashMd5(col("text")), lit(0L)).as("simhash"))
         .orderBy(col("doc_id")),
@@ -1679,7 +1698,7 @@ object ExtQueries {
   private val e84 = Q(
     "e84_minhash_md5",
     (s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
       val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L))
       Dedup.minhashNearDupMd5(doubled, minJaccard = 0.7)
         .orderBy(col("id_a"), col("id_b"))

@@ -31,6 +31,25 @@ object Layout {
       .mode("overwrite")
       .parquet(path)
 
+  /** Round-robin repartition iff the frame plans FEWER partitions than
+    * `target` (default: the cluster's parallelism) — repairs compute
+    * parallelism over under-split inputs. A parquet file with a single row
+    * group yields a single scan task no matter what
+    * `spark.sql.files.maxPartitionBytes` says (byte-range splits can't
+    * divide one row group), so every downstream map-side stage — codegen'd
+    * hashing, fixed-point moment aggregation, n-gram explodes — runs on one
+    * core until the first exchange. One cheap round-robin shuffle restores
+    * full-width compute (measured 3-6x on the heavy declared queries over
+    * the single-row-group testdata). A well-split input at real scale has
+    * partitions >> cores and is left untouched — the check makes this a
+    * no-op exactly where the repartition would be pure waste.
+    */
+  def repairScanParallelism(df: DataFrame, target: Int = 0): DataFrame = {
+    val t = if (target > 0) target
+      else df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < t) df.repartition(t) else df
+  }
+
   /** Salted join for skewed keys: explode the small side into `salt`
     * replicas, scatter the big side's hot keys across them, join on
     * (key, salt). Turns one straggler task per hot key into `salt` even

@@ -43,7 +43,13 @@ object Reference {
     * `spark.sql.session.timeZone=UTC`.
     */
   def events(s: SparkSession, dir: String): DataFrame =
-    normalizeTs(s.read.parquet(s"$dir/events.parquet"))
+    // scan-parallelism repair: the single-row-group events file caps the
+    // scan at one task, and every consumer does per-row work (ts
+    // normalization, json props parsing, window prep) before its first
+    // exchange — measured 1.5-2x on the funnel/retention/graph queries at
+    // sf0.1, no consumer regressed. No-op on well-split inputs.
+    graft.ops.Layout.repairScanParallelism(
+      normalizeTs(s.read.parquet(s"$dir/events.parquet")))
 
   /** Shape-adaptive ts normalization shared by the batch and streaming
     * event loaders — see [[events]] for the inventory of source shapes.
@@ -100,11 +106,17 @@ object Reference {
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), col("l_returnflag"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is NOT unique in the testdata — the
+        // order must be total over every output column or tie order (and
+        // the LIMIT boundary) depends on scan partitioning
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
         .limit(20),
     Some(
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 20""".stripMargin))
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  l_returnflag LIMIT 20""".stripMargin))
 
   // ---------------------------------------------------------------- Q2: COUNT(*)
   // Reference: get_table_shape rows_query (ipynb cell 1).
@@ -128,7 +140,10 @@ object Reference {
           (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"),
           (col("l_extendedprice") * (lit(1) - col("l_discount")) *
             (lit(1) + col("l_tax"))).as("charged"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        // total order over ALL output columns — (l_orderkey, l_linenumber)
+        // ties exist in the testdata (q01's note)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_day"),
+          col("net_price"), col("charged")),
     Some(
       """SELECT l_orderkey, l_linenumber,
         |  strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
@@ -136,7 +151,7 @@ object Reference {
         |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+        |ORDER BY l_orderkey, l_linenumber, ship_day, net_price, charged""".stripMargin))
 
   // -------------------------------------------------- Q5/Q6: DISTINCT projection
   // Reference: the capacity timeseries was double-loaded; `select distinct …`
