@@ -20,8 +20,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is TIMESTAMP(NANOS) parquet — read as Long nanos; the
-      // Reference.events loader converts to a µs TimestampType column.
+      // events.ts shape varies across testdata generations (nanos vs NTZ
+      // micros); nanosAsLong covers the nanos case and Reference.events
+      // normalizes every shape to a µs TimestampType column.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -91,6 +91,35 @@ class FunnelSpec extends AnyFunSuite {
     assert(Funnel.retention(ev, maxOffsetDays = 90).count() == 2)
   }
 
+  test("activeUsers: hand-computed dau/wau, zero-filled gaps, window invariants") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:00:00")), (1L, ts("2024-01-01 09:00:00")), // dup day
+      (2L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-03 08:00:00")),
+      (3L, ts("2024-01-10 08:00:00"))) // 6-day gap before this
+      .toDF("user_id", "ts")
+    val got = Funnel.activeUsers(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == 10) // full spine Jan 1..10, gaps included
+    assert(got("2024-01-01") == ((2L, 2L))) // u1 deduped within the day
+    assert(got("2024-01-02") == ((0L, 2L))) // zero-event day, window holds
+    assert(got("2024-01-03") == ((1L, 2L)))
+    // Jan 7 still covered by Jan 1 (offset 6) + Jan 3 activity
+    assert(got("2024-01-07") == ((0L, 2L)))
+    // Jan 8: Jan 1 aged out, Jan 3's u1 remains
+    assert(got("2024-01-08") == ((0L, 1L)))
+    assert(got("2024-01-10") == ((1L, 1L)))
+    // invariants on real events: wau >= dau everywhere, wau <= trailing dau sum
+    val real = Funnel.activeUsers(
+      graft.queries.Reference.events(spark, "/root/testdata/sf0.001"))
+    assert(real.where(col("wau") < col("dau")).count() == 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("ds")).rowsBetween(-6, 0)
+    assert(real.withColumn("cap", sum(col("dau")).over(w))
+      .where(col("wau") > col("cap")).count() == 0)
+  }
+
   test("transitionMatrix counts adjacent pairs per user with row-stochastic probs") {
     import spark.implicits._
     // u1: a→b→a ; u2: a→b — pairs: a→b ×2, b→a ×1; no cross-user pair
