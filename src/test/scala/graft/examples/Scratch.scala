@@ -4,13 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Throwaway profiling harness for operator tuning. Current experiment:
-  * single-row-group testdata files force one-task scans — measure how much
-  * a post-scan round-robin repartition buys the compute-heavy declared
-  * queries under the driver's file layout.
+  * e31 semdedup with fixed vs √n-adaptive nClusters at rehearsal scale.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -24,29 +22,18 @@ object Scratch {
     }
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    // warmup
     noop(spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count())
 
-    def docs(rep: Boolean) = {
-      val d = spark.read.parquet(s"$sfDir/documents.parquet")
-      if (rep) d.repartition(32) else d
-    }
-    def li(rep: Boolean) = {
-      val d = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      if (rep) d.repartition(32) else d
-    }
-    for (rep <- Seq(false, true, false, true)) {
-      val tag = if (rep) "rep32" else "asis "
-      time(s"e83 simhash_md5 $tag")(noop(
-        docs(rep).select(col("doc_id"),
-          coalesce(graft.ext.Dedup.simhashMd5(col("text")), lit(0L)))))
-      time(s"e12 repetition  $tag")(noop(
-        graft.ext.TextStats.repetitionStats(docs(rep))))
-      time(s"e41 corr_matrix $tag")(noop(
-        graft.ops.Stats.corrMatrix(li(rep),
-          Seq("l_quantity" -> "l_extendedprice",
-            "l_extendedprice" -> "l_discount",
-            "l_quantity" -> "l_discount"))))
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val doubled = e.unionAll(e.withColumn("vec_id", col("vec_id") + 100000L))
+    val n = doubled.count()
+    val kAdaptive = math.max(16, math.sqrt(n.toDouble).toInt)
+    println(s"[scratch] n=$n kAdaptive=$kAdaptive")
+    for (_ <- 1 to 2) {
+      time("e31 k=16      ")(noop(
+        graft.ext.Similarity.semDedupPairs(doubled, nClusters = 16, minCosine = 0.95)))
+      time(s"e31 k=$kAdaptive adaptive")(noop(
+        graft.ext.Similarity.semDedupPairs(doubled, nClusters = kAdaptive, minCosine = 0.95)))
     }
     spark.stop()
   }
