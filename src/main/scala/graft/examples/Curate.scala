@@ -20,6 +20,19 @@ import org.apache.spark.sql.functions._
   * caps are the operators' concern, not the pipeline author's.
   */
 object Curate {
+
+  /** Wall-clock per stage: every stage's count() forces its computation, so
+    * the elapsed time between marks IS that stage's cost (plus cache-reuse
+    * credit from earlier stages — deliberately: the composed pipeline is
+    * what the sf1 bench row in BASELINE.md records, not isolated operators).
+    */
+  private var lastMark = System.nanoTime()
+  private def mark(stageName: String): Unit = {
+    val now = System.nanoTime()
+    println(f"[curate]   ^ stage '$stageName' took ${(now - lastMark) / 1e9}%.2f s")
+    lastMark = now
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -31,9 +44,12 @@ object Curate {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    lastMark = t0
 
     val raw = spark.read.parquet(s"$sfDir/documents.parquet")
     println(s"[curate] raw: ${raw.count()} docs")
+    mark("read")
 
     // 1. quality gate (Gopher/C4-style signals, named fail reasons) + scrub
     val gated = TextStats.qualityFilter(
@@ -41,6 +57,7 @@ object Curate {
       .where(col("quality_pass"))
       .drop("quality_pass", "quality_fail_reasons")
     println(s"[curate] quality+scrub: ${gated.count()} docs")
+    mark("quality+scrub")
 
     // 1b. diversity gate: drop looping/template docs (distinct-2 below 0.2
     // means over 80% of consecutive word pairs repeat — degenerate text)
@@ -50,17 +67,20 @@ object Curate {
     val diverse = gated.join(divIds, col("doc_id") === col("__div_id"))
       .drop("__div_id")
     println(s"[curate] diversity gate (distinct-2 >= 0.2): ${diverse.count()} docs")
+    mark("diversity")
 
     // 2. exact dedup, then transitive near-dedup (MinHash → GraphX groups)
     val exact = Dedup.exactRows(diverse)
     val near = Dedup.nearDedupRows(exact, minJaccard = 0.7)
     println(s"[curate] dedup: exact ${exact.count()} -> near ${near.count()} docs")
+    mark("dedup")
 
     // 2b. substring-level dedup: strip cross-doc repeated spans, keeping
     // each span's first occurrence (Lee et al. "all but one")
     val unrep = Dedup.maskRepeatedSpans(near, n = 10, minDocs = 2, keepFirst = true)
       .withColumn("text", col("clean_text")).drop("clean_text")
     println(s"[curate] repeated-span mask (keep-first): ${unrep.count()} docs")
+    mark("span-mask")
 
     // 2c. LM fluency gate: drop the corpus's least-fluent tail (CCNet-style
     // bigram-LM score, fixed-point — the score is a property of the data).
@@ -72,11 +92,13 @@ object Curate {
       .where(col("avg_logprob") > -3.45 || col("avg_logprob") === 0.0)
       .drop("__lm_id", "avg_logprob")
     println(s"[curate] LM fluency gate (avg logprob > -3.45): ${fluent.count()} docs")
+    mark("lm-gate")
 
     // 3. benchmark decontamination (docs doc_id%10==0 stand in for evals)
     val bench = raw.where(col("doc_id") % 10 === 0)
     val clean = Decontaminate.removeContaminated(fluent, bench, n = 8)
     println(s"[curate] decontaminated (8-gram): ${clean.count()} docs")
+    mark("decontam")
 
     // 3b. DSIR probe: how many of the cleaned docs would an importance
     // resample toward the benchmark-like slice select? (deterministic
@@ -84,12 +106,14 @@ object Curate {
     // selection mechanism)
     val dsirN = LangModel.dsirSample(clean, bench, k = 50).count()
     println(s"[curate] DSIR toward benchmark slice would select $dsirN/50 requested docs")
+    mark("dsir")
 
     // 4. language mixing + per-source caps (deterministic, monotone)
     val mixed = Splits.stratifiedSampleByHash(clean, "lang",
       Map("en" -> 100, "de" -> 70, "fr" -> 70, "es" -> 50, "zh" -> 50))
     val capped = Splits.capPerGroup(mixed.drop("bucket"), "lang", k = 120)
     println(s"[curate] mixed ${mixed.count()} -> capped ${capped.count()} docs")
+    mark("mix+cap")
 
     // 4b. the mixture ledger: what an α-sampled 1M-token run would draw
     // from each language slice, and how far apart the sources still sit
@@ -100,6 +124,7 @@ object Curate {
     val jsdMax = Drift.sourceJsd(capped)
       .agg(max(col("jsd_nats"))).head().getDouble(0)
     println(s"[curate] mixture plan (1M tokens, a=0.7): $plan; max source JSD $jsdMax")
+    mark("mixture-ledger")
 
     // 5. content-hash split + context-window chunking
     val split = Splits.splitByHash(capped)
@@ -108,6 +133,7 @@ object Curate {
     val chunks = TextStats.chunkTokens(split.where(col("split") === "train"),
       windowTokens = 32, overlapTokens = 4)
     println(s"[curate] split: $splitCounts; train chunks: ${chunks.count()}")
+    mark("split+chunk")
 
     // 5b. sequence packing: bin the chunks into 128-token training
     // sequences (deterministic md5-bucketed next-fit, ext.Packing)
@@ -117,6 +143,7 @@ object Curate {
       budget = 128, numBuckets = 16, idCol = "chunk_id", docCol = "doc_id")
     val nSeqs = packed.select(col("bucket") * 1000000L + col("seq")).distinct().count()
     println(s"[curate] packed ${packed.count()} chunks into $nSeqs sequences of <= 128 tokens")
+    mark("packing")
 
     // 6. embeddings: int8 quantization (4x storage) + ANN sanity probe
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -126,14 +153,16 @@ object Curate {
     val quantTop = Similarity.bruteForceTopK(deq, 0L, 5).collect().map(_.getLong(0)).toSeq
     println(s"[curate] embeddings: ${q8.count()} int8 vectors; " +
       s"top-5 after quantization ${if (exactTop == quantTop) "UNCHANGED" else s"$quantTop vs $exactTop"}")
+    mark("embeddings")
 
     // 7. multimodal sidecar: features for synthetic media rows (real JDK
     // codecs for image/audio/video payloads when present)
     val media = Multimodal.syntheticMedia(spark, raw.limit(100))
     val feats = Multimodal.extractFeatures(media, Multimodal.ImageIoCodec, dim = 16)
     println(s"[curate] media features: ${feats.count()} rows")
+    mark("media")
 
-    println("[curate] OK")
+    println(f"[curate] OK — total ${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()
   }
 }

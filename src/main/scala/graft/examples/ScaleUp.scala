@@ -45,6 +45,17 @@ object ScaleUp {
 
   private val Stride = 1000000000L
 
+  /** On-disk bytes of a table path — a plain file's length, or the recursive
+    * sum over a directory-shaped parquet dataset. `File.length()` on a
+    * directory returns the directory-ENTRY size (≈4 KB), which silently
+    * collapsed `nFiles` to the cpu floor when the source was the output of a
+    * previous ScaleUp run — recreating the exact under-split layout the
+    * fan-out exists to avoid (ADVICE r9).
+    */
+  private def dataBytes(f: java.io.File): Long =
+    if (f.isDirectory) Option(f.listFiles()).map(_.map(dataBytes).sum).getOrElse(0L)
+    else f.length()
+
   /** Shift `keys` by copy·stride under an exploded copy index; `text` and
     * `embedding` perturbations applied where the columns exist.
     */
@@ -68,14 +79,18 @@ object ScaleUp {
           .withColumn("n_chars", length(col("text")).cast("long"))
       else shifted
     val rotated =
-      if (texted.columns.contains("embedding"))
+      if (texted.columns.contains("embedding")) {
+        // rotate by __copy MOD dim: the raw copy index exceeds the vector
+        // dimension once factor > dim, where the raw slice length would go
+        // negative and corrupt the vectors (ADVICE r9). r = 0 (copy 0 or an
+        // exact multiple of dim) passes the vector through unchanged.
+        val r = pmod(col("__copy"), size(col("embedding")).cast("long")).cast("int")
         texted.withColumn("embedding",
-          when(col("__copy") === 0, col("embedding")).otherwise(
+          when(r === 0, col("embedding")).otherwise(
             concat(
-              slice(col("embedding"), col("__copy").cast("int") + 1,
-                size(col("embedding")) - col("__copy").cast("int")),
-              slice(col("embedding"), lit(1), col("__copy").cast("int")))))
-      else texted
+              slice(col("embedding"), r + 1, size(col("embedding")) - r),
+              slice(col("embedding"), lit(1), r))))
+      } else texted
     rotated.drop("__copy")
   }
 
@@ -105,7 +120,7 @@ object ScaleUp {
       // task whose rows then explode 10x — the single-task sort-aggregate
       // spill that killed the first rehearsal. Write enough files that a
       // scan parallelizes across the cores (~32MB ceiling per file).
-      val srcBytes = new java.io.File(s"$srcDir/$name.parquet").length()
+      val srcBytes = dataBytes(new java.io.File(s"$srcDir/$name.parquet"))
       val nFiles = math.max(cpus,
         ((srcBytes * factor) / (32L << 20) + 1).toInt)
       fanOut(spark.read.parquet(s"$srcDir/$name.parquet"), factor, keys)

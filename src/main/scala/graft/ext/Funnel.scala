@@ -131,10 +131,17 @@ object Funnel {
     * signal). Invariants pinned in FunnelSpec: wau ≥ dau, wau ≤ Σ dau over
     * the trailing window.
     *
-    * Scale: exact distincts are one dedup shuffle each; at 100 TB the
-    * approximate path swaps `distinct` for HLL sketches
-    * (`approx_count_distinct` per day + sketch-union across the window) —
-    * the exact form here is the oracle the sketch is judged against.
+    * Scale: exact distincts are one dedup shuffle each; at 100 TB swap in
+    * [[activeUsersApprox]] — HLL sketch per day + sketch-union across the
+    * window — whose per-day shuffle carries kilobyte sketches instead of the
+    * user universe. The exact form here is the oracle the sketch is judged
+    * against (FunnelSpec pins the relative-error bound).
+    *
+    * Cache lifetime: the deduped (day, user) frame is persisted — it feeds
+    * the spine min/max, the dau count, and the window fan-out, and stage
+    * reuse does not deduplicate three consumers — and follows the graft-wide
+    * convention (object scaladoc / Drift): the cache lives until the session
+    * ends or the caller runs `spark.catalog.clearCache()`.
     */
   def activeUsers(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts", windowDays: Int = 7): DataFrame = {
@@ -152,6 +159,54 @@ object Funnel {
         date_add(col("d"), windowDays - 1))).as("ds"), col("u"))
       .distinct()
       .groupBy(col("ds")).agg(count(lit(1)).as("wau"))
+    spine
+      .join(dau, Seq("ds"), "left")
+      .join(wau, Seq("ds"), "left")
+      .select(date_format(col("ds"), "yyyy-MM-dd").as("ds"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"))
+      .orderBy(col("ds"))
+  }
+
+  /** The 100 TB twin of [[activeUsers]]: DataSketches HLL per day +
+    * sketch-union across the trailing window (the documented at-scale path,
+    * now implemented). Same output shape `(ds, dau, wau)`, approximate
+    * counts.
+    *
+    * Why this wins at scale: the exact form's rolling distinct materializes
+    * and re-deduplicates (days × users × window) rows — its shuffle grows
+    * with the USER universe. Here the raw events reduce ONCE to |days|
+    * sketches (`hll_sketch_agg` is a partial-aggregating hash shuffle whose
+    * final state is ≤ ~0.6·2^lgConfigK bytes per day); the window fan-out
+    * then ships ≤ window × |days| kilobyte blobs and `hll_union_agg` merges
+    * them per spine day. Total post-reduce traffic is measured in MB at any
+    * corpus size — the curve costs the same at 100 TB as at 100 GB.
+    *
+    * Error: DataSketches HLL at lgConfigK=14 has relative standard error
+    * ≈ 0.81% (1.04/√2^lgK); FunnelSpec pins |approx−exact|/exact ≤ 3% on
+    * the real events table for both dau and wau. Unions do not degrade the
+    * bound (HLL union is lossless at equal lgK). Zero-event days appear as
+    * dau = wau = 0, exactly like the exact form.
+    */
+  def activeUsersApprox(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", windowDays: Int = 7, lgConfigK: Int = 14): DataFrame = {
+    val daySk = events
+      .select(to_date(col(tsCol)).as("d"), col(userCol).as("u"))
+      .groupBy(col("d"))
+      .agg(hll_sketch_agg(col("u"), lit(lgConfigK)).as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // |days| rows × one sketch blob; three consumers (spine, dau, fan-out) —
+    // cache-lifetime convention as activeUsers
+    val mm = daySk.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val spine = mm.select(
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("ds"))
+    val dau = daySk.select(col("d").as("ds"),
+      hll_sketch_estimate(col("sk")).as("dau"))
+    val wau = daySk
+      .select(explode(sequence(col("d"),
+        date_add(col("d"), windowDays - 1))).as("ds"), col("sk"))
+      .groupBy(col("ds"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("wau"))
     spine
       .join(dau, Seq("ds"), "left")
       .join(wau, Seq("ds"), "left")

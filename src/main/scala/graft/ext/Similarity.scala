@@ -170,6 +170,89 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Incremental maintenance for a [[buildIvfIndex]] index — real corpora
+    * APPEND; a one-shot index that must be refit per batch is not a served
+    * index. Each new vector is assigned to the nearest EXISTING centroid and
+    * appended to that cell's partition directory; files in untouched cells
+    * are never opened, and files in touched cells are never rewritten
+    * (append mode only adds part-files) — both asserted in SimilaritySpec
+    * via file-listing + modification-time comparison.
+    *
+    * Zero shuffle: the nClusters-row centroids table is collected once
+    * (driver-bounded, same as [[ivfTopKIndexed]]) and becomes a LITERAL
+    * centroid matrix — the assignment is a per-row fused argmin over
+    * codegen'd squared-distance folds (the [[Dedup.embeddingNearDup]]
+    * literal-hyperplane trick), then a straight partitioned append. No fit,
+    * no exchange, no driver loop over vectors.
+    *
+    * The trade: upserted vectors join the cell structure of the OLD fit, so
+    * centroids drift away from the true cell means as the corpus grows.
+    * Monitor with [[ivfOccupancy]] (per-cell row counts from parquet footers
+    * — no job) and trigger a refit via [[ivfNeedsRefit]] once the occupancy
+    * skew passes its threshold; recall-after-upserts vs recall-after-refit
+    * is pinned in SimilaritySpec.
+    */
+  def upsertIvfIndex(
+      spark: SparkSession,
+      path: String,
+      newVecs: DataFrame,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    require(cents.nonEmpty, s"no centroids at $path/centroids — build the index first")
+    val v = newVecs.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    // assignment happens on unit vectors (the space the centroids were fit
+    // in); the STORED vector stays raw, exactly as buildIvfIndex writes it
+    val norm = sqrt(aggregate(
+      transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x))
+    val vu = v.withColumn("__n", norm)
+      .withColumn("u", when(col("__n") === 0.0, col("v"))
+        .otherwise(transform(col("v"), x => x / col("__n"))))
+    val scored = cents.map { case (cell, c) =>
+      val carr = array(c.map(lit).toIndexedSeq: _*)
+      val d = aggregate(zip_with(col("u"), carr, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      struct(d.as("d"), lit(cell).as("cell"))
+    }
+    vu.withColumn("__best", array_min(array(scored.toIndexedSeq: _*)))
+      .select(col(idCol), col("v").as(vecCol),
+        col("__best").getField("cell").as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+  }
+
+  /** Per-cell row counts of a [[buildIvfIndex]] corpus from parquet FOOTER
+    * metadata ([[graft.ops.Layout.parquetRowCount]]) — no Spark job, no
+    * scan: the occupancy-drift monitor for [[upsertIvfIndex]].
+    */
+  def ivfOccupancy(spark: SparkSession, path: String): Map[Int, Long] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .map { s =>
+        s.getPath.getName.stripPrefix("cell=").toInt ->
+          graft.ops.Layout.parquetRowCount(spark, s.getPath.toString)
+      }.toMap
+  }
+
+  /** Refit trigger for an upsert-maintained IVF index: true once the fullest
+    * cell exceeds `skewThreshold` × the mean cell occupancy. A fresh
+    * balanced fit sits near 1; drifting appends concentrate in the cells the
+    * old centroids under-serve, which both skews probe I/O (a hot cell costs
+    * every query that probes it) and signals the centroids no longer
+    * summarize the corpus — time to [[buildIvfIndex]] again. Footer
+    * metadata only; no job.
+    */
+  def ivfNeedsRefit(spark: SparkSession, path: String,
+      skewThreshold: Double = 4.0): Boolean = {
+    val occ = ivfOccupancy(spark, path)
+    occ.nonEmpty && {
+      val mean = occ.values.sum.toDouble / occ.size
+      mean > 0 && occ.values.max > skewThreshold * mean
+    }
+  }
+
   /** Query a [[buildIvfIndex]] index: rank centroids against the query on
     * the driver (the centroids table is nClusters rows — deliberately tiny),
     * then scan ONLY the nProbes matching cell partitions and score exact

@@ -73,6 +73,71 @@ object Layout {
     saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Sampled skew probe for [[saltedJoinAuto]]: the salt factor the observed
+    * hot-key share warrants, or 1 (no-op) when the hottest key holds less
+    * than `hotShareThreshold` of the sampled rows.
+    *
+    * Mechanism: a `sampleFraction` Bernoulli row-sample of the big side's
+    * key column feeds the e26 Misra-Gries sketch
+    * ([[graft.functions.FreqSketch.heavyHitters]]) — bounded memory and a
+    * `capacity`-sized shuffle partial per partition regardless of key
+    * cardinality, which is what makes the probe affordable on a 100 TB fact
+    * table (an exact groupBy-count over even a 1% sample of high-cardinality
+    * keys is itself a monster shuffle). The MG estimate is a LOWER bound on
+    * the hot key's true sample frequency, so the probe only salts when the
+    * key is provably hot — never on noise.
+    *
+    * Salt sizing: the hot key's rows are `share` of the input; to spread
+    * them across tasks of ~even size the replica count is
+    * `ceil(share × defaultParallelism)` clamped to [2, `maxSalt`] — at
+    * share = 0.9 on 32 cores that is 29 ways, putting the straggler task on
+    * par with the median task. Costs two small jobs over the sample (count +
+    * sketch); the sample is persisted for the pair and unpersisted before
+    * returning.
+    */
+  def autoSaltFor(big: DataFrame, key: String,
+      sampleFraction: Double = 0.01, hotShareThreshold: Double = 0.2,
+      maxSalt: Int = 64, capacity: Int = 64): Int = {
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction must be in (0, 1]: $sampleFraction")
+    val sample = big.select(col(key)).where(col(key).isNotNull)
+      .sample(withReplacement = false, sampleFraction, seed = 42L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = sample.count()
+      if (n == 0) 1
+      else {
+        val top = graft.functions.FreqSketch.heavyHitters(sample, key, capacity)
+          .head(1)
+        val share = if (top.isEmpty) 0.0
+          else top(0).getLong(1).toDouble / n.toDouble
+        if (share < hotShareThreshold) 1
+        else {
+          val p = big.sparkSession.sparkContext.defaultParallelism
+          math.min(maxSalt, math.max(2, math.ceil(share * p).toInt))
+        }
+      }
+    } finally { sample.unpersist(); () }
+  }
+
+  /** [[saltedJoin]] with the salt factor chosen by [[autoSaltFor]]'s sampled
+    * Misra-Gries probe — the adoption path the r9 skew probe left manual:
+    * below the hot-share threshold this is EXACTLY `big.join(small, key)`
+    * (no salt column, no explode — AQE remains free to handle moderate skew
+    * its own way); above it, the measured-win static salting kicks in with a
+    * share-proportional factor. Use for joins where the key distribution is
+    * data-dependent and unknown at authoring time; keep explicit
+    * [[saltedJoin]] where the hot key is a known constant (e.g. a null-heavy
+    * FK).
+    */
+  def saltedJoinAuto(big: DataFrame, small: DataFrame, key: String,
+      joinType: String = "inner", sampleFraction: Double = 0.01,
+      hotShareThreshold: Double = 0.2, maxSalt: Int = 64): DataFrame = {
+    val salt = autoSaltFor(big, key, sampleFraction, hotShareThreshold, maxSalt)
+    if (salt <= 1) big.join(small, Seq(key), joinType)
+    else saltedJoin(big, small, key, salt, joinType)
+  }
+
   /** Incremental upsert into a partitioned parquet dataset: DYNAMIC
     * partition overwrite replaces only the partitions present in `df`,
     * leaving every other partition's files untouched — the idempotent
@@ -165,6 +230,32 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Exact row count of a parquet file/dataset from FOOTER METADATA alone —
+    * no Spark job, no scan. Every parquet footer records its row-group
+    * counts; summing them over the files is the count a `SELECT COUNT(*)`
+    * job would compute by launching a task per file. Use this for
+    * data-dependent parameter sizing (e.g. e31's √n cluster count) where a
+    * count job would double-read the table: at 100 TB the footers are a few
+    * MB of metadata against a full scan. Directories recurse; non-parquet
+    * side files (`_SUCCESS`, checksums) are skipped.
+    */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listFiles(root, true)
+    var n = 0L
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+        try n += reader.getRecordCount finally reader.close()
+      }
+    }
+    n
+  }
 
   /** True iff the physical plan of `df` contains no SHUFFLE exchange
     * (`Exchange hashpartitioning`/`rangepartitioning`) — the co-location

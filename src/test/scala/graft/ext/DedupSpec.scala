@@ -249,6 +249,35 @@ class DedupSpec extends AnyFunSuite {
     assert(stops.forall(r => boiler.contains(r.getAs[String]("g").split(" ").head)))
   }
 
+  test("ngram jaccard DF cap recall CONTRACT: a pair over-threshold only via capped shingles is not reported") {
+    import spark.implicits._
+    // The r9 pre-filter changed the capped-mode contract: candidates must
+    // reach minJaccard on SUB-CAP co-occurrence alone (a lower bound on the
+    // true Jaccard); a pair pushed over the line only by capped boilerplate
+    // is dropped by design, not re-scored on full sets. This pins that
+    // semantic (ADVICE r9) with a pair whose FULL-set Jaccard passes while
+    // its sub-cap Jaccard cannot: A/B share 4 boilerplate shingles
+    // (df = 22 > cap) and ZERO sub-cap shingles → full J = 4/6 ≥ 0.5,
+    // sub-cap co-occurrence 0.
+    val boiler = "please read our terms of service"
+    val corpus = ((1L to 20L).map(i => (i, s"$boiler filler$i")) ++ Seq(
+        (100L, s"$boiler appendix"),
+        (101L, s"$boiler glossary")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(corpus, minJaccard = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // full-set arithmetic really does pass the threshold for (100, 101)
+    assert(math.abs(uncapped((100L, 101L)) - 4.0 / 6.0) < 1e-12)
+    val capped = Dedup.ngramJaccardPairs(corpus, minJaccard = 0.5, maxDocFreq = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.contains((100L, 101L)),
+      "pair with no sub-cap overlap must not be reported under a cap")
+    // sanity: a pair that DOES reach the threshold on sub-cap shingles alone
+    // still comes through with its exact full-set score (the main cap test
+    // covers this on a richer corpus)
+    assert(capped.isEmpty || capped.subsetOf(uncapped.keySet))
+  }
+
   test("dupGroups collapses transitive chains A~B~C into one component") {
     import spark.implicits._
     val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")

@@ -120,6 +120,39 @@ class FunnelSpec extends AnyFunSuite {
       .where(col("wau") > col("cap")).count() == 0)
   }
 
+  test("activeUsersApprox (HLL twin): exact on sparse sets, bounded error on real events") {
+    import spark.implicits._
+    // tiny corpus: DataSketches HLL is EXACT in its sparse regime, so the
+    // sketch twin must reproduce the hand-computed activeUsers table
+    // including the zero-filled gap days
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:00:00")), (1L, ts("2024-01-01 09:00:00")),
+      (2L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-03 08:00:00")),
+      (3L, ts("2024-01-10 08:00:00")))
+      .toDF("user_id", "ts")
+    val exact = Funnel.activeUsers(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val approx = Funnel.activeUsersApprox(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(approx == exact)
+    // real events: identical spine, relative error within the lgK=14 bound
+    // (rse ~0.81%; 3% leaves headroom for union jitter) on every day
+    val real = graft.queries.Reference.events(spark, "/root/testdata/sf0.001")
+    val e = Funnel.activeUsers(real).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val a = Funnel.activeUsersApprox(real).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(a.keySet == e.keySet, "approx spine differs from exact spine")
+    def ok(approxV: Long, exactV: Long): Boolean =
+      if (exactV == 0L) approxV == 0L
+      else math.abs(approxV - exactV).toDouble / exactV <= 0.03
+    e.foreach { case (ds, (dau, wau)) =>
+      assert(ok(a(ds)._1, dau), s"$ds dau: approx ${a(ds)._1} vs exact $dau")
+      assert(ok(a(ds)._2, wau), s"$ds wau: approx ${a(ds)._2} vs exact $wau")
+    }
+  }
+
   test("transitionMatrix counts adjacent pairs per user with row-stochastic probs") {
     import spark.implicits._
     // u1: a→b→a ; u2: a→b — pairs: a→b ×2, b→a ×1; no cross-user pair

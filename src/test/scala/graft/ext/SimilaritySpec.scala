@@ -137,6 +137,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(high >= 0.9, s"recall@$k at 14/16 probes = $high < 0.9")
   }
 
+  test("upsertIvfIndex: appended vectors are probed, old files never rewritten, drift is monitored") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_up").toString
+    val refit = java.nio.file.Files.createTempDirectory("graft_ivf_rf").toString
+    val nClusters = 8
+    // build on the first 400 vectors, upsert the last 100
+    Similarity.buildIvfIndex(real.where(col("vec_id") < 400), idx, nClusters = nClusters)
+    def snapshot(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$idx/corpus"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> ((f.lastModified(), f.length()))).toMap
+    }
+    val before = snapshot()
+    Similarity.upsertIvfIndex(spark, idx, real.where(col("vec_id") >= 400))
+    val after = snapshot()
+    // append-only: every pre-existing file survives BYTE-UNTOUCHED (same
+    // mtime+length), and the upsert only added files
+    before.foreach { case (path, meta) =>
+      assert(after.get(path).contains(meta), s"pre-existing file rewritten: $path")
+    }
+    assert(after.size > before.size, "upsert appended no files")
+    // occupancy from footers covers the whole corpus, no job
+    val occ = Similarity.ivfOccupancy(spark, idx)
+    assert(occ.values.sum == 500L, s"occupancy ${occ.values.sum} != 500")
+    // recall after upserts stays within epsilon of a full refit
+    Similarity.buildIvfIndex(real, refit, nClusters = nClusters)
+    val queryIds = Seq(0L, 100L, 250L, 420L, 490L)
+    val recalls = queryIds.map { qid =>
+      val qv = real.where(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val exact = Similarity.bruteForceTopK(real, qid, 10).collect()
+        .map(_.getLong(0)).toSet
+      def recall(path: String): Double =
+        Similarity.ivfTopKIndexed(spark, path, qv, 11, nProbes = 4).collect()
+          .map(_.getLong(0)).filterNot(_ == qid).take(10)
+          .count(exact.contains).toDouble / 10.0
+      (recall(idx), recall(refit))
+    }
+    val (upAvg, rfAvg) = (recalls.map(_._1).sum / recalls.size,
+      recalls.map(_._2).sum / recalls.size)
+    assert(upAvg >= rfAvg - 0.2,
+      s"upserted recall $upAvg fell >0.2 below refit recall $rfAvg")
+    // a balanced index does not demand a refit; a pathological append —
+    // 600 copies of one vector, all landing in a single cell — does
+    assert(!Similarity.ivfNeedsRefit(spark, idx, skewThreshold = 4.0))
+    val hotEmb = real.where(col("vec_id") === 0).select(col("embedding"))
+    Similarity.upsertIvfIndex(spark, idx,
+      spark.range(600).crossJoin(broadcast(hotEmb))
+        .select((col("id") + 20000).as("vec_id"), col("embedding")))
+    assert(Similarity.ivfNeedsRefit(spark, idx, skewThreshold = 4.0),
+      s"skewed occupancy not flagged: ${Similarity.ivfOccupancy(spark, idx)}")
+  }
+
   test("ivfTopKBatch equals per-query ivfTopKIndexed on the real embeddings table") {
     import spark.implicits._
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -155,6 +155,101 @@ class LayoutSpec extends AnyFunSuite {
       Layout.compactTo(spark, s"$base/src", s"$base/dst2", targetFileBytes = 0))
   }
 
+  test("parquetRowCount reads exact counts from footers — single file, multi-file, partitioned") {
+    import spark.implicits._
+    // driver-shaped single file
+    assert(Layout.parquetRowCount(spark, "/root/testdata/sf0.001/documents.parquet") == 500L)
+    // Spark-written multi-file directory (+ _SUCCESS side file skipped)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rc").toString
+    (0L until 1234L).toDF("x").repartition(7).write.parquet(s"$dir/multi")
+    assert(Layout.parquetRowCount(spark, s"$dir/multi") == 1234L)
+    // hive-partitioned tree recurses
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "p")
+      .write.partitionBy("p").parquet(s"$dir/part")
+    assert(Layout.parquetRowCount(spark, s"$dir/part") == 3L)
+    assert(Layout.parquetRowCount(spark, s"$dir/part/p=b") == 1L)
+  }
+
+  test("autoSaltFor detects the probe's hot key and no-ops on uniform keys") {
+    import spark.implicits._
+    // 90%-hot key (the SkewProbe shape): MG on a 10% sample must see it
+    val skewed = (1 to 20000)
+      .map(i => (if (i % 10 != 0) 7L else i.toLong, i)).toDF("k", "v")
+    val saltSkewed = Layout.autoSaltFor(skewed, "k", sampleFraction = 0.1)
+    assert(saltSkewed > 1, s"hot key missed: salt=$saltSkewed")
+    // uniform keys: provably-cold probe → 1 (no-op)
+    val uniform = (1 to 20000).map(i => (i.toLong, i)).toDF("k", "v")
+    assert(Layout.autoSaltFor(uniform, "k", sampleFraction = 0.1) == 1)
+  }
+
+  test("saltedJoinAuto ≡ manual salted join on the skewed frame; plain plan on uniform") {
+    import spark.implicits._
+    val skewed = (1 to 20000)
+      .map(i => (if (i % 10 != 0) 7L else i.toLong, i)).toDF("k", "v")
+    val uniform = (1 to 20000).map(i => (i.toLong, i)).toDF("k", "v")
+    val small = Seq((7L, "hot"), (2L, "cold"), (40000L, "miss")).toDF("k", "name")
+    val plain = skewed.join(small, Seq("k")).agg(count(lit(1)), sum("v")).head()
+    val manual = Layout.saltedJoin(skewed, small, "k", salt = 8)
+      .agg(count(lit(1)), sum("v")).head()
+    val auto = Layout.saltedJoinAuto(skewed, small, "k", sampleFraction = 0.1)
+      .agg(count(lit(1)), sum("v")).head()
+    assert(auto == plain && auto == manual)
+    // uniform side returns the UNSALTED join — no __salt column anywhere in
+    // the plan (AQE keeps its own skew machinery; we added nothing)
+    val autoUniform = Layout.saltedJoinAuto(uniform, small, "k", sampleFraction = 0.1)
+    assert(!autoUniform.queryExecution.analyzed.toString.contains("__salt"))
+    assert(autoUniform.join(small, Seq("k")).columns.nonEmpty) // still a live frame
+    assert(autoUniform.agg(count(lit(1))).head() ==
+      uniform.join(small, Seq("k")).agg(count(lit(1))).head())
+  }
+
+  test("date-partitioned fact layout: the q28 orderdate predicate opens ONLY the 1996 partition's files") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpart").toString
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    // the incremental-landing layout for a date-filtered fact table: derive
+    // the partition column once at write time; q28's range
+    // [1996-01-01, 1997-01-01) is exactly o_year = 1996
+    Layout.writePartitioned(o.withColumn("o_year", year(col("o_orderdate"))),
+      s"$dir/orders", "o_year")
+    val part = spark.read.parquet(s"$dir/orders")
+    val nYears = new java.io.File(s"$dir/orders").listFiles()
+      .count(_.getName.startsWith("o_year="))
+    assert(nYears >= 5, s"expected a multi-year spread, got $nYears partitions")
+    // q28's join core against the partitioned copy
+    val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val res = part.where(col("o_year") === 1996)
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("n"))
+    val n = res.head().getLong(0)
+    // correct vs the unpartitioned date-range form
+    val expected = o.where(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1997-01-01")
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1))).head().getLong(0)
+    assert(n == expected && n > 0)
+    // and the pruning is PHYSICAL: the orders scan selected exactly the 1996
+    // directory; its file count matches that directory's on-disk files
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val ordersScan = scans(res.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.mkString(",").contains("orders"))
+      .getOrElse(fail("no orders FileSourceScanExec in plan"))
+    assert(ordersScan.selectedPartitions.partitionCount == 1,
+      s"expected 1 partition read, got ${ordersScan.selectedPartitions.partitionCount}")
+    val files1996 = new java.io.File(s"$dir/orders/o_year=1996").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val touchedFiles = ordersScan.selectedPartitions.totalNumberOfFiles
+    assert(touchedFiles == files1996,
+      s"scan touched $touchedFiles files; o_year=1996 holds $files1996")
+  }
+
   test("custom SQL function registration (simhash64 via extensions)") {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
