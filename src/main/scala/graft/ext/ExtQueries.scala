@@ -1762,11 +1762,124 @@ object ExtQueries {
     (s, dir) => Funnel.activeUsers(graft.queries.Reference.events(s, dir)),
     Some(Funnel.activeUsersSql("events")))
 
+  // E5e as-of (backward) join under the hash oracle: for every purchase,
+  // the latest view AT OR BEFORE it by the same user — the time-series join
+  // the one-shuffle union+window AsOfJoin implements, replayed by DuckDB's
+  // native ASOF JOIN (greatest right ts <= left ts, unmatched left rows
+  // kept by ASOF LEFT JOIN). The view side is pre-aggregated to unique
+  // (user, ts) keys (max event_id — the e55 latest-by-key convention)
+  // because BOTH engines pick an unspecified winner among equal-timestamp
+  // right rows; with unique keys the match is a property of the data.
+  private val e90 = Q(
+    "e90_asof_join",
+    (s, dir) => {
+      val ev = graft.queries.Reference.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_event"))
+        .select(col("user_id"), col("ts").as("vts"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+          col("view_event"))
+      graft.ops.AsOfJoin.asofBackward(purchases, views,
+          key = "user_id", leftTime = "ts", rightTime = "vts",
+          payloadCols = Seq("view_ts", "view_event"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("view_ts"), col("view_event"))
+        .orderBy(col("event_id"))
+    },
+    Some(
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        |), views AS (
+        |  SELECT user_id, ts, max(event_id) AS view_event FROM events
+        |  WHERE event_type = 'view' GROUP BY 1, 2
+        |)
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        |  v.view_event
+        |FROM purchases p ASOF LEFT JOIN views v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin))
+
+  // E5f sliding (hopping) windows under the hash oracle — the overlap twin
+  // of e06's tumbling windows: width 1 h, slide 15 min, so every event
+  // lands in EXACTLY width/slide = 4 windows. Spark's window(ts, w, s)
+  // expands the assignment inline (a Generate, then ONE shuffle with
+  // map-side partial agg); DuckDB replays it as an explicit 4-way fan-out —
+  // window starts are the epoch-aligned 15-minute floor minus 0..3 slides,
+  // the same alignment window() uses. Value sums ride the msum fixed-point
+  // discipline; (window_start, event_type) is a total order.
+  private val e91 = Q(
+    "e91_sliding_window",
+    (s, dir) =>
+      graft.queries.Reference.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.queries.Reference.msum(col("value")).as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type")),
+    Some(
+      s"""WITH cover AS (
+         |  SELECT make_timestamp(
+         |      (CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) - i.i) * 900000000)
+         |      AS ws,
+         |    event_type, value
+         |  FROM events, (SELECT unnest(range(4)) AS i) i
+         |)
+         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+         |  COUNT(*) AS n_events, ${msumSql("value")} AS sum_value
+         |FROM cover
+         |GROUP BY 1, 2
+         |ORDER BY window_start, event_type""".stripMargin))
+
+  // E-join binned range join under the hash oracle: lineitem prices (as
+  // exact cents) assigned to fixed 500.00-wide price bands via
+  // AsOfJoin.rangeJoinBinned — the equi-join-on-bins formulation of a
+  // point-in-interval join (each interval explodes to its covered bins;
+  // the exact containment predicate filters bin-mates) — while DuckDB runs
+  // the plain inequality join the operator replaces. Quantity sums ride
+  // msum; bands above the price ceiling simply match nothing.
+  private val e92 = Q(
+    "e92_range_join",
+    (s, dir) => {
+      val pts = t(s, dir, "lineitem")
+        .select(round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+          col("l_quantity"))
+      val bands = s.range(0, 22).select(col("id").as("band"),
+        (col("id") * 500000L).as("lo"), ((col("id") + 1L) * 500000L).as("hi"))
+      graft.ops.AsOfJoin.rangeJoinBinned(pts, bands,
+          pointCol = "cents", startCol = "lo", endCol = "hi",
+          binWidth = 500000L)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          graft.queries.Reference.msum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("band"))
+    },
+    Some(
+      s"""WITH pts AS (
+         |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         |    l_quantity
+         |  FROM lineitem
+         |), bands AS (
+         |  SELECT i AS band, i * 500000 AS lo, (i + 1) * 500000 AS hi
+         |  FROM (SELECT unnest(range(22)) AS i)
+         |)
+         |SELECT b.band, COUNT(*) AS n, ${msumSql("l_quantity")} AS sum_qty
+         |FROM pts p JOIN bands b ON p.cents >= b.lo AND p.cents < b.hi
+         |GROUP BY 1
+         |ORDER BY band""".stripMargin))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
     e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56,
     e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71,
     e72, e73, e74, e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86,
-    e87, e88, e89)
+    e87, e88, e89, e90, e91, e92)
 }
