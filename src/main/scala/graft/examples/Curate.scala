@@ -33,6 +33,22 @@ object Curate {
     lastMark = now
   }
 
+  /** Stage-boundary persist. The first sf1 run of this chain WITHOUT pins
+    * measured 2224 s: every stage's count() re-derived the whole upstream
+    * lineage (Spark caches nothing across actions), so the corpus was
+    * re-curated from raw ~once per stage — decontamination "cost" 120 s on
+    * a 120-doc input because it recomputed quality→dedup→spans→LM first,
+    * and the DSIR probe (whose two inputs BOTH derive from the cleaned
+    * frame) paid the prefix twice, 501 s. Pinning each stage output makes a
+    * ten-stage chain cost Σ stages instead of Σ prefixes (measured in
+    * BASELINE.md). At 100 TB the same boundaries would be parquet
+    * checkpoints, not memory, but the lesson is identical: a composed
+    * curation DAG needs explicit materialization points or it is quadratic
+    * in stages.
+    */
+  private def pin(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -47,15 +63,15 @@ object Curate {
     val t0 = System.nanoTime()
     lastMark = t0
 
-    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    val raw = pin(spark.read.parquet(s"$sfDir/documents.parquet"))
     println(s"[curate] raw: ${raw.count()} docs")
     mark("read")
 
     // 1. quality gate (Gopher/C4-style signals, named fail reasons) + scrub
-    val gated = TextStats.qualityFilter(
+    val gated = pin(TextStats.qualityFilter(
         raw.withColumn("text", TextStats.scrubPii(col("text"))))
       .where(col("quality_pass"))
-      .drop("quality_pass", "quality_fail_reasons")
+      .drop("quality_pass", "quality_fail_reasons"))
     println(s"[curate] quality+scrub: ${gated.count()} docs")
     mark("quality+scrub")
 
@@ -64,39 +80,46 @@ object Curate {
     val divIds = TextStats.distinctNgrams(gated)
       .where(col("distinct2").isNull || col("distinct2") >= 0.2)
       .select(col("doc_id").as("__div_id"))
-    val diverse = gated.join(divIds, col("doc_id") === col("__div_id"))
-      .drop("__div_id")
+    val diverse = pin(gated.join(divIds, col("doc_id") === col("__div_id"))
+      .drop("__div_id"))
     println(s"[curate] diversity gate (distinct-2 >= 0.2): ${diverse.count()} docs")
     mark("diversity")
 
     // 2. exact dedup, then transitive near-dedup (MinHash → GraphX groups)
-    val exact = Dedup.exactRows(diverse)
-    val near = Dedup.nearDedupRows(exact, minJaccard = 0.7)
+    val exact = pin(Dedup.exactRows(diverse))
+    val near = pin(Dedup.nearDedupRows(exact, minJaccard = 0.7))
     println(s"[curate] dedup: exact ${exact.count()} -> near ${near.count()} docs")
     mark("dedup")
 
     // 2b. substring-level dedup: strip cross-doc repeated spans, keeping
     // each span's first occurrence (Lee et al. "all but one")
-    val unrep = Dedup.maskRepeatedSpans(near, n = 10, minDocs = 2, keepFirst = true)
-      .withColumn("text", col("clean_text")).drop("clean_text")
+    val unrep = pin(Dedup.maskRepeatedSpans(near, n = 10, minDocs = 2, keepFirst = true)
+      .withColumn("text", col("clean_text")).drop("clean_text"))
     println(s"[curate] repeated-span mask (keep-first): ${unrep.count()} docs")
     mark("span-mask")
 
-    // 2c. LM fluency gate: drop the corpus's least-fluent tail (CCNet-style
-    // bigram-LM score, fixed-point — the score is a property of the data).
-    // The cut is corpus-calibrated (≈ bottom 5% of this synthetic corpus);
-    // a real pipeline buckets by LM-score percentiles the way CCNet does.
-    val lm = LangModel.lmScore(unrep).select(col("doc_id").as("__lm_id"),
-      col("avg_logprob"))
-    val fluent = unrep.join(lm, col("doc_id") === col("__lm_id"))
-      .where(col("avg_logprob") > -3.45 || col("avg_logprob") === 0.0)
-      .drop("__lm_id", "avg_logprob")
-    println(s"[curate] LM fluency gate (avg logprob > -3.45): ${fluent.count()} docs")
+    // 2c. LM fluency gate: drop the corpus's least-fluent 5% tail
+    // (CCNet-style bigram-LM score, fixed-point). The cut is a CORPUS
+    // PERCENTILE, not a constant — CCNet buckets by LM-score percentiles
+    // precisely because absolute log-prob scales shift with the corpus
+    // (the first sf1 run proved it: a -3.45 constant calibrated on sf0.001
+    // kept 120 of 43k docs once ScaleUp's per-copy vocabulary moved the
+    // score distribution).
+    val lm = pin(LangModel.lmScore(unrep).select(col("doc_id").as("__lm_id"),
+      col("avg_logprob")))
+    val p05 = graft.ext.Percentiles.approx(
+        lm.where(col("avg_logprob") =!= 0.0),
+        Seq("avg_logprob" -> Seq(0.05)))
+      .head().getSeq[Double](0).head
+    val fluent = pin(unrep.join(lm, col("doc_id") === col("__lm_id"))
+      .where(col("avg_logprob") > p05 || col("avg_logprob") === 0.0)
+      .drop("__lm_id", "avg_logprob"))
+    println(f"[curate] LM fluency gate (avg logprob > p05 = $p05%.4f): ${fluent.count()} docs")
     mark("lm-gate")
 
     // 3. benchmark decontamination (docs doc_id%10==0 stand in for evals)
     val bench = raw.where(col("doc_id") % 10 === 0)
-    val clean = Decontaminate.removeContaminated(fluent, bench, n = 8)
+    val clean = pin(Decontaminate.removeContaminated(fluent, bench, n = 8))
     println(s"[curate] decontaminated (8-gram): ${clean.count()} docs")
     mark("decontam")
 
@@ -111,7 +134,7 @@ object Curate {
     // 4. language mixing + per-source caps (deterministic, monotone)
     val mixed = Splits.stratifiedSampleByHash(clean, "lang",
       Map("en" -> 100, "de" -> 70, "fr" -> 70, "es" -> 50, "zh" -> 50))
-    val capped = Splits.capPerGroup(mixed.drop("bucket"), "lang", k = 120)
+    val capped = pin(Splits.capPerGroup(mixed.drop("bucket"), "lang", k = 120))
     println(s"[curate] mixed ${mixed.count()} -> capped ${capped.count()} docs")
     mark("mix+cap")
 
@@ -130,8 +153,8 @@ object Curate {
     val split = Splits.splitByHash(capped)
     val splitCounts = split.groupBy("split").count().collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
-    val chunks = TextStats.chunkTokens(split.where(col("split") === "train"),
-      windowTokens = 32, overlapTokens = 4)
+    val chunks = pin(TextStats.chunkTokens(split.where(col("split") === "train"),
+      windowTokens = 32, overlapTokens = 4))
     println(s"[curate] split: $splitCounts; train chunks: ${chunks.count()}")
     mark("split+chunk")
 

@@ -189,11 +189,40 @@ object Funnel {
     * dau = wau = 0, exactly like the exact form.
     */
   def activeUsersApprox(events: DataFrame, userCol: String = "user_id",
-      tsCol: String = "ts", windowDays: Int = 7, lgConfigK: Int = 14): DataFrame = {
-    val daySk = events
+      tsCol: String = "ts", windowDays: Int = 7, lgConfigK: Int = 14): DataFrame =
+    activeUsersFromSketches(
+      dailyUserSketches(events, userCol, tsCol, lgConfigK), windowDays)
+
+  /** Per-day HLL user sketches `(d, sk)` — the INCREMENTAL substrate for
+    * engagement curves at scale: HLL union is associative and lossless at
+    * equal lgConfigK, so a daily job sketches ONLY the new day's events and
+    * upserts that one row ([[graft.ops.Layout.upsertPartitions]] on `d`);
+    * late-arriving data re-sketches and unions into the same day
+    * (`hll_union_agg` over the day's rows — FunnelSpec pins half ∪ half ≡
+    * whole). Curves then re-derive from this |days|-row table via
+    * [[activeUsersFromSketches]] WITHOUT rescanning the event log — the
+    * same read-the-delta-not-the-history shape as `Incremental.mergeStates`
+    * (e54), applied to distinct counting, where no exact merge exists at
+    * any price: exact distincts are not mergeable without re-union of the
+    * raw sets; sketches are.
+    */
+  def dailyUserSketches(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", lgConfigK: Int = 14): DataFrame =
+    events
       .select(to_date(col(tsCol)).as("d"), col(userCol).as("u"))
       .groupBy(col("d"))
       .agg(hll_sketch_agg(col("u"), lit(lgConfigK)).as("sk"))
+
+  /** DAU/WAU curves from a stored [[dailyUserSketches]] table: the spine,
+    * day estimate, and trailing-window sketch-union fan-out of
+    * [[activeUsersApprox]], starting from `(d, sk)` rows. A sketch table
+    * holding several rows per day (incremental appends before compaction)
+    * is handled by the pre-union. Output `(ds, dau, wau)`, zero-filled.
+    */
+  def activeUsersFromSketches(sketches: DataFrame, windowDays: Int = 7): DataFrame = {
+    val daySk = sketches
+      .groupBy(col("d"))
+      .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // |days| rows × one sketch blob; three consumers (spine, dau, fan-out) —
     // cache-lifetime convention as activeUsers

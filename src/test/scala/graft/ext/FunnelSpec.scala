@@ -153,6 +153,32 @@ class FunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("daily sketch table: mergeable, round-trips through parquet, incremental append ≡ full recompute") {
+    import spark.implicits._
+    val real = graft.queries.Reference.events(spark, "/root/testdata/sf0.001")
+    // 1. mergeability (late data): sketching two halves of the stream and
+    //    unioning per day must estimate exactly like sketching it whole
+    val whole = Funnel.activeUsersFromSketches(Funnel.dailyUserSketches(real))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val halves = Funnel.dailyUserSketches(real.where(col("event_id") % 2 === 0))
+      .unionAll(Funnel.dailyUserSketches(real.where(col("event_id") % 2 =!= 0)))
+    val merged = Funnel.activeUsersFromSketches(halves)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(merged == whole)
+    // 2. the incremental shape: a stored sketch table + ONE new day's
+    //    sketch (the daily job's delta) reproduces the full-recompute curve
+    val dir = java.nio.file.Files.createTempDirectory("graft_sk").toString
+    val lastDay = real.agg(max(to_date(col("ts")))).head().getDate(0)
+    val history = real.where(to_date(col("ts")) < lit(lastDay))
+    val delta = real.where(to_date(col("ts")) === lit(lastDay))
+    Funnel.dailyUserSketches(history).write.parquet(s"$dir/sk")
+    Funnel.dailyUserSketches(delta).write.mode("append").parquet(s"$dir/sk")
+    val incr = Funnel.activeUsersFromSketches(spark.read.parquet(s"$dir/sk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(incr == whole,
+      "sketch-table append + re-derive diverged from full recompute")
+  }
+
   test("transitionMatrix counts adjacent pairs per user with row-stochastic probs") {
     import spark.implicits._
     // u1: a→b→a ; u2: a→b — pairs: a→b ×2, b→a ×1; no cross-user pair
