@@ -33,21 +33,55 @@ object Curate {
     lastMark = now
   }
 
-  /** Stage-boundary persist. The first sf1 run of this chain WITHOUT pins
-    * measured 2224 s: every stage's count() re-derived the whole upstream
-    * lineage (Spark caches nothing across actions), so the corpus was
-    * re-curated from raw ~once per stage — decontamination "cost" 120 s on
-    * a 120-doc input because it recomputed quality→dedup→spans→LM first,
-    * and the DSIR probe (whose two inputs BOTH derive from the cleaned
-    * frame) paid the prefix twice, 501 s. Pinning each stage output makes a
-    * ten-stage chain cost Σ stages instead of Σ prefixes (measured in
-    * BASELINE.md). At 100 TB the same boundaries would be parquet
-    * checkpoints, not memory, but the lesson is identical: a composed
-    * curation DAG needs explicit materialization points or it is quadratic
-    * in stages.
+  /** Stage-boundary materialization: eager `localCheckpoint` — the stage
+    * output is computed once, and the returned frame's plan is a flat
+    * scan of the materialized partitions (lineage CUT, not just cached).
+    *
+    * Both halves matter, and each was measured separately at sf1:
+    *
+    *  - WITHOUT any pin, the chain cost 2224 s: every stage's count()
+    *    re-derived the whole upstream lineage (Spark caches nothing
+    *    across actions), so the corpus was re-curated from raw ~once per
+    *    stage — Σ prefixes instead of Σ stages.
+    *  - With `persist` pins (cache, lineage kept), data stopped
+    *    recomputing but the DRIVER didn't: Catalyst re-analyzes the full
+    *    cumulative plan on every action (cache substitution happens at
+    *    physical planning, after analysis), and with ~40 plan-heavy
+    *    operators stacked, the late stages went driver-bound — the
+    *    mixture ledger (two tiny aggregations over a 600-row frame,
+    *    2.5 s with a shallow plan) took 92-99 s, IDENTICALLY at sf0.001
+    *    and sf1. Scale-independent stage cost is the signature of plan
+    *    overhead, not data work.
+    *
+    * At 100 TB the same boundaries would be parquet checkpoints (write +
+    * re-read), which cut lineage the same way; `localCheckpoint` is the
+    * in-memory equivalent. A composed curation DAG needs true
+    * materialization points — cache alone leaves the driver quadratic in
+    * pipeline depth.
     */
-  private def pin(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private val pinned = scala.collection.mutable.Map[
+    org.apache.spark.sql.DataFrame, Seq[org.apache.spark.rdd.RDD[_]]]()
+  private def pin(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(true)
+    // everything newly persisted by the materialization job belongs to
+    // this stage: the checkpoint RDD itself, plus any operator-internal
+    // persists (e.g. GraphX's) that are dead weight once the checkpoint
+    // holds the output
+    pinned(out) = (sc.getPersistentRDDs.keySet -- before).toSeq
+      .flatMap(sc.getPersistentRDDs.get)
+    out
+  }
+
+  /** Release stage outputs whose consumers have all materialized. A
+    * localCheckpoint has no lineage to fall back on — a dropped frame
+    * must never be referenced again (the pipeline below is ordered so
+    * none is). Keeps live storage O(active stages), not O(all stages).
+    */
+  private def drop(dfs: org.apache.spark.sql.DataFrame*): Unit =
+    dfs.foreach(df => pinned.remove(df).toSeq.flatten
+      .foreach(_.unpersist(blocking = false)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -83,12 +117,14 @@ object Curate {
     val diverse = pin(gated.join(divIds, col("doc_id") === col("__div_id"))
       .drop("__div_id"))
     println(s"[curate] diversity gate (distinct-2 >= 0.2): ${diverse.count()} docs")
+    drop(gated)
     mark("diversity")
 
     // 2. exact dedup, then transitive near-dedup (MinHash → GraphX groups)
     val exact = pin(Dedup.exactRows(diverse))
     val near = pin(Dedup.nearDedupRows(exact, minJaccard = 0.7))
     println(s"[curate] dedup: exact ${exact.count()} -> near ${near.count()} docs")
+    drop(diverse, exact)
     mark("dedup")
 
     // 2b. substring-level dedup: strip cross-doc repeated spans, keeping
@@ -96,6 +132,7 @@ object Curate {
     val unrep = pin(Dedup.maskRepeatedSpans(near, n = 10, minDocs = 2, keepFirst = true)
       .withColumn("text", col("clean_text")).drop("clean_text"))
     println(s"[curate] repeated-span mask (keep-first): ${unrep.count()} docs")
+    drop(near)
     mark("span-mask")
 
     // 2c. LM fluency gate: drop the corpus's least-fluent 5% tail
@@ -115,12 +152,14 @@ object Curate {
       .where(col("avg_logprob") > p05 || col("avg_logprob") === 0.0)
       .drop("__lm_id", "avg_logprob"))
     println(f"[curate] LM fluency gate (avg logprob > p05 = $p05%.4f): ${fluent.count()} docs")
+    drop(unrep, lm)
     mark("lm-gate")
 
     // 3. benchmark decontamination (docs doc_id%10==0 stand in for evals)
     val bench = raw.where(col("doc_id") % 10 === 0)
     val clean = pin(Decontaminate.removeContaminated(fluent, bench, n = 8))
     println(s"[curate] decontaminated (8-gram): ${clean.count()} docs")
+    drop(fluent)
     mark("decontam")
 
     // 3b. DSIR probe: how many of the cleaned docs would an importance
@@ -136,6 +175,9 @@ object Curate {
       Map("en" -> 100, "de" -> 70, "fr" -> 70, "es" -> 50, "zh" -> 50))
     val capped = pin(Splits.capPerGroup(mixed.drop("bucket"), "lang", k = 120))
     println(s"[curate] mixed ${mixed.count()} -> capped ${capped.count()} docs")
+    // raw's last consumer is the media stage's limit(100) — a 100-row
+    // parquet scan, cheaper re-read than a 50k-doc cache entry held live
+    drop(clean, raw)
     mark("mix+cap")
 
     // 4b. the mixture ledger: what an α-sampled 1M-token run would draw
@@ -156,6 +198,7 @@ object Curate {
     val chunks = pin(TextStats.chunkTokens(split.where(col("split") === "train"),
       windowTokens = 32, overlapTokens = 4))
     println(s"[curate] split: $splitCounts; train chunks: ${chunks.count()}")
+    drop(capped)
     mark("split+chunk")
 
     // 5b. sequence packing: bin the chunks into 128-token training
@@ -166,6 +209,7 @@ object Curate {
       budget = 128, numBuckets = 16, idCol = "chunk_id", docCol = "doc_id")
     val nSeqs = packed.select(col("bucket") * 1000000L + col("seq")).distinct().count()
     println(s"[curate] packed ${packed.count()} chunks into $nSeqs sequences of <= 128 tokens")
+    drop(chunks)
     mark("packing")
 
     // 6. embeddings: int8 quantization (4x storage) + ANN sanity probe
@@ -180,7 +224,10 @@ object Curate {
 
     // 7. multimodal sidecar: features for synthetic media rows (real JDK
     // codecs for image/audio/video payloads when present)
-    val media = Multimodal.syntheticMedia(spark, raw.limit(100))
+    // fresh 100-row read — `raw` was dropped at mix+cap and a dropped
+    // localCheckpoint cannot be recomputed
+    val media = Multimodal.syntheticMedia(spark,
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(100))
     val feats = Multimodal.extractFeatures(media, Multimodal.ImageIoCodec, dim = 16)
     println(s"[curate] media features: ${feats.count()} rows")
     mark("media")

@@ -1007,6 +1007,158 @@ object Dedup {
       .where(col("cosine") >= minCosine)
   }
 
+  /** Driver-side md5 hex (lowercase) — same digest Spark's `md5()` and
+    * DuckDB's `md5()` emit, computed once per hyperplane coefficient
+    * instead of per row (the coefficients are a pure function of
+    * (plane, dim), exactly like [[hyperplanes]]).
+    */
+  private def md5HexDriver(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /** ENGINE-PORTABLE hyperplane coefficient matrix for
+    * [[embeddingNearDupMd5]]: plane p, dim i → integer coefficient in
+    * [-10⁶, 10⁶], derived from [[md5Hash60]]`("p:i")` folded mod 2·10⁶+1 —
+    * the [[hyperplanes]] formula with the hash swapped from xxhash64 to
+    * md5 and the [-1, 1) double scaled by 10⁶ into an INTEGER, so the
+    * downstream dot products stay in exact arithmetic (see
+    * [[embeddingNearDupMd5]]). Values and the fold are replayed verbatim
+    * by [[embeddingNearDupMd5Sql]]; DedupSpec pins this driver-side md5
+    * against Spark's in-engine `md5()` + `conv` decode.
+    */
+  private[ext] def hyperplanesMd5(nPlanes: Int, dim: Int): Seq[Seq[Long]] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { i =>
+        val h = java.lang.Long.parseLong(md5HexDriver(s"$p:$i").substring(0, 15), 16)
+        (h % 2000001L) - 1000000L
+      }
+    }
+
+  /** ENGINE-PORTABLE embedding near-dup: the [[embeddingNearDup]] pipeline
+    * (hyperplane-LSH signature → band buckets → candidate pairs → exact
+    * cosine verification) in a form an independent engine replays bit for
+    * bit (mirror: [[embeddingNearDupMd5Sql]]). Two substitutions make the
+    * band assignment EXACT rather than epsilon-dependent:
+    *
+    *  - the coefficients are md5-derived integers ([[hyperplanesMd5]]),
+    *    not xxhash-derived doubles;
+    *  - each vector is quantized ONCE to `floor(x·10⁶)` (floor, not
+    *    round — no tie-breaking semantics for engines to disagree on) and
+    *    the per-plane dot is a sum of Long products. With |coef| ≤ 10⁶,
+    *    every partial sum stays under 2⁵³ as long as
+    *    dim · max|x| ≤ ~9000 (unit-scale embeddings are safe through dim
+    *    4096), so an engine computing the sum in doubles (DuckDB) still
+    *    gets the exact integer — sign-of-dot, and therefore the
+    *    signature, band keys and candidate set, are identical by
+    *    construction, not approximately.
+    *
+    * Verification cosine is computed on the ORIGINAL doubles, 4dp-rounded
+    * and thresholded on the rounded value (the e02/e31 discipline). The
+    * xxhash form stays the fast path, though here the gap is small: both
+    * enter the plan as literal matrices, and the integer dots codegen the
+    * same as the double dots. Output (id_a, id_b, cosine), each pair once.
+    */
+  def embeddingNearDupMd5(
+      emb: DataFrame,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      minCosine: Double = 0.95,
+      nPlanes: Int = 32,
+      bands: Int = 4): DataFrame = {
+    require(nPlanes % bands == 0 && nPlanes <= 63,
+      s"need bands | nPlanes <= 63: nPlanes=$nPlanes bands=$bands")
+    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val dimRow = v.select(size(col("v"))).limit(1).collect()
+    if (dimRow.isEmpty)
+      return v.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("cosine")).where(lit(false))
+    val planes = hyperplanesMd5(nPlanes, dimRow.head.getInt(0))
+    val vq = v.withColumn("q", transform(col("v"), x => floor(x * lit(1e6)).cast("long")))
+    val sig = vq.select(col("id"), col("v"),
+      planes.zipWithIndex.map { case (coefs, p) =>
+        val dot = aggregate(
+          zip_with(col("q"), typedLit(coefs), (x, c) => x * c),
+          lit(0L), (s, x) => s + x)
+        when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+    val bitsPerBand = nPlanes / bands
+    val banded = sig.select(col("id"), col("v"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * bitsPerBand)
+            .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("key"))): _*)).as("bk"))
+    val a = banded.select(col("id").as("id_a"), col("v").as("v_a"), col("bk"))
+    val b = banded.select(col("id").as("id_b"), col("v").as("v_b"), col("bk"))
+    a.join(b, Seq("bk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("v_a"), col("v_b")), 4).as("cosine"))
+      .distinct()
+      .where(col("cosine") >= minCosine)
+  }
+
+  /** Generated DuckDB mirror of [[embeddingNearDupMd5]] over `idCol,
+    * vecCol` of `table` (which may be a parenthesized subquery — e.g. a
+    * doubled corpus): same md5-folded integer coefficients, same
+    * floor-quantized integer dots, same sign-pack, same band keys, same
+    * 4dp cosine verification, emitted from the SAME constants. `dim` must
+    * match the table's embedding width (the Spark side probes it from
+    * data; SQL needs it literal).
+    */
+  def embeddingNearDupMd5Sql(
+      table: String,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      minCosine: Double = 0.95,
+      nPlanes: Int = 32,
+      bands: Int = 4,
+      dim: Int = 64): String = {
+    val bitsPerBand = nPlanes / bands
+    s"""WITH pl AS (
+       |  SELECT p, i, ((${md5Hex60Sql("m")}) % 2000001) - 1000000 AS c
+       |  FROM (
+       |    SELECT p.p AS p, i.i AS i,
+       |      md5(CAST(p.p AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)) AS m
+       |    FROM (SELECT unnest(range(0, $nPlanes)) AS p) p
+       |    CROSS JOIN (SELECT unnest(range(0, $dim)) AS i) i)
+       |), vq AS (
+       |  SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS v,
+       |    [CAST(floor(x * 1000000.0) AS BIGINT) FOR x IN CAST($vecCol AS DOUBLE[])] AS q
+       |  FROM $table
+       |), vx AS (
+       |  SELECT $idCol, i.i AS i, q[i.i + 1] AS qv
+       |  FROM vq CROSS JOIN (SELECT unnest(range(0, $dim)) AS i) i
+       |), dots AS (
+       |  SELECT v.$idCol, p.p AS p, CAST(SUM(v.qv * p.c) AS BIGINT) AS dot
+       |  FROM vx v JOIN pl p ON v.i = p.i
+       |  GROUP BY 1, 2
+       |), sig AS (
+       |  SELECT $idCol,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p)
+       |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+       |  FROM dots GROUP BY 1
+       |), bands AS (
+       |  SELECT $idCol, b.b AS band,
+       |    (sig >> (b.b * $bitsPerBand)) & ${(1L << bitsPerBand) - 1} AS key
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS b) b
+       |), cand AS (
+       |  SELECT DISTINCT a.$idCol AS id_a, b.$idCol AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.$idCol < b.$idCol
+       |)
+       |SELECT id_a, id_b, cosine FROM (
+       |  SELECT c.id_a, c.id_b,
+       |    round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+       |  FROM cand c
+       |  JOIN vq a ON c.id_a = a.$idCol
+       |  JOIN vq b ON c.id_b = b.$idCol
+       |)
+       |WHERE cosine >= $minCosine
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Fuzzy string pairs by Jaro-Winkler — the entity-resolution pair
     * generator (name/alias matching) built on the native
     * [[graft.functions.JaroWinkler]] expression. Candidate generation is

@@ -1875,11 +1875,30 @@ object ExtQueries {
          |GROUP BY 1
          |ORDER BY band""".stripMargin))
 
+  // E1/E2 embedding-cosine near-dup under the hash oracle: the hyperplane-
+  // LSH pipeline in its md5-portable form (integer fixed-point dots — band
+  // assignment is EXACT in both engines, not epsilon-dependent; see
+  // Dedup.embeddingNearDupMd5). Input is the e31 doubled corpus, so exact-
+  // copy pairs are planted; DuckDB replays coefficients, quantization,
+  // sign-pack, banding, candidates and the 4dp cosine verification.
+  private val e93 = Q(
+    "e93_embedding_neardup",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val doubled = e.unionAll(e.withColumn("vec_id", col("vec_id") + 100000L))
+      Dedup.embeddingNearDupMd5(doubled, minCosine = 0.95)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(Dedup.embeddingNearDupMd5Sql(
+      """(SELECT vec_id, embedding FROM embeddings
+        | UNION ALL SELECT vec_id + 100000, embedding FROM embeddings)""".stripMargin,
+      minCosine = 0.95)))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
     e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56,
     e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71,
     e72, e73, e74, e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86,
-    e87, e88, e89, e90, e91, e92)
+    e87, e88, e89, e90, e91, e92, e93)
 }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Throwaway profiling harness for operator tuning. Current experiment:
-  * e31 semdedup with fixed vs √n-adaptive nClusters at rehearsal scale.
+  * why the Curate sf1 mixture-ledger stage (mixturePlan + sourceJsd over a
+  * 600-doc pinned frame) measured 99 s.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -20,20 +21,17 @@ object Scratch {
       val t0 = System.nanoTime(); val r = f
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    def noop(df: DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    noop(spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count())
-
-    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val doubled = e.unionAll(e.withColumn("vec_id", col("vec_id") + 100000L))
-    val n = doubled.count()
-    val kAdaptive = math.max(16, math.sqrt(n.toDouble).toInt)
-    println(s"[scratch] n=$n kAdaptive=$kAdaptive")
-    for (_ <- 1 to 2) {
-      time("e31 k=16      ")(noop(
-        graft.ext.Similarity.semDedupPairs(doubled, nClusters = 16, minCosine = 0.95)))
-      time(s"e31 k=$kAdaptive adaptive")(noop(
-        graft.ext.Similarity.semDedupPairs(doubled, nClusters = kAdaptive, minCosine = 0.95)))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val capped = graft.ops.Splits.capPerGroup(docs, "lang", k = 120)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[scratch] capped: ${capped.count()} docs")
+    for (i <- 1 to 2) {
+      time(s"mixturePlan  #$i")(
+        graft.ext.Drift.mixturePlan(capped, budgetTokens = 1000000L,
+          sourceCol = "lang").collect())
+      time(s"sourceJsd    #$i")(
+        graft.ext.Drift.sourceJsd(capped)
+          .agg(max(col("jsd_nats"))).head().getDouble(0))
     }
     spark.stop()
   }

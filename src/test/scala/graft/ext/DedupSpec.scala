@@ -619,4 +619,49 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "", 2L -> "short doc", 3L -> "short doc"))
   }
+
+  test("hyperplanesMd5 driver-side md5 fold matches Spark's in-engine md5 + conv decode") {
+    import spark.implicits._
+    // the coefficients e93's two engines both derive from md5("p:i") must
+    // be what Spark's own md5()/conv() compute — pin a sample grid
+    val grid = for (p <- 0 until 5; i <- 0 until 7) yield (p, i, s"$p:$i")
+    val engine = grid.toDF("p", "i", "s")
+      .select(col("p"), col("i"),
+        (conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % 2000001L
+          - 1000000L).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val driver = Dedup.hyperplanesMd5(5, 7)
+    for (p <- 0 until 5; i <- 0 until 7)
+      assert(driver(p)(i) == engine((p, i)),
+        s"coef($p,$i): driver ${driver(p)(i)} vs engine ${engine((p, i))}")
+  }
+
+  test("embeddingNearDupMd5 finds planted exact copies and agrees with the xxhash form") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val doubled = emb.unionAll(emb.withColumn("vec_id", col("vec_id") + 100000L))
+    val got = Dedup.embeddingNearDupMd5(doubled, minCosine = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val n = emb.count()
+    // every planted copy pair (id, id+100000) recovered at cosine 1.0:
+    // identical vectors share the signature, hence every band bucket
+    val planted = got.filter(t => t._2 == t._1 + 100000L)
+    assert(planted.length == n, s"planted ${planted.length} of $n")
+    assert(planted.forall(_._3 == 1.0))
+    // organic pairs (if any) must also clear the verification threshold
+    assert(got.forall(_._3 >= 0.95))
+    // the xxhash production form reports the same verdict set on the same
+    // input (different planes -> different candidates, but verification
+    // gates both to true >=0.95 pairs; at this threshold the corpus holds
+    // only the planted copies — the e31 planted-pair argument)
+    val native = Dedup.embeddingNearDup(doubled, minCosine = 0.95)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native == got.map(t => (t._1, t._2)).toSet)
+  }
+
+  test("embeddingNearDupMd5 handles an empty input frame") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(lit(false))
+    assert(Dedup.embeddingNearDupMd5(emb).collect().isEmpty)
+  }
 }
