@@ -167,6 +167,89 @@ object Drift {
        |FROM terms GROUP BY source, n_s
        |ORDER BY source""".stripMargin
 
+  /** Per-source Shannon entropy of the unigram distribution (nats), one
+    * row per source: `(source, n_tokens, n_types, entropy, norm_entropy)`.
+    * Entropy is the absolute lexical-diversity measure beside
+    * [[sourceTokenKl]]'s relative drift: a low-entropy source is
+    * boilerplate/templated text regardless of how it compares to the rest
+    * of the corpus (the Gopher-style corpus-health signal at source
+    * granularity, complementing e62's per-document distinct-n).
+    * `norm_entropy` = H / ln(n_types) ∈ [0,1] (null for single-type
+    * sources) factors out vocabulary size.
+    *
+    * Determinism: H = ln N − (Σ c·ln c)/N; each ln c is 1e-6-fixed-pointed
+    * (`round(ln(c)·10⁶)` — an exact long both engines agree on), the
+    * products c·⌊ln c·10⁶⌉ accumulate in DECIMAL(38,0) (c can reach 10¹²
+    * at corpus scale, so a long Σ would overflow), and the final expression
+    * runs ONCE on doubles from exactly-agreed integers in a fixed
+    * association, 4dp-rounded.
+    *
+    * Scale: ONE corpus scan into the (source, token) count table, then a
+    * vocab-sized aggregate per source — no further shuffle of the corpus;
+    * the same posture as [[sourceTokenKl]].
+    */
+  def sourceEntropy(docs: DataFrame, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val tk = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val lnFx = round(log(col("c").cast("double")) * lit(1000000), 0)
+      .cast("decimal(19,0)")
+    docs
+      .select(col(sourceCol).as("source"), explode(tk).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c").cast("decimal(19,0)") * lnFx).as("s_clnc"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        // + 0.0 canonicalizes IEEE −0.0 (reachable when fixed-point error
+        // nudges a ~zero entropy negative): Spark's BigDecimal round can't
+        // produce −0.0 but DuckDB's can — the identity add makes both +0.0
+        (round(log(col("n_tokens").cast("double")) -
+          (col("s_clnc").cast("double") / lit(1000000.0)) /
+            col("n_tokens").cast("double"), 4) + lit(0.0)).as("entropy"),
+        when(col("n_types") > 1,
+          round((log(col("n_tokens").cast("double")) -
+            (col("s_clnc").cast("double") / lit(1000000.0)) /
+              col("n_tokens").cast("double")) /
+            log(col("n_types").cast("double")), 4) + lit(0.0)).as("norm_entropy"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB mirror of [[sourceEntropy]] — generated; same token split,
+    * same 1e-6 ln fixed point, same DECIMAL(38,0) accumulation, same final
+    * association.
+    */
+  def sourceEntropySql(table: String, textCol: String = "text",
+      sourceCol: String = "source"): String =
+    s"""WITH toks AS (
+       |  SELECT $sourceCol AS source,
+       |    unnest(list_filter(string_split_regex(lower(trim($textCol)), '\\s+'),
+       |      t -> length(t) > 0)) AS w
+       |  FROM $table
+       |), cst AS (
+       |  SELECT source, w, COUNT(*) AS c FROM toks GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    COUNT(*) AS n_types,
+       |    SUM(CAST(c AS DECIMAL(19,0)) *
+       |        CAST(round(ln(CAST(c AS DOUBLE)) * 1000000, 0) AS DECIMAL(19,0)))
+       |      AS s_clnc
+       |  FROM cst GROUP BY 1
+       |)
+       |SELECT source, n_tokens, n_types,
+       |  -- + 0.0 canonicalizes IEEE -0.0, see the Spark twin
+       |  round(ln(CAST(n_tokens AS DOUBLE))
+       |    - (CAST(s_clnc AS DOUBLE) / 1000000.0) / CAST(n_tokens AS DOUBLE),
+       |    4) + 0.0 AS entropy,
+       |  CASE WHEN n_types > 1 THEN
+       |    round((ln(CAST(n_tokens AS DOUBLE))
+       |      - (CAST(s_clnc AS DOUBLE) / 1000000.0) / CAST(n_tokens AS DOUBLE))
+       |      / ln(CAST(n_types AS DOUBLE)), 4) + 0.0
+       |  END AS norm_entropy
+       |FROM agg
+       |ORDER BY source""".stripMargin
+
   /** Pairwise Jensen–Shannon divergence between source unigram
     * distributions, one row per unordered source pair: `(source_a,
     * source_b, n_tokens_a, n_tokens_b, jsd_nats)`. JSD(P,Q) =

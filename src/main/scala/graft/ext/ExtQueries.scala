@@ -1894,11 +1894,90 @@ object ExtQueries {
         | UNION ALL SELECT vec_id + 100000, embedding FROM embeddings)""".stripMargin,
       minCosine = 0.95)))
 
+  // E-graph triangle counting over the e11 near-dup pair graph — the
+  // cluster-cohesion diagnostic beside e14's transitive groups: doubled
+  // near-identical docs form cliques (high triangle support) while a
+  // chain-merge bridge sits on zero triangles. Degree-oriented equi-join
+  // enumeration (each triangle found exactly once); DuckDB replays the
+  // e11 pair CTEs + the same orientation/join (SQL GENERATED —
+  // Triangles.triangleCountsSql — so the orientation rule can't drift).
+  private val e94Prelude =
+    """doubled AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents
+      |), toksed AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM doubled
+      |), sh AS (
+      |  SELECT doc_id, list_distinct([
+      |    concat_ws(' ', toks[i], toks[i+1], toks[i+2]) FOR i IN range(1, greatest(len(toks) - 1, 1))
+      |  ]) AS sh
+      |  FROM toksed
+      |),""".stripMargin
+  private val e94Edges =
+    """  SELECT id_a, id_b FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |    FROM sh a, sh b
+      |    WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
+      |  ) WHERE jaccard >= 0.8""".stripMargin
+  private val e94 = Q(
+    "e94_triangles",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L))
+      // same df cap as e11 — inactive at verify scale, see e11's note
+      val pairs = Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8,
+        maxDocFreq = 1000)
+      graft.ops.Triangles.triangleCounts(pairs, "id_a", "id_b")
+    },
+    Some(graft.ops.Triangles.triangleCountsSql(e94Edges, e94Prelude)))
+
+  // E-stats Spearman rank correlation (tie-aware, bucket-grid ranks) —
+  // monotonic association between quantity and line price on the fact
+  // table. SQL GENERATED (Stats.spearmanSql: same 2·rank integers, same
+  // association).
+  private val e95 = Q(
+    "e95_spearman",
+    (s, dir) => graft.ops.Stats.spearman(tp(s, dir, "lineitem"),
+      "l_quantity", "l_extendedprice", decimals = 2),
+    Some(graft.ops.Stats.spearmanSql("lineitem",
+      "l_quantity", "l_extendedprice", decimals = 2)))
+
+  // E3d per-source token Shannon entropy — the absolute lexical-diversity
+  // health signal beside e35's relative KL drift; 1e-6 ln fixed point,
+  // DECIMAL(38,0) accumulation. SQL GENERATED (Drift.sourceEntropySql).
+  private val e96 = Q(
+    "e96_entropy",
+    (s, dir) => Drift.sourceEntropy(t(s, dir, "documents")),
+    Some(Drift.sourceEntropySql("documents")))
+
+  // E5g last-touch conversion attribution: purchases credited to the
+  // channel (props.k) of the latest view/click by the same user within
+  // 48 h, organic conversions in bucket −1 — the as-of join as the
+  // attribution model (last-within-window ≡ last-then-void). SQL
+  // GENERATED (Funnel.lastTouchAttributionSql).
+  private val e97 = Q(
+    "e97_attribution",
+    (s, dir) => Funnel.lastTouchAttribution(graft.queries.Reference.events(s, dir)),
+    Some(Funnel.lastTouchAttributionSql("events")))
+
+  // E-stats Welch's two-sample t: do view and click events carry the same
+  // mean value — the A/B-test primitive from one conditional moment pass.
+  // SQL GENERATED (Stats.welchTSql: same fixed-point atoms, associations,
+  // guards).
+  private val e98 = Q(
+    "e98_welch_t",
+    (s, dir) => graft.ops.Stats.welchT(graft.queries.Reference.events(s, dir),
+      "value", "event_type", "view", "click"),
+    Some(graft.ops.Stats.welchTSql("events",
+      "value", "event_type", "view", "click")))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
     e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56,
     e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71,
     e72, e73, e74, e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86,
-    e87, e88, e89, e90, e91, e92, e93)
+    e87, e88, e89, e90, e91, e92, e93, e94, e95, e96, e97, e98)
 }

@@ -269,6 +269,112 @@ object Funnel {
        |  LEFT JOIN wau w ON s.ds = w.ds
        |ORDER BY ds""".stripMargin
 
+  /** Last-touch conversion attribution: every conversion event is credited
+    * to the CHANNEL of the latest qualifying touch event by the same user
+    * at or before it, within `windowSeconds` — the standard marketing
+    * attribution model (the e19 funnel answers "how many converted"; this
+    * answers "which channel gets the credit"). Channels come from the
+    * event's JSON props (`$.channelJsonKey`, the e05 convention);
+    * conversions whose latest touch is older than the window — or who have
+    * none — land in channel −1 ("unattributed", a real bucket: organic
+    * conversions are signal). Output: `(channel, n_conversions, revenue)`
+    * with revenue the fixed-point-exact sum of the conversion values,
+    * totally ordered by channel.
+    *
+    * Semantics note: last-touch-within-window ≡ last-touch-then-void —
+    * backward as-of picks the LATEST touch ≤ t, and if that one is outside
+    * the window every earlier touch is too — so the composed
+    * [[graft.ops.AsOfJoin.asofBackward]] with `toleranceSeconds` IS the
+    * attribution model, not an approximation of it.
+    *
+    * Determinism: several touches can share (user, ts); both engines
+    * resolve the winner by max event_id BEFORE the join (the e90
+    * pre-dedup), carrying THAT event's channel, so the credit is a
+    * property of the data.
+    *
+    * Scale: touches reduce by one hash aggregate; the as-of is the
+    * one-shuffle union+window (never a range join); the credit rollup
+    * aggregates conversions — the event stream is scanned twice (touch
+    * filter + conversion filter, both pushed to the scan) and shuffled
+    * once each.
+    */
+  def lastTouchAttribution(events: DataFrame,
+      convType: String = "purchase",
+      touchTypes: Seq[String] = Seq("view", "click"),
+      windowSeconds: Long = 48L * 3600,
+      channelJsonKey: String = "k",
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", valueCol: String = "value",
+      idCol: String = "event_id", propsCol: String = "props"): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    val channel = get_json_object(col(propsCol), s"$$.$channelJsonKey")
+      .cast("long")
+    val touches = events
+      .where(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), col(tsCol).as("__tts"),
+        col(idCol).as("__tid"), channel.as("__ch"))
+      .groupBy(col(userCol), col("__tts"))
+      .agg(max(struct(col("__tid"), col("__ch"))).as("__w"))
+      .select(col(userCol), col("__tts"), col("__w.__ch").as("channel"))
+    val conv = events
+      .where(col(typeCol) === convType)
+      .select(col(idCol), col(userCol), col(tsCol), col(valueCol))
+    graft.ops.AsOfJoin.asofBackward(conv, touches,
+        key = userCol, leftTime = tsCol, rightTime = "__tts",
+        payloadCols = Seq("channel"),
+        toleranceSeconds = Some(windowSeconds))
+      .groupBy(coalesce(col("channel"), lit(-1L)).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        graft.queries.Reference.msum(col(valueCol)).as("revenue"))
+      .orderBy(col("channel"))
+  }
+
+  /** DuckDB mirror of [[lastTouchAttribution]] — generated: ASOF LEFT JOIN
+    * against the same max-event_id pre-deduped touch table, the same
+    * window void, the same −1 bucket and msum revenue.
+    */
+  def lastTouchAttributionSql(table: String,
+      convType: String = "purchase",
+      touchTypes: Seq[String] = Seq("view", "click"),
+      windowSeconds: Long = 48L * 3600,
+      channelJsonKey: String = "k"): String = {
+    def lq(s: String) = s.replace("'", "''")
+    val touchIn = touchTypes.map(t => s"'${lq(t)}'").mkString(", ")
+    s"""WITH touches AS (
+       |  -- winner = row with max event_id (NOT arg_max, which skips NULL
+       |  -- channels and would diverge from Spark's struct-max)
+       |  SELECT user_id, ts, channel FROM (
+       |    SELECT user_id, ts,
+       |      CAST(json_extract_string(props, '$$.$channelJsonKey') AS BIGINT)
+       |        AS channel,
+       |      row_number() OVER (PARTITION BY user_id, ts
+       |                         ORDER BY event_id DESC) AS rn
+       |    FROM $table
+       |    WHERE event_type IN ($touchIn)
+       |  ) WHERE rn = 1
+       |), conv AS (
+       |  SELECT event_id, user_id, ts, value FROM $table
+       |  WHERE event_type = '${lq(convType)}'
+       |), credited AS (
+       |  SELECT c.value,
+       |    -- Spark's timestamp→long cast floors to whole seconds; replicate
+       |    -- with exact integer microseconds so sub-second fractions can't
+       |    -- flip the boundary comparison
+       |    CASE WHEN t.ts IS NOT NULL
+       |           AND (epoch_us(c.ts) // 1000000) - (epoch_us(t.ts) // 1000000)
+       |             <= $windowSeconds
+       |         THEN t.channel END AS channel
+       |  FROM conv c ASOF LEFT JOIN touches t
+       |    ON c.user_id = t.user_id AND c.ts >= t.ts
+       |)
+       |SELECT COALESCE(channel, -1) AS channel,
+       |  COUNT(*) AS n_conversions,
+       |  ${graft.queries.Reference.msumSql("value")} AS revenue
+       |FROM credited
+       |GROUP BY 1
+       |ORDER BY channel""".stripMargin
+  }
+
   /** DuckDB mirror of [[retention]] — cohort day formatted to a string. */
   def retentionSql(table: String, maxOffsetDays: Int = 30): String =
     s"""WITH first_day AS (

@@ -1010,4 +1010,216 @@ object Stats {
        |ORDER BY gap DESC, sb ASC
        |LIMIT 1""".stripMargin
   }
+
+  /** Spearman rank correlation ρ between two numeric columns — the
+    * monotonic-association companion to [[corrMatrix]]'s Pearson (outlier-
+    * robust, invariant under any monotone rescale of either side; use it
+    * when "does quality score rank with engagement" matters more than the
+    * linear slope). One row: `(col_x, col_y, n, rho)`, ρ 4dp-rounded, null
+    * when either side is constant.
+    *
+    * Semantics: classical tie-aware Spearman — each value gets the AVERAGE
+    * rank of its tie group, then Pearson on the ranks. Ranks are kept
+    * exact by working with 2·rank (`2·|{<v}| + |{=v}| + 1`, always an
+    * integer); the constant factor cancels in the correlation.
+    *
+    * Scale contract (the e69 bucket-grid discipline): values are bucketed
+    * at `decimals` fixed-point BEFORE ranking, so ranking reduces to the
+    * distinct-bucket grid (≤ range·10^decimals rows, never row-count-
+    * sized): one (bx, by) count shuffle collapses the corpus to the joint
+    * grid, the marginal cumulative windows run on grids, and the moment
+    * sums are weighted by cell counts — the fact table is scanned ONCE and
+    * never re-shuffled. Rank products accumulate in DECIMAL(38,0)
+    * (≤ 4n³ — exact past 10⁹ rows); the mirror uses HUGEINT for the same
+    * integers.
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String,
+      decimals: Int = 2): DataFrame = {
+    require(decimals >= -6 && decimals <= 6,
+      s"decimals bounds the rank grid; want [-6, 6], got $decimals")
+    val scaleF = math.pow(10, decimals)
+    val joint = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(round(col(xCol) * scaleF, 0).cast("long").as("bx"),
+        round(col(yCol) * scaleF, 0).cast("long").as("by"))
+      .agg(count(lit(1)).as("n_xy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // grid-sized (resolution-bounded); three consumers (two marginals +
+    // the moment join) — cache-lifetime convention, see object scaladoc
+    def marginalRanks(bCol: String, rName: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(bCol))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      joint.groupBy(col(bCol)).agg(sum(col("n_xy")).as("c"))
+        .withColumn("cum", sum(col("c")).over(w))
+        // 2·avgRank = 2·(cum − c) + c + 1 = 2·cum − c + 1 (exact long)
+        .select(col(bCol), (lit(2L) * col("cum") - col("c") + 1L).as(rName))
+    }
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val m = joint
+      .join(marginalRanks("bx", "r2x"), "bx")
+      .join(marginalRanks("by", "r2y"), "by")
+      .agg(
+        sum(col("n_xy")).as("n"),
+        sum(dec(col("r2x")) * dec(col("n_xy"))).as("sx"),
+        sum(dec(col("r2y")) * dec(col("n_xy"))).as("sy"),
+        sum(dec(col("r2x")) * dec(col("r2x")) * dec(col("n_xy"))).as("sxx"),
+        sum(dec(col("r2y")) * dec(col("r2y")) * dec(col("n_xy"))).as("syy"),
+        sum(dec(col("r2x")) * dec(col("r2y")) * dec(col("n_xy"))).as("sxy"))
+    m.select(lit(xCol).as("col_x"), lit(yCol).as("col_y"),
+      coalesce(col("n"), lit(0L)).as("n"),
+      corrFromMoments(coalesce(col("n"), lit(0L)), col("sx"), col("sy"),
+        col("sxx"), col("syy"), col("sxy")).as("rho"))
+  }
+
+  /** DuckDB mirror of [[spearman]] — generated; same bucket grid, same
+    * 2·rank integers (HUGEINT — DuckDB's DECIMAL multiply binds width at
+    * 38 and would reject the three-factor product), same final
+    * association. `table` may be any FROM-able expression.
+    */
+  def spearmanSql(table: String, xCol: String, yCol: String,
+      decimals: Int = 2): String = {
+    val scaleF = math.pow(10, decimals)
+    s"""WITH joint AS (
+       |  SELECT CAST(round($xCol * $scaleF, 0) AS BIGINT) AS bx,
+       |    CAST(round($yCol * $scaleF, 0) AS BIGINT) AS by,
+       |    COUNT(*) AS n_xy
+       |  FROM $table
+       |  WHERE $xCol IS NOT NULL AND $yCol IS NOT NULL
+       |  GROUP BY 1, 2
+       |), rx AS (
+       |  SELECT bx, 2 * CAST(SUM(c) OVER (ORDER BY bx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    - c + 1 AS r2x
+       |  FROM (SELECT bx, CAST(SUM(n_xy) AS BIGINT) AS c FROM joint GROUP BY 1)
+       |), ry AS (
+       |  SELECT by, 2 * CAST(SUM(c) OVER (ORDER BY by
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    - c + 1 AS r2y
+       |  FROM (SELECT by, CAST(SUM(n_xy) AS BIGINT) AS c FROM joint GROUP BY 1)
+       |), m AS (
+       |  SELECT CAST(SUM(n_xy) AS BIGINT) AS n,
+       |    SUM(CAST(r2x AS HUGEINT) * CAST(n_xy AS HUGEINT)) AS sx,
+       |    SUM(CAST(r2y AS HUGEINT) * CAST(n_xy AS HUGEINT)) AS sy,
+       |    SUM(CAST(r2x AS HUGEINT) * CAST(r2x AS HUGEINT) * CAST(n_xy AS HUGEINT)) AS sxx,
+       |    SUM(CAST(r2y AS HUGEINT) * CAST(r2y AS HUGEINT) * CAST(n_xy AS HUGEINT)) AS syy,
+       |    SUM(CAST(r2x AS HUGEINT) * CAST(r2y AS HUGEINT) * CAST(n_xy AS HUGEINT)) AS sxy
+       |  FROM joint JOIN rx USING (bx) JOIN ry USING (by)
+       |)
+       |SELECT '$xCol' AS col_x, '$yCol' AS col_y, COALESCE(n, 0) AS n,
+       |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
+       |       OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0
+       |  THEN NULL ELSE
+       |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+       |  END AS rho
+       |FROM m""".stripMargin
+  }
+
+  /** Welch's two-sample t — unequal-variance mean comparison between two
+    * labelled groups (the A/B-test / cohort-shift primitive: "did the new
+    * mixture move mean quality"). One row: `(label_a, label_b, n_a, n_b,
+    * mean_a, mean_b, t_stat, df)`; means 4dp, t 4dp, Welch–Satterthwaite
+    * df 2dp. Null t/df when either group has < 2 rows or both variances
+    * are zero.
+    *
+    * Exactness: both groups' (n, Σx, Σx²) come from ONE conditional
+    * aggregation pass in 10⁴-fixed-point DECIMAL (the corrMatrix moment
+    * discipline); the closed form runs once on doubles cast from those
+    * exactly-agreed integers in a fixed association — bit-identical across
+    * engines and partitionings. Scale: one partial+final hash aggregate
+    * over a column-pruned scan, no shuffle of the fact table.
+    */
+  def welchT(df: DataFrame, valueCol: String, labelCol: String,
+      labelA: String, labelB: String): DataFrame = {
+    require(labelA != labelB, "welchT: labels must differ")
+    def grp(lbl: String, suf: String): Seq[Column] = {
+      val in = col(labelCol) === lbl && col(valueCol).isNotNull
+      def g(c: Column) = when(in, c)
+      Seq(count(when(in, lit(1))).as(s"n_$suf"),
+        sum(g(fx(col(valueCol)))).as(s"s_$suf"),
+        sum(g(fx(col(valueCol)) * fx(col(valueCol)))).as(s"ss_$suf"))
+    }
+    val aggs = grp(labelA, "a") ++ grp(labelB, "b")
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    // per-group: mean = Σx/n (de-scaled once), sample variance
+    // s² = (n·Σx² − (Σx)²) / (n·(n−1)) — computed on doubles from the
+    // exact decimal atoms, de-scaled by 10⁸ once
+    def stats(suf: String): (Column, Column, Column) = {
+      val nd = col(s"n_$suf").cast("double")
+      val s = col(s"s_$suf").cast("double")
+      val ss = col(s"ss_$suf").cast("double")
+      val mean = s / nd / Scale
+      val variance = (nd * ss - s * s) / (nd * (nd - 1.0)) / (Scale.toDouble * Scale)
+      (nd, mean, variance)
+    }
+    val (na, ma, va) = stats("a")
+    val (nb, mb, vb) = stats("b")
+    val se2 = va / na + vb / nb
+    val tStat = (ma - mb) / sqrt(se2)
+    val dfW = (se2 * se2) /
+      ((va / na) * (va / na) / (na - 1.0) + (vb / nb) * (vb / nb) / (nb - 1.0))
+    val ok = col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0.0
+    m.select(
+      lit(labelA).as("label_a"), lit(labelB).as("label_b"),
+      col("n_a"), col("n_b"),
+      when(col("n_a") > 0, round(ma, 4)).as("mean_a"),
+      when(col("n_b") > 0, round(mb, 4)).as("mean_b"),
+      when(ok, round(tStat, 4)).as("t_stat"),
+      when(ok, round(dfW, 2)).as("df"))
+  }
+
+  /** DuckDB mirror of [[welchT]] — generated; same fixed-point atoms, same
+    * associations, same guards.
+    */
+  def welchTSql(table: String, valueCol: String, labelCol: String,
+      labelA: String, labelB: String): String = {
+    val v = fxSql(valueCol)
+    def grpSql(lbl: String, suf: String): String = {
+      val in = s"$labelCol = '${lbl.replace("'", "''")}' AND $valueCol IS NOT NULL"
+      s"""    COUNT(*) FILTER (WHERE $in) AS n_$suf,
+         |    SUM(CASE WHEN $in THEN $v END) AS s_$suf,
+         |    SUM(CASE WHEN $in THEN $v * $v END) AS ss_$suf""".stripMargin
+    }
+    def statsSql(suf: String): String =
+      s"""    CAST(n_$suf AS DOUBLE) AS nd_$suf,
+         |    CAST(s_$suf AS DOUBLE) / CAST(n_$suf AS DOUBLE) / $Scale AS m_$suf,
+         |    (CAST(n_$suf AS DOUBLE) * CAST(ss_$suf AS DOUBLE)
+         |      - CAST(s_$suf AS DOUBLE) * CAST(s_$suf AS DOUBLE))
+         |      / (CAST(n_$suf AS DOUBLE) * (CAST(n_$suf AS DOUBLE) - 1.0))
+         |      / (CAST($Scale AS DOUBLE) * $Scale) AS v_$suf""".stripMargin
+    s"""WITH m AS (
+       |  SELECT
+       |${grpSql(labelA, "a")},
+       |${grpSql(labelB, "b")}
+       |  FROM $table
+       |), st AS (
+       |  SELECT n_a, n_b,
+       |${statsSql("a")},
+       |${statsSql("b")}
+       |  FROM m
+       |), f AS (
+       |  SELECT n_a, n_b, nd_a, nd_b, m_a, m_b, v_a, v_b,
+       |    v_a / nd_a + v_b / nd_b AS se2
+       |  FROM st
+       |)
+       |SELECT '${labelA.replace("'", "''")}' AS label_a,
+       |  '${labelB.replace("'", "''")}' AS label_b,
+       |  n_a, n_b,
+       |  CASE WHEN n_a > 0 THEN round(m_a, 4) END AS mean_a,
+       |  CASE WHEN n_b > 0 THEN round(m_b, 4) END AS mean_b,
+       |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
+       |       THEN round((m_a - m_b) / sqrt(se2), 4) END AS t_stat,
+       |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
+       |       THEN round((se2 * se2)
+       |         / ((v_a / nd_a) * (v_a / nd_a) / (nd_a - 1.0)
+       |           + (v_b / nd_b) * (v_b / nd_b) / (nd_b - 1.0)), 2)
+       |  END AS df
+       |FROM f""".stripMargin
+  }
 }

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting over an undirected edge list — the graph
+  * cohesion primitive beside PageRank (e23/e81) and connected components
+  * (e14). In the dedup pipeline it is the cluster-quality diagnostic the
+  * transitive tail can't give: [[graft.ext.Dedup.dupGroups]] merges
+  * A~B~C into one group whether the pairs form a clique (true duplicate
+  * family — every pair verified) or a chain (two unrelated docs bridged by
+  * a hub — the classic transitive-closure false merge). Triangle support
+  * separates the two: clique members sit on many triangles, chain bridges
+  * on none, so `n_triangles = 0` inside a multi-doc group flags exactly
+  * the merges worth re-verifying.
+  *
+  * Algorithm (compact-forward / degree orientation, the standard
+  * distributed formulation — cf. Suri & Vassilvitskii, WWW'11 "Counting
+  * triangles and the curse of the last reducer"): orient every edge from
+  * its lower endpoint to its higher endpoint under the total order
+  * (degree, id). The orientation is acyclic, and on 3 vertices an acyclic
+  * tournament has exactly one source/middle/sink — so joining oriented
+  * edges u→v, v→w and probing u→w enumerates each triangle EXACTLY once,
+  * and the join fan-out is Σ outdeg² where outdeg is bounded by O(√m)
+  * (a vertex of degree d only points at neighbors of degree ≥ d) — the
+  * hub explosion a naive neighbor join suffers cannot happen. All three
+  * steps are hash equi-joins over the edge list: no vertex neighbor sets
+  * are ever materialized, AQE handles residual skew.
+  *
+  * Output: `(id, n_triangles)` for EVERY vertex incident to an edge
+  * (zero-triangle vertices kept — absence of support is the signal),
+  * totally ordered by id. Self-loops and duplicate/reversed edges are
+  * tolerated and collapsed.
+  *
+  * Cache lifetime: the deduped edge list and its orientation are persisted
+  * (deg reads edges twice; the triangle join reads the orientation three
+  * times) — bounded by the edge count, the graft-wide convention (see
+  * Drift's scaladoc).
+  */
+object Triangles {
+
+  def triangleCounts(edges: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .where(col("lo") =!= col("hi") && col("lo").isNotNull)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("lo").as("id"))
+      .unionAll(und.select(col("hi").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val dl = deg.select(col("id").as("lo"), col("d").as("d_lo"))
+    val dh = deg.select(col("id").as("hi"), col("d").as("d_hi"))
+    val fwd = col("d_lo") < col("d_hi") ||
+      (col("d_lo") === col("d_hi") && col("lo") < col("hi"))
+    val o = und.join(dl, "lo").join(dh, "hi")
+      .select(when(fwd, col("lo")).otherwise(col("hi")).as("u"),
+        when(fwd, col("hi")).otherwise(col("lo")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e1 = o.select(col("u").as("t_u"), col("v").as("t_v"))
+    val e2 = o.select(col("u").as("t_v"), col("v").as("t_w"))
+    val e3 = o.select(col("u").as("t_u"), col("v").as("t_w"))
+    val tri = e1.join(e2, "t_v").join(e3, Seq("t_u", "t_w"))
+    val credit = tri
+      .select(explode(array(col("t_u"), col("t_v"), col("t_w"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n"))
+    deg.select(col("id"))
+      .join(credit, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n"), lit(0L)).as("n_triangles"))
+      .orderBy(col("id"))
+  }
+
+  /** DuckDB mirror of [[triangleCounts]] — generated; same orientation
+    * rule, same single-count join, same zero-fill. `edgesSql` is any
+    * query text producing `(id_a, id_b)` rows; it is spliced as a CTE, and
+    * `prelude` lets callers prepend further CTEs it depends on (the
+    * linearFitBySql convention).
+    */
+  def triangleCountsSql(edgesSql: String, prelude: String = ""): String = {
+    val pre = if (prelude.isEmpty) "" else s"$prelude "
+    s"""WITH ${pre}pairs_in AS (
+       |$edgesSql
+       |), und AS (
+       |  SELECT DISTINCT least(id_a, id_b) AS lo, greatest(id_a, id_b) AS hi
+       |  FROM pairs_in
+       |  WHERE least(id_a, id_b) IS NOT NULL
+       |    AND least(id_a, id_b) <> greatest(id_a, id_b)
+       |), deg AS (
+       |  SELECT id, COUNT(*) AS d FROM (
+       |    SELECT lo AS id FROM und UNION ALL SELECT hi FROM und
+       |  ) GROUP BY 1
+       |), o AS (
+       |  SELECT CASE WHEN dl.d < dh.d OR (dl.d = dh.d AND und.lo < und.hi)
+       |              THEN und.lo ELSE und.hi END AS u,
+       |         CASE WHEN dl.d < dh.d OR (dl.d = dh.d AND und.lo < und.hi)
+       |              THEN und.hi ELSE und.lo END AS v
+       |  FROM und
+       |  JOIN deg dl ON dl.id = und.lo
+       |  JOIN deg dh ON dh.id = und.hi
+       |), tri AS (
+       |  SELECT e1.u AS t_u, e1.v AS t_v, e2.v AS t_w
+       |  FROM o e1
+       |  JOIN o e2 ON e1.v = e2.u
+       |  JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v
+       |), credit AS (
+       |  SELECT id, COUNT(*) AS n FROM (
+       |    SELECT t_u AS id FROM tri
+       |    UNION ALL SELECT t_v FROM tri
+       |    UNION ALL SELECT t_w FROM tri
+       |  ) GROUP BY 1
+       |)
+       |SELECT deg.id AS id, COALESCE(credit.n, 0) AS n_triangles
+       |FROM deg LEFT JOIN credit USING (id)
+       |ORDER BY id""".stripMargin
+  }
+}

@@ -392,4 +392,44 @@ class DriftSpec extends AnyFunSuite {
     val b = Drift.ewmaDaily(ev.repartition(11)).collect().toSeq
     assert(a.nonEmpty && a == b)
   }
+
+  test("sourceEntropy: uniform = ln k, single-type = 0, template < diverse") {
+    import spark.implicits._
+    val docs = Seq(
+      // uniform over 4 types → H = ln 4, norm = 1
+      ("u", "alpha beta gamma delta"),
+      // one type repeated → H = 0, norm null
+      ("mono", "spam spam spam spam spam"),
+      // skewed: one dominant type among 3
+      ("skew", "the the the the the the the the cat dog")).toDF("source", "text")
+    val got = Drift.sourceEntropy(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    val ln4 = BigDecimal(math.log(4.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("u") == ((4L, 4L, ln4, Some(1.0))))
+    assert(got("mono") == ((5L, 1L, 0.0, None)))
+    val (nTok, nTyp, h, norm) = got("skew")
+    assert(nTok == 10L && nTyp == 3L)
+    // H for (8,1,1)/10 = ln10 − (8·ln8)/10 ≈ 0.6390
+    val want = BigDecimal(math.log(10.0) -
+        (8 * math.round(math.log(8.0) * 1e6) / 1e6) / 10.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(h == want, s"$h vs $want")
+    assert(norm.exists(v => v > 0 && v < 1))
+    assert(got("u")._3 > got("skew")._3) // diversity orders as expected
+  }
+
+  test("sourceEntropy is case-normalizing and repartition-stable on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Drift.sourceEntropy(docs).collect().toSeq
+    val b = Drift.sourceEntropy(docs.repartition(13)).collect().toSeq
+    assert(a.nonEmpty && a == b)
+    assert(a.forall(r => r.getDouble(3) >= 0.0))
+    import spark.implicits._
+    val cased = Seq(("s", "Word word WORD")).toDF("source", "text")
+    val r = Drift.sourceEntropy(cased).collect().head
+    assert(r.getLong(2) == 1L && r.getDouble(3) == 0.0)
+  }
 }

@@ -238,4 +238,55 @@ class FunnelSpec extends AnyFunSuite {
     val b = Funnel.associationRules(ev.repartition(17)).collect()
     assert(a.nonEmpty && a.sameElements(b))
   }
+
+  private def attrEvents(rows: Seq[(Long, String, Long, String, Double, String)]) = {
+    import spark.implicits._
+    rows.toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("tss"))).drop("tss")
+  }
+
+  test("lastTouchAttribution credits the latest in-window touch per conversion") {
+    val ev = attrEvents(Seq(
+      // user 1: view ch=5, then click ch=7 — the LATER click wins
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0, """{"k": 5}"""),
+      (2L, "2024-01-01 11:00:00", 1L, "click", 0.0, """{"k": 7}"""),
+      (3L, "2024-01-01 12:00:00", 1L, "purchase", 10.5, """{"k": 99}"""),
+      // user 2: only touch is older than 48 h → unattributed (−1)
+      (4L, "2024-01-01 00:00:00", 2L, "view", 0.0, """{"k": 3}"""),
+      (5L, "2024-01-03 00:00:01", 2L, "purchase", 20.0, """{"k": 99}"""),
+      // user 3: organic purchase, no touches at all → −1
+      (6L, "2024-01-02 09:00:00", 3L, "purchase", 7.25, """{"k": 99}"""),
+      // user 4: two touches at the SAME instant — max event_id (41) wins
+      (40L, "2024-01-02 08:00:00", 4L, "view", 0.0, """{"k": 1}"""),
+      (41L, "2024-01-02 08:00:00", 4L, "view", 0.0, """{"k": 2}"""),
+      (42L, "2024-01-02 08:30:00", 4L, "purchase", 5.0, """{"k": 99}""")))
+    val got = Funnel.lastTouchAttribution(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(
+      -1L -> ((2L, 27.25)), // out-of-window + organic
+      2L -> ((1L, 5.0)),    // same-ts tie → channel of max event_id
+      7L -> ((1L, 10.5))))  // latest touch, not first
+  }
+
+  test("lastTouchAttribution window boundary is inclusive at exactly 48 h") {
+    val ev = attrEvents(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view", 0.0, """{"k": 4}"""),
+      (2L, "2024-01-03 00:00:00", 1L, "purchase", 1.0, """{"k": 9}"""), // = 48 h
+      (3L, "2024-01-01 00:00:00", 2L, "view", 0.0, """{"k": 6}"""),
+      (4L, "2024-01-03 00:00:01", 2L, "purchase", 1.0, """{"k": 9}"""))) // 48 h + 1 s
+    val got = Funnel.lastTouchAttribution(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(4L -> 1L, -1L -> 1L))
+  }
+
+  test("lastTouchAttribution is repartition-stable on real events") {
+    val ev = graft.queries.Reference.events(spark, "/root/testdata/sf0.001")
+    val a = Funnel.lastTouchAttribution(ev).collect().toSeq
+    val b = Funnel.lastTouchAttribution(ev.repartition(17)).collect().toSeq
+    assert(a.nonEmpty && a == b)
+    // every purchase is counted exactly once across channels
+    val purchases = ev.where(org.apache.spark.sql.functions.col("event_type") === "purchase").count()
+    assert(a.map(_.getLong(1)).sum == purchases)
+  }
 }

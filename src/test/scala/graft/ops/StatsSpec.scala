@@ -417,4 +417,114 @@ class StatsSpec extends AnyFunSuite {
     // point here is a well-formed, deterministic value, not a TPC-H shape
     assert(math.abs(a.head.getDouble(3)) <= 1.0, a.head.toString)
   }
+
+  /** In-memory tie-aware Spearman — the third voice spearman is pinned
+    * against: average ranks per tie group, then Pearson on the ranks.
+    */
+  private def spearmanRef(xs: Seq[Double], ys: Seq[Double]): Double = {
+    def avgRanks(v: Seq[Double]): Seq[Double] = {
+      val sorted = v.sorted
+      val rank = v.map { x =>
+        val lt = sorted.count(_ < x)
+        val eq = sorted.count(_ == x)
+        lt + (eq + 1) / 2.0
+      }
+      rank
+    }
+    val (rx, ry) = (avgRanks(xs), avgRanks(ys))
+    val n = xs.length.toDouble
+    val (sx, sy) = (rx.sum, ry.sum)
+    val sxx = rx.map(v => v * v).sum
+    val syy = ry.map(v => v * v).sum
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    BigDecimal((n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("spearman hits ±1 on monotone data and is invariant to monotone rescale") {
+    import spark.implicits._
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    // y = x³ is monotone but badly non-linear: Pearson < 1, Spearman = 1
+    val cubic = xs.map(x => (x, x * x * x)).toDF("x", "y")
+    val up = Stats.spearman(cubic, "x", "y").head()
+    assert((up.getString(0), up.getString(1), up.getLong(2), up.getDouble(3)) ==
+      (("x", "y", 5L, 1.0)))
+    val down = Stats.spearman(xs.map(x => (x, -x * x * x)).toDF("x", "y"), "x", "y")
+      .head()
+    assert(down.getDouble(3) == -1.0)
+  }
+
+  test("spearman matches the tie-aware reference on tied data") {
+    import spark.implicits._
+    val xs = Seq(1.0, 1.0, 2.0, 2.0, 3.0, 4.0, 4.0, 4.0)
+    val ys = Seq(2.0, 1.0, 2.0, 3.0, 3.0, 5.0, 4.0, 5.0)
+    val got = Stats.spearman(xs.zip(ys).toDF("x", "y"), "x", "y").head()
+    assert(got.getLong(2) == 8L)
+    assert(got.getDouble(3) == spearmanRef(xs, ys),
+      s"${got.getDouble(3)} vs ${spearmanRef(xs, ys)}")
+  }
+
+  test("spearman guards constants/nulls and is repartition-stable on lineitem") {
+    import spark.implicits._
+    val const = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "y")
+    assert(Stats.spearman(const, "x", "y").head().isNullAt(3))
+    val withNulls = Seq((Some(1.0), Some(1.0)), (Some(2.0), None),
+      (None, Some(3.0)), (Some(4.0), Some(4.0))).toDF("x", "y")
+    val r = Stats.spearman(withNulls, "x", "y").head()
+    assert(r.getLong(2) == 2L && r.getDouble(3) == 1.0) // pairwise-complete
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val a = Stats.spearman(li, "l_quantity", "l_extendedprice").collect().toSeq
+    val b = Stats.spearman(li.repartition(7), "l_quantity", "l_extendedprice")
+      .collect().toSeq
+    assert(a == b && math.abs(a.head.getDouble(3)) <= 1.0)
+  }
+
+  test("welchT matches the hand-computed statistic and flips sign with order") {
+    import spark.implicits._
+    val a = Seq(5.1, 5.4, 4.9, 5.6, 5.0)
+    val b = Seq(4.2, 4.8, 4.4, 4.1)
+    val df = (a.map(("t", _)) ++ b.map(("c", _)))
+      .toDF("grp", "v")
+    // replay the operator's exact association from the same fixed-point
+    // atoms, so the pin is bit-exact, not tolerance-based
+    def stats(v: Seq[Double]): (Double, Double, Double) = {
+      val atoms = v.map(x => math.round(x * 10000).toDouble)
+      val nd = v.size.toDouble
+      val (s, ss) = (atoms.sum, atoms.map(x => x * x).sum)
+      val mean = s / nd / 10000
+      val variance = (nd * ss - s * s) / (nd * (nd - 1.0)) / 1e8
+      (nd, mean, variance)
+    }
+    val (na, ma, va) = stats(a)
+    val (nb, mb, vb) = stats(b)
+    val se2 = va / na + vb / nb
+    val wantT = BigDecimal((ma - mb) / math.sqrt(se2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wantDf = BigDecimal(se2 * se2 /
+        ((va / na) * (va / na) / (na - 1.0) + (vb / nb) * (vb / nb) / (nb - 1.0)))
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = Stats.welchT(df, "v", "grp", "t", "c").head()
+    assert((r.getLong(2), r.getLong(3)) == ((5L, 4L)))
+    assert(r.getDouble(4) == 5.2 && r.getDouble(5) == 4.375, r.toString)
+    assert(r.getDouble(6) == wantT, s"${r.getDouble(6)} vs $wantT")
+    assert(r.getDouble(7) == wantDf, s"${r.getDouble(7)} vs $wantDf")
+    val flipped = Stats.welchT(df, "v", "grp", "c", "t").head()
+    assert(flipped.getDouble(6) == -r.getDouble(6))
+  }
+
+  test("welchT guards tiny groups and zero variance; stable on real events") {
+    import spark.implicits._
+    val tiny = Seq(("t", 1.0), ("c", 2.0), ("c", 3.0)).toDF("grp", "v")
+    val r = Stats.welchT(tiny, "v", "grp", "t", "c").head()
+    assert(r.getLong(2) == 1L && r.isNullAt(6) && r.isNullAt(7))
+    val flatBoth = Seq(("t", 2.0), ("t", 2.0), ("c", 2.0), ("c", 2.0))
+      .toDF("grp", "v")
+    assert(Stats.welchT(flatBoth, "v", "grp", "t", "c").head().isNullAt(6))
+    val ev = graft.queries.Reference.events(spark, "/root/testdata/sf0.001")
+    val x = Stats.welchT(ev, "value", "event_type", "view", "click").collect().toSeq
+    val y = Stats.welchT(ev.repartition(7), "value", "event_type", "view", "click")
+      .collect().toSeq
+    assert(x == y && x.head.getLong(2) > 0)
+  }
 }
