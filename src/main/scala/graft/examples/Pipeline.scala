@@ -339,6 +339,35 @@ object Pipeline {
         s"rrf top-3 $fused")
     }
 
+    // graph cohesion + inference layer: triangle support and Adamic–Adar
+    // over the near-dup pair graph, rank correlation, attribution, and a
+    // bootstrap error bar on the corpus mean
+    locally {
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val doubled = docs.unionAll(
+        docs.withColumn("doc_id", col("doc_id") + 100000L))
+      val pairs = graft.ext.Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8)
+      val tri = graft.ops.Triangles.triangleCounts(pairs)
+      val supported = tri.where(col("n_triangles") > 0).count()
+      val aa = graft.ops.Triangles.adamicAdar(pairs, includeExisting = true)
+        .orderBy(col("aa_score").desc).take(1)
+        .map(r => s"(${r.getLong(0)},${r.getLong(1)})=${r.getDouble(3)}")
+        .mkString
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val rho = graft.ops.Stats.spearman(li, "l_quantity", "l_extendedprice")
+        .head().getDouble(3)
+      val ev = graft.queries.Reference.events(spark, sfDir)
+      val attr = graft.ext.Funnel.lastTouchAttribution(ev)
+        .orderBy(col("n_conversions").desc).take(2)
+        .map(r => s"ch${r.getLong(0)}:${r.getLong(1)}").mkString(" ")
+      val ci = graft.ops.Stats.bootstrapMeanCi(docs, "n_chars", "doc_id",
+        b = 50).head()
+      println(s"[demo] graph+inference: triangle-supported=$supported docs; " +
+        s"top AA $aa; spearman(qty,price)=$rho; top channels $attr; " +
+        s"mean n_chars=${ci.getDouble(2)} ci=[${ci.getDouble(3)},${ci.getDouble(4)}]")
+    }
+
     Ddl.dropDatabaseCascade(spark, "demo_db")
     spark.stop()
     println("[demo] OK")

@@ -1973,11 +1973,43 @@ object ExtQueries {
     Some(graft.ops.Stats.welchTSql("events",
       "value", "event_type", "view", "click")))
 
+  // E-graph Adamic–Adar over the e11 pair graph, scoring EXISTING edges
+  // (edge-support strength — the e11 graph is clique-shaped, so the
+  // non-edge prediction set would be empty by construction; the
+  // candidate-recovery use over banding-lossy graphs is spec-pinned in
+  // TrianglesSpec). Common neighbors weighted by the fixed-point
+  // 1/ln(deg) terms; SQL GENERATED (Triangles.adamicAdarSql).
+  private val e99 = Q(
+    "e99_adamic_adar",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L))
+      // same df cap as e11 — inactive at verify scale, see e11's note
+      val pairs = Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8,
+        maxDocFreq = 1000)
+      graft.ops.Triangles.adamicAdar(pairs, "id_a", "id_b",
+        includeExisting = true)
+    },
+    Some(graft.ops.Triangles.adamicAdarSql(e94Edges, e94Prelude,
+      includeExisting = true)))
+
+  // E-stats Poisson-bootstrap CI for the mean document length — hash-
+  // derived Poisson(1) weights through 8 fixed inverse-CDF thresholds, so
+  // every replicate is a property of the data + salt; nearest-rank order
+  // statistics over the replicate means. SQL GENERATED
+  // (Stats.bootstrapMeanCiSql: same md5 noise, same threshold literals).
+  private val e100 = Q(
+    "e100_bootstrap_ci",
+    (s, dir) => graft.ops.Stats.bootstrapMeanCi(t(s, dir, "documents"),
+      "n_chars", "doc_id", b = 100),
+    Some(graft.ops.Stats.bootstrapMeanCiSql("documents",
+      "n_chars", "doc_id", b = 100)))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
     e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56,
     e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71,
     e72, e73, e74, e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86,
-    e87, e88, e89, e90, e91, e92, e93, e94, e95, e96, e97, e98)
+    e87, e88, e89, e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100)
 }

@@ -1174,6 +1174,150 @@ object Stats {
       when(ok, round(dfW, 2)).as("df"))
   }
 
+  /** Cumulative Poisson(1) probabilities for k = 0..7 (the inverse-CDF
+    * thresholds of the bootstrap weights). Computed once in Scala and
+    * embedded as the SAME double literals in the Spark plan and the
+    * generated SQL, so both engines bucket identically.
+    */
+  private val PoissonCum: Seq[Double] = {
+    val probs = (0 to 7).scanLeft(math.exp(-1.0)) { (p, k) => p / (k + 1) }
+    probs.take(8).scanLeft(0.0)(_ + _).tail
+  }
+
+  /** Poisson-bootstrap confidence interval for the mean — error bars on a
+    * corpus-level metric (mean quality score, mean doc length) without
+    * distributional assumptions. One row:
+    * `(n, b, mean, ci_lo, ci_hi)` — the exact overall mean plus the
+    * [α/2, 1−α/2] percentile interval over `b` bootstrap replicate means,
+    * all 6dp.
+    *
+    * Why Poisson: classical bootstrap resampling (draw n rows with
+    * replacement) needs global coordination; the Poisson approximation
+    * gives every row an independent per-replicate weight w ~ Poisson(1)
+    * (Chamandy et al. 2012, "Estimating uncertainty for massive data
+    * streams" — the standard distributed bootstrap), so the whole
+    * procedure is one explode + one aggregate, embarrassingly parallel.
+    *
+    * Determinism: the weight is hash-derived — u = (md5(salt ∥ id ∥ ':' ∥
+    * rep) first 4 hex + ½) / 2¹⁶ (the [[graft.ops.Splits.hashBucket]] /
+    * gumbelE4 noise convention) pushed through the Poisson(1) inverse CDF
+    * (8 fixed thresholds, tail capped at 8, P(k>8) ≈ 10⁻⁶ — below the
+    * 2⁻¹⁶ noise grid anyway) — so every replicate is a property of the
+    * DATA + salt, reproducible on any engine/partitioning. Replicate
+    * means divide exact fixed-point sums once; the order statistics use
+    * nearest-rank indices ⌈b·α/2⌉ / ⌈b·(1−α/2)⌉ over the totally ordered
+    * (mean, rep) list.
+    *
+    * Scale: the exploded frame is corpus × b rows but reduces in ONE hash
+    * aggregate with map-side partials to b rows; the overall mean adds a
+    * second plain scan (≈ 1/b of the explode cost). Cost is linear in b —
+    * b = 100..200 is the published sweet spot.
+    */
+  def bootstrapMeanCi(df: DataFrame, valueCol: String, idCol: String,
+      b: Int = 100, alpha: Double = 0.05, salt: String = "boot"): DataFrame = {
+    require(b >= 10 && b <= 10000, s"b replicates in [10, 10000], got $b")
+    require(alpha > 0 && alpha < 0.5, s"alpha in (0, 0.5), got $alpha")
+    val rows = df
+      .where(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(fx(col(valueCol)).as("atom"), col(idCol).cast("string").as("id"))
+    val u = (conv(substring(md5(concat(lit(salt), col("id"), lit(":"),
+      col("rep").cast("string"))), 1, 4), 16, 10).cast("double") + 0.5) / 65536.0
+    val w = PoissonCum.zipWithIndex.foldRight(lit(8L)) {
+      case ((p, k), acc) => when(col("u") < p, k.toLong).otherwise(acc)
+    }
+    val means = rows
+      .withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("u", u)
+      .groupBy(col("rep"))
+      .agg(sum(w).as("n_eff"),
+        sum(w.cast("decimal(19,0)") * col("atom")).as("s"))
+      .where(col("n_eff") > 0)
+      .select(col("rep"),
+        (col("s").cast("double") / lit(Scale.toDouble)
+          / col("n_eff").cast("double")).as("mean_rep"))
+    val wn = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_rep"), col("rep"))
+    val ranked = means
+      .withColumn("rn", row_number().over(wn))
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val loIdx = greatest(lit(1L), ceil(col("cnt") * lit(alpha / 2)).cast("long"))
+    val hiIdx = least(col("cnt"), ceil(col("cnt") * lit(1 - alpha / 2)).cast("long"))
+    val ci = ranked.agg(
+      max(col("cnt")).as("b"),
+      min(when(col("rn") === loIdx, col("mean_rep"))).as("lo"),
+      min(when(col("rn") === hiIdx, col("mean_rep"))).as("hi"))
+    val tot = rows.agg(count(lit(1)).as("n"), sum(col("atom")).as("sa"))
+    tot.crossJoin(broadcast(ci)).select(
+      col("n"), col("b"),
+      when(col("n") > 0, round(col("sa").cast("double") / lit(Scale.toDouble)
+        / col("n").cast("double"), 6)).as("mean"),
+      round(col("lo"), 6).as("ci_lo"),
+      round(col("hi"), 6).as("ci_hi"))
+  }
+
+  /** The e13-convention hex→int ladder for DuckDB (no conv() there):
+    * first 4 hex chars of `m` as a 16-bit integer.
+    */
+  private def hex4Sql(m: String): String =
+    s"""((((strpos('0123456789abcdef', substr($m,1,1)) - 1) * 16
+       |      + (strpos('0123456789abcdef', substr($m,2,1)) - 1)) * 16
+       |      + (strpos('0123456789abcdef', substr($m,3,1)) - 1)) * 16
+       |      + (strpos('0123456789abcdef', substr($m,4,1)) - 1))""".stripMargin
+
+  /** DuckDB mirror of [[bootstrapMeanCi]] — generated: same md5 noise,
+    * same Poisson thresholds (the identical double literals), same
+    * nearest-rank order statistics.
+    */
+  def bootstrapMeanCiSql(table: String, valueCol: String, idCol: String,
+      b: Int = 100, alpha: Double = 0.05, salt: String = "boot"): String = {
+    val wCase = PoissonCum.zipWithIndex
+      .map { case (p, k) => s"WHEN u < $p THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+    s"""WITH rows_in AS (
+       |  SELECT ${fxSql(valueCol)} AS atom, CAST($idCol AS VARCHAR) AS id
+       |  FROM $table
+       |  WHERE $valueCol IS NOT NULL AND $idCol IS NOT NULL
+       |), expl AS (
+       |  SELECT atom, id, CAST(r.i AS BIGINT) AS rep
+       |  FROM rows_in, (SELECT unnest(range($b)) AS i) r
+       |), wts AS (
+       |  SELECT atom, rep,
+       |    CAST($wCase AS BIGINT) AS w
+       |  FROM (
+       |    SELECT atom, rep,
+       |      (CAST(${hex4Sql(s"md5('${salt.replace("'", "''")}' || id || ':' || CAST(rep AS VARCHAR))")} AS DOUBLE) + 0.5) / 65536.0 AS u
+       |    FROM expl
+       |  )
+       |), means AS (
+       |  SELECT rep,
+       |    CAST(SUM(CAST(w AS DECIMAL(19,0)) * atom) AS DOUBLE) / ${Scale}.0
+       |      / CAST(SUM(w) AS DOUBLE) AS mean_rep
+       |  FROM wts GROUP BY rep HAVING SUM(w) > 0
+       |), ranked AS (
+       |  SELECT mean_rep,
+       |    row_number() OVER (ORDER BY mean_rep, rep) AS rn,
+       |    COUNT(*) OVER () AS cnt
+       |  FROM means
+       |), ci AS (
+       |  SELECT MAX(cnt) AS b,
+       |    MIN(CASE WHEN rn = greatest(1, CAST(ceiling(cnt * ${alpha / 2}) AS BIGINT))
+       |             THEN mean_rep END) AS lo,
+       |    MIN(CASE WHEN rn = least(cnt, CAST(ceiling(cnt * ${1 - alpha / 2}) AS BIGINT))
+       |             THEN mean_rep END) AS hi
+       |  FROM ranked
+       |), tot AS (
+       |  SELECT COUNT(*) AS n, SUM(atom) AS sa FROM rows_in
+       |)
+       |SELECT n, b,
+       |  CASE WHEN n > 0 THEN
+       |    round(CAST(sa AS DOUBLE) / ${Scale}.0 / CAST(n AS DOUBLE), 6)
+       |  END AS mean,
+       |  round(lo, 6) AS ci_lo,
+       |  round(hi, 6) AS ci_hi
+       |FROM tot CROSS JOIN ci""".stripMargin
+  }
+
   /** DuckDB mirror of [[welchT]] — generated; same fixed-point atoms, same
     * associations, same guards.
     */

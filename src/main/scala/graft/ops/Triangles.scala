@@ -114,4 +114,112 @@ object Triangles {
        |FROM deg LEFT JOIN credit USING (id)
        |ORDER BY id""".stripMargin
   }
+
+  /** Adamic–Adar link prediction over the same undirected graph: for every
+    * non-adjacent vertex pair with ≥1 common neighbor, AA(u,v) =
+    * Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w) — common neighbors weighted inversely
+    * by how promiscuous they are (a shared degree-2 neighbor is strong
+    * evidence; a shared hub is nearly none). In the dedup pipeline this is
+    * the candidate-recovery diagnostic: a high-AA non-edge inside a dup
+    * cluster is a pair the banding missed (LSH recall is probabilistic) —
+    * exactly the pairs worth re-verifying. `includeExisting = true` scores
+    * already-connected pairs instead (edge-support strength).
+    *
+    * Shape: one wedge self-join on the middle vertex (the triangle join's
+    * first hop) + one pair aggregate (+ one anti-join against the edge
+    * list when excluding existing edges). The wedge fan-out is Σ deg(w)²;
+    * `maxDegree` drops middles above the cap — the standard AA guard: a
+    * super-hub contributes ≈ 1/ln(huge) ≈ nothing to the score but deg²
+    * to the cost. The cap is on the MIDDLE role only; capped vertices
+    * still appear as endpoints.
+    *
+    * Determinism: per-wedge terms are `round(10⁶/ln(deg w))` longs (the
+    * repo's ln fixed-point discipline), summed exactly; one final division
+    * + 4dp round. Output `(id_a, id_b, n_common, aa_score)` with
+    * id_a < id_b, totally ordered.
+    */
+  def adamicAdar(edges: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxDegree: Long = 1000L,
+      includeExisting: Boolean = false): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be ≥ 2, got $maxDegree")
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .where(col("lo") =!= col("hi") && col("lo").isNotNull)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // consumers: deg, both wedge sides, the existing-edge anti-join —
+    // cache-lifetime convention (see Drift's scaladoc)
+    val deg = und.select(col("lo").as("id"))
+      .unionAll(und.select(col("hi").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val adjW = und.select(col("lo").as("w"), col("hi").as("nbr"))
+      .unionAll(und.select(col("hi").as("w"), col("lo").as("nbr")))
+      .join(deg.select(col("id").as("w"), col("d")), "w")
+      // d ≥ 2: a leaf can't be a wedge middle, and its 1/ln(1) term would
+      // be Infinity (ANSI long cast error) if the projection ever ran
+      .where(col("d") >= 2 && col("d") <= maxDegree)
+      .select(col("w"), col("nbr"),
+        round(lit(1000000.0) / log(col("d").cast("double")), 0)
+          .cast("long").as("term"))
+    val l = adjW.select(col("w"), col("nbr").as("u"), col("term"))
+    val r = adjW.select(col("w"), col("nbr").as("v"))
+    val pairs = l.join(r, "w").where(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"), sum(col("term")).as("s"))
+    val kept =
+      if (includeExisting) pairs
+      else pairs.join(und,
+        pairs("u") === und("lo") && pairs("v") === und("hi"), "left_anti")
+    kept.select(col("u").as("id_a"), col("v").as("id_b"), col("n_common"),
+        round(col("s").cast("double") / lit(1000000.0), 4).as("aa_score"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** DuckDB mirror of [[adamicAdar]] — generated; same orientation-free
+    * wedge join, same fixed-point terms, same anti-join. `edgesSql` /
+    * `prelude` as in [[triangleCountsSql]].
+    */
+  def adamicAdarSql(edgesSql: String, prelude: String = "",
+      maxDegree: Long = 1000L, includeExisting: Boolean = false): String = {
+    val pre = if (prelude.isEmpty) "" else s"$prelude "
+    val anti =
+      if (includeExisting) ""
+      else
+        """
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM und WHERE und.lo = p.u AND und.hi = p.v
+          |)""".stripMargin
+    s"""WITH ${pre}pairs_in AS (
+       |$edgesSql
+       |), und AS (
+       |  SELECT DISTINCT least(id_a, id_b) AS lo, greatest(id_a, id_b) AS hi
+       |  FROM pairs_in
+       |  WHERE least(id_a, id_b) IS NOT NULL
+       |    AND least(id_a, id_b) <> greatest(id_a, id_b)
+       |), deg AS (
+       |  SELECT id, COUNT(*) AS d FROM (
+       |    SELECT lo AS id FROM und UNION ALL SELECT hi FROM und
+       |  ) GROUP BY 1
+       |), adjw AS (
+       |  SELECT a.w, a.nbr,
+       |    CAST(round(1000000.0 / ln(CAST(deg.d AS DOUBLE)), 0) AS BIGINT)
+       |      AS term
+       |  FROM (
+       |    SELECT lo AS w, hi AS nbr FROM und
+       |    UNION ALL SELECT hi, lo FROM und
+       |  ) a JOIN deg ON deg.id = a.w
+       |  WHERE deg.d >= 2 AND deg.d <= $maxDegree
+       |), p AS (
+       |  SELECT l.nbr AS u, r.nbr AS v, COUNT(*) AS n_common,
+       |    CAST(SUM(l.term) AS BIGINT) AS s
+       |  FROM adjw l JOIN adjw r ON l.w = r.w
+       |  WHERE l.nbr < r.nbr
+       |  GROUP BY 1, 2
+       |)
+       |SELECT u AS id_a, v AS id_b, n_common,
+       |  round(CAST(s AS DOUBLE) / 1000000.0, 4) AS aa_score
+       |FROM p$anti
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 }

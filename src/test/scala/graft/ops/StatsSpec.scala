@@ -527,4 +527,40 @@ class StatsSpec extends AnyFunSuite {
       .collect().toSeq
     assert(x == y && x.head.getLong(2) > 0)
   }
+
+  test("bootstrapMeanCi collapses on constant data and brackets a real mean") {
+    import spark.implicits._
+    // constant column: every replicate mean is exactly the constant
+    val const = (1L to 50L).map(i => (i, 7.5)).toDF("id", "v")
+    val c = Stats.bootstrapMeanCi(const, "v", "id", b = 20).head()
+    assert(c.getLong(0) == 50L && c.getLong(1) == 20L)
+    assert(c.getDouble(2) == 7.5 && c.getDouble(3) == 7.5 && c.getDouble(4) == 7.5)
+    // spread data: lo < mean < hi, interval inside the data range
+    val spread = (1L to 200L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val r = Stats.bootstrapMeanCi(spread, "v", "id", b = 100).head()
+    assert(r.getDouble(2) == 100.5)
+    assert(r.getDouble(3) < 100.5 && 100.5 < r.getDouble(4),
+      s"CI [${r.getDouble(3)}, ${r.getDouble(4)}] should bracket 100.5")
+    assert(r.getDouble(3) > 1.0 && r.getDouble(4) < 200.0)
+  }
+
+  test("bootstrapMeanCi is a property of data + salt, not partitioning") {
+    import spark.implicits._
+    val df = (1L to 120L).map(i => (i, (i % 13).toDouble)).toDF("id", "v")
+    val a = Stats.bootstrapMeanCi(df, "v", "id").collect().toSeq
+    val b = Stats.bootstrapMeanCi(df.repartition(11), "v", "id").collect().toSeq
+    assert(a == b)
+    // a different salt rotates the replicates (the interval moves)
+    val s2 = Stats.bootstrapMeanCi(df, "v", "id", salt = "boot2").head()
+    assert((s2.getDouble(3), s2.getDouble(4)) !=
+      ((a.head.getDouble(3), a.head.getDouble(4))))
+    // …but the exact mean never does
+    assert(s2.getDouble(2) == a.head.getDouble(2))
+    intercept[IllegalArgumentException] {
+      Stats.bootstrapMeanCi(df, "v", "id", b = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Stats.bootstrapMeanCi(df, "v", "id", alpha = 0.7)
+    }
+  }
 }

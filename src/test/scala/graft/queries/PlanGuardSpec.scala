@@ -31,7 +31,8 @@ class PlanGuardSpec extends AnyFunSuite {
   // e77: the one-row margin-entropy/total frames; e79: the one-row
   // distinct-user total; e82: the |labels|-row centroid frame, as e68;
   // e85: the one-row OLS-fit and holdout-MAPE frames cross-joined onto the
-  // calendar-bounded daily spine)
+  // calendar-bounded daily spine; e100: the one-row exact-total frame
+  // cross-joined with the one-row CI frame)
   private val bnljByDesign =
     Set("e02_cosine_topk", "e15_decontam", "e17_bm25", "e18_editdist",
       "e29_lm_score", "e30_dsir_select", "e33_pmi_bigrams", "e35_source_kl",
@@ -40,7 +41,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "e60_benford", "e63_source_jsd", "e64_rrf_hybrid", "e65_mixture_plan",
       "e67_cohen_kappa", "e68_centroid_eval", "e71_calibration",
       "e73_ks_test", "e75_vocab_overlap", "e76_log_odds", "e77_mutual_info",
-      "e79_assoc_rules", "e82_silhouette", "e85_forecast_eval")
+      "e79_assoc_rules", "e82_silhouette", "e85_forecast_eval",
+      "e100_bootstrap_ci")
 
   test("no declared query plans a CartesianProduct; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
