@@ -2005,11 +2005,75 @@ object ExtQueries {
     Some(graft.ops.Stats.bootstrapMeanCiSql("documents",
       "n_chars", "doc_id", b = 100)))
 
+  // E-join interval×interval overlap under the hash oracle: user sessions
+  // (the e32 gaps-and-islands intervals) overlap-joined against 60 fixed
+  // half-day "campaign flight" windows via AsOfJoin.intervalOverlapBinned
+  // (bin equi-join; a pair emits only in its overlap's FIRST bin, so no
+  // distinct pass) while DuckDB runs the plain inequality join the
+  // operator replaces. Output is flight-level concurrency: sessions
+  // touched + total overlap microseconds (exact longs). The flight spine
+  // keeps output LINEAR in sessions — session×session pair analysis is
+  // the spec'd generic form (AsOfJoinSpec), quadratic in concurrency by
+  // its own semantics.
+  private val e101Base = 1704067200000000L // 2024-01-01T00:00:00Z in µs
+  private val e101HalfDay = 43200000000L
+  private val e101 = Q(
+    "e101_session_overlap",
+    (s, dir) => {
+      val sess = graft.streaming.EventStream.sessionizeBatch(
+          graft.queries.Reference.events(s, dir))
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("s_us"),
+          unix_micros(col("session_end")).as("e_us"))
+      val flights = s.range(0, 60).select(col("id").as("flight"),
+        (lit(e101Base) + col("id") * e101HalfDay).as("f_start"),
+        (lit(e101Base) + (col("id") + lit(1L)) * e101HalfDay).as("f_end"))
+      graft.ops.AsOfJoin.intervalOverlapBinned(flights, sess,
+          "f_start", "f_end", "s_us", "e_us", binWidth = e101HalfDay)
+        .groupBy(col("flight"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(least(col("f_end"), col("e_us")) -
+            greatest(col("f_start"), col("s_us"))).as("overlap_us"))
+        .orderBy(col("flight"))
+    },
+    Some(
+      s"""WITH lagged AS (
+         |  SELECT user_id, ts, event_id,
+         |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         |  FROM events
+         |), flagged AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM lagged
+         |), isl AS (
+         |  SELECT user_id, ts,
+         |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM flagged
+         |), sess AS (
+         |  SELECT user_id, MIN(epoch_us(ts)) AS s_us,
+         |    MAX(epoch_us(ts)) + 1800000000 AS e_us
+         |  FROM isl GROUP BY user_id, sid
+         |), flights AS (
+         |  SELECT CAST(i AS BIGINT) AS flight,
+         |    $e101Base + CAST(i AS BIGINT) * $e101HalfDay AS f_start,
+         |    $e101Base + (CAST(i AS BIGINT) + 1) * $e101HalfDay AS f_end
+         |  FROM (SELECT unnest(range(60)) AS i)
+         |)
+         |SELECT flight, COUNT(*) AS n_sessions,
+         |  CAST(SUM(least(f_end, e_us) - greatest(f_start, s_us)) AS BIGINT)
+         |    AS overlap_us
+         |FROM flights f JOIN sess s ON f.f_start < s.e_us AND s.s_us < f.f_end
+         |GROUP BY 1
+         |ORDER BY flight""".stripMargin))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
     e42, e43, e44, e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56,
     e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71,
     e72, e73, e74, e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86,
-    e87, e88, e89, e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100)
+    e87, e88, e89, e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100,
+    e101)
 }

@@ -129,6 +129,44 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-stream interval join: every `conversions` row enriched with ALL
+    * `touches` rows for the same user inside the trailing window
+    * (`touch.ts ∈ [conv.ts − window, conv.ts]`) — the multi-touch
+    * companion to the as-of join's latest-only semantics (e90/e97), and
+    * the remaining Structured Streaming join shape the library exercises:
+    * stream⋈stream with an event-time range condition.
+    *
+    * Streaming semantics: BOTH sides carry watermarks; the range condition
+    * plus the watermark bound the join state — touch rows are evicted once
+    * the conversion-side watermark passes `touch.ts + window` (Spark
+    * derives the state horizon from the time-range predicate; without the
+    * range condition stream-stream state grows forever). On batch inputs
+    * the same code is a plain equi+range join, so the streaming result is
+    * pinned ≡ batch in EventStreamSpec.
+    *
+    * Inputs must both have `user_id` and `ts`; `touches` columns are
+    * prefixed `t_` in the output (its `user_id` dropped, its ts as
+    * `t_ts`).
+    */
+  def enrichWithinWindow(conversions: DataFrame, touches: DataFrame,
+      windowSeconds: Long, watermarkDelay: String = "2 hours"): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds must be positive: $windowSeconds")
+    val conv =
+      if (conversions.isStreaming) conversions.withWatermark("ts", watermarkDelay)
+      else conversions
+    val tRenamed = touches.columns.foldLeft(touches) { (df, c) =>
+      if (c == "user_id") df else df.withColumnRenamed(c, s"t_$c")
+    }
+    val tch =
+      if (tRenamed.isStreaming) tRenamed.withWatermark("t_ts", watermarkDelay)
+      else tRenamed
+    conv.join(tch,
+      conv("user_id") === tch("user_id") &&
+        col("t_ts") >= col("ts") - expr(s"INTERVAL $windowSeconds seconds") &&
+        col("t_ts") <= col("ts"),
+      "inner").drop(tch("user_id"))
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionization ----
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -92,4 +92,34 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(binned.exceptAll(naive).count() == 0)
     assert(naive.exceptAll(binned).count() == 0)
   }
+
+  test("intervalOverlapBinned equals the naive theta join, exactly once per pair") {
+    import spark.implicits._
+    // spans crossing many bins, nested, touching, and disjoint intervals
+    val left = Seq(
+      (1L, 0L, 1000L), (2L, 100L, 110L), (3L, 500L, 505L), (4L, 2000L, 2100L))
+      .toDF("lid", "ls", "le")
+    val right = Seq(
+      (10L, 50L, 600L), (11L, 990L, 1500L), (12L, 1000L, 1100L),
+      (13L, 109L, 2050L), (14L, 3000L, 3001L))
+      .toDF("rid", "rs", "re")
+    val naive = left.crossJoin(right)
+      .where(col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid")
+    for (w <- Seq(16L, 64L, 1024L)) {
+      val binned = AsOfJoin.intervalOverlapBinned(
+        left, right, "ls", "le", "rs", "re", binWidth = w).select("lid", "rid")
+      // exceptAll both ways + count: same MULTISET, so a pair crossing
+      // several shared bins was emitted exactly once
+      assert(binned.count() == naive.count(), s"binWidth=$w")
+      assert(binned.exceptAll(naive).count() == 0, s"binWidth=$w")
+      assert(naive.exceptAll(binned).count() == 0, s"binWidth=$w")
+    }
+    // half-open: touching intervals [0,1000) and [1000,1100) do NOT overlap
+    assert(naive.where(col("lid") === 1L && col("rid") === 12L).count() == 0)
+    // column-collision guard
+    intercept[IllegalArgumentException] {
+      AsOfJoin.intervalOverlapBinned(left, left, "ls", "le", "ls", "le", 16L)
+    }
+  }
 }

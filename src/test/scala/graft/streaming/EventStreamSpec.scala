@@ -297,4 +297,42 @@ class EventStreamSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
+
+  test("enrichWithinWindow: stream-stream range join ≡ the batch join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, ts: String, user: Long, v: Double) =
+      EventStream.Event(id, java.sql.Timestamp.valueOf(ts), user, "t", v)
+    val touches = Seq(
+      ev(1, "2024-01-01 09:30:00", 1, 1.0), // inside the 1 h window
+      ev(2, "2024-01-01 09:59:00", 1, 2.0), // inside
+      ev(3, "2024-01-01 08:59:59", 1, 3.0), // 1 s too old
+      ev(4, "2024-01-01 10:00:01", 1, 4.0), // after the conversion
+      ev(5, "2024-01-01 09:45:00", 2, 5.0)) // other user
+    val convs = Seq(ev(100, "2024-01-01 10:00:00", 1, 0.0))
+    // batch twin (same code path, plain join)
+    val batch = EventStream.enrichWithinWindow(
+        convs.toDF(), touches.toDF(), windowSeconds = 3600)
+      .select(col("event_id"), col("t_event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == Set((100L, 1L), (100L, 2L)))
+    // streaming twin: both sides MemoryStreams
+    val msT = MemoryStream[EventStream.Event]
+    val msC = MemoryStream[EventStream.Event]
+    val out = EventStream.enrichWithinWindow(
+      msC.toDS().toDF(), msT.toDS().toDF(), windowSeconds = 3600,
+      watermarkDelay = "0 seconds")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("enrich_within").start()
+    try {
+      msT.addData(touches: _*)
+      msC.addData(convs: _*)
+      q.processAllAvailable()
+      val got = spark.table("enrich_within")
+        .select(col("event_id"), col("t_event_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
 }
