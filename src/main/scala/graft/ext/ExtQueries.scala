@@ -2068,6 +2068,36 @@ object ExtQueries {
          |GROUP BY 1
          |ORDER BY flight""".stripMargin))
 
+  // E-norm per-group z-score (population σ from exact fixed-point moments,
+  // broadcast back, zero-shuffle projection) — grouped feature scaling
+  // under the hash oracle. ORDER BY spans every output column (the q01
+  // total-order lesson). SQL GENERATED (Normalize.zScoreBySql).
+  private val e102 = Q(
+    "e102_zscore_by",
+    (s, dir) =>
+      graft.ops.Normalize.zScoreBy(tp(s, dir, "lineitem"),
+          "l_extendedprice", "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice"), col("l_extendedprice_z"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice"), col("l_extendedprice_z")),
+    Some(
+      s"""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+         |  l_extendedprice_z
+         |FROM (
+         |${graft.ops.Normalize.zScoreBySql("lineitem", "l_extendedprice", "l_returnflag")}
+         |)
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin))
+
+  // E-norm median/MAD robust outlier report (two exact-percentile passes,
+  // 4dp portable contract, strict-> flag) — the heavy-tail-safe companion
+  // to e102's z-scores. SQL GENERATED (Normalize.madOutliersSql).
+  private val e103 = Q(
+    "e103_mad_outliers",
+    (s, dir) => graft.ops.Normalize.madOutliers(t(s, dir, "orders"),
+      "o_totalprice"),
+    Some(graft.ops.Normalize.madOutliersSql("orders", "o_totalprice")))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
@@ -2075,5 +2105,5 @@ object ExtQueries {
     e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71,
     e72, e73, e74, e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86,
     e87, e88, e89, e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100,
-    e101)
+    e101, e102, e103)
 }

@@ -111,4 +111,125 @@ object Normalize {
        |  ELSE CAST($sumTerms AS INTEGER) END AS ${valueCol}_bucket
        |FROM $table t CROSS JOIN cuts""".stripMargin
   }
+
+  /** Per-group z-score normalization: append `{valueCol}_z` =
+    * `(x − mean_g) / σ_g` (population σ), 4dp — THE feature-scaling
+    * primitive for grouped data (normalize quality scores within each
+    * source, latencies within each tenant) where a global z would let the
+    * biggest group define "normal" for everyone.
+    *
+    * Shape: ONE moment aggregate reduces the corpus to |groups| rows of
+    * exact 10⁴-fixed-point integers (the Stats/corrMatrix discipline —
+    * mean and σ are computed once per group on doubles cast from exactly-
+    * agreed atoms in a fixed association); the group frame joins back as a
+    * broadcast when it fits (AQE decides), and the z itself is a
+    * zero-shuffle codegen'd row projection. Null values and zero-variance
+    * groups yield null z.
+    */
+  def zScoreBy(df: DataFrame, valueCol: String, byCol: String): DataFrame = {
+    def fx(c: org.apache.spark.sql.Column) =
+      round(c * 10000, 0).cast("decimal(19,0)")
+    val g = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(col(byCol).as("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(fx(col(valueCol))).as("__s"),
+        sum(fx(col(valueCol)) * fx(col(valueCol)))
+          .as("__ss"))
+    val nd = col("__n").cast("double")
+    val sd = col("__s").cast("double")
+    val ssd = col("__ss").cast("double")
+    val mean = sd / nd / 10000
+    val variance = (nd * ssd - sd * sd) / (nd * nd) / 1e8
+    val stats = g.select(col("__g"), mean.as("__m"),
+      when(variance > 0.0, sqrt(variance)).as("__sd"))
+    df.join(stats, df(byCol) === stats("__g"), "left")
+      .withColumn(s"${valueCol}_z",
+        when(col(valueCol).isNotNull && col("__sd").isNotNull,
+          round((col(valueCol) - col("__m")) / col("__sd"), 4)))
+      .drop("__g", "__m", "__sd")
+  }
+
+  /** DuckDB mirror of [[zScoreBy]] — generated; same fixed-point atoms,
+    * same associations, same guards.
+    */
+  def zScoreBySql(table: String, valueCol: String, byCol: String): String = {
+    val a = s"CAST(round($valueCol * 10000, 0) AS DECIMAL(19,0))"
+    s"""WITH g AS (
+       |  SELECT $byCol AS grp, COUNT(*) AS n,
+       |    CAST(SUM($a) AS DOUBLE) AS s,
+       |    CAST(SUM($a * $a) AS DOUBLE) AS ss
+       |  FROM $table WHERE $valueCol IS NOT NULL GROUP BY 1
+       |), st AS (
+       |  SELECT grp, s / CAST(n AS DOUBLE) / 10000 AS m,
+       |    CASE WHEN (CAST(n AS DOUBLE) * ss - s * s)
+       |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e8 > 0
+       |         THEN sqrt((CAST(n AS DOUBLE) * ss - s * s)
+       |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e8)
+       |    END AS sd
+       |  FROM g
+       |)
+       |SELECT t.*,
+       |  CASE WHEN $valueCol IS NOT NULL AND sd IS NOT NULL
+       |       THEN round(($valueCol - m) / sd, 4) END AS ${valueCol}_z
+       |FROM $table t LEFT JOIN st ON t.$byCol = st.grp""".stripMargin
+  }
+
+  /** Robust outlier report via median/MAD — the heavy-tail-safe companion
+    * to z-scores (mean/σ are themselves dragged by the outliers they're
+    * meant to find; the median absolute deviation is 50%-breakdown
+    * robust). One row: `(n, median, mad, n_outliers)` where an outlier is
+    * `|x − median| > k · mad` (k ≈ 3 is the classic Hampel cut at ~4.5σ
+    * for normal data). Median and MAD are 4dp-rounded — the e10 portable
+    * percentile contract — so the flag comparison is engine-exact.
+    *
+    * Degenerate data (≥50% of values identical → mad = 0) flags EVERY
+    * deviating row, the standard MAD caveat — winsorize or widen k there.
+    *
+    * Two percentile passes by construction (MAD is a median OF deviations
+    * from the median); `exact=false` swaps both onto the mergeable GK
+    * sketch for the 100 TB path (same switch as [[winsorize]]).
+    */
+  def madOutliers(df: DataFrame, valueCol: String, k: Double = 3.0,
+      exact: Boolean = true, knownRows: Long = -1L): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val medF =
+      if (exact) graft.ext.Percentiles.exact(df, Seq(valueCol -> Seq(0.5)),
+        knownRows = knownRows)
+      else graft.ext.Percentiles.approx(df, Seq(valueCol -> Seq(0.5)))
+    val med = medF.select(
+      round(element_at(col(s"${valueCol}_pcts"), 1), 4).as("__med"))
+    val dev = df.crossJoin(broadcast(med))
+      .where(col(valueCol).isNotNull)
+      .select(col("__med"), abs(col(valueCol) - col("__med")).as("__dev"))
+    val madF =
+      if (exact) graft.ext.Percentiles.exact(dev, Seq("__dev" -> Seq(0.5)),
+        knownRows = knownRows)
+      else graft.ext.Percentiles.approx(dev, Seq("__dev" -> Seq(0.5)))
+    val mad = madF.select(round(element_at(col("__dev_pcts"), 1), 4).as("__mad"))
+    dev.crossJoin(broadcast(mad))
+      .agg(count(lit(1)).as("n"),
+        min(col("__med")).as("median"),
+        min(col("__mad")).as("mad"),
+        sum(when(col("__dev") > lit(k) * col("__mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  /** DuckDB mirror of [[madOutliers]] — generated; same 4dp median/MAD
+    * contract, same strict-`>` flag.
+    */
+  def madOutliersSql(table: String, valueCol: String, k: Double = 3.0): String =
+    s"""WITH med AS (
+       |  SELECT round(quantile_cont($valueCol, 0.5), 4) AS med FROM $table
+       |), dev AS (
+       |  SELECT med, abs($valueCol - med) AS d
+       |  FROM $table CROSS JOIN med
+       |  WHERE $valueCol IS NOT NULL
+       |), mad AS (
+       |  SELECT round(quantile_cont(d, 0.5), 4) AS mad FROM dev
+       |)
+       |SELECT COUNT(*) AS n, MIN(med) AS median, MIN(mad) AS mad,
+       |  CAST(SUM(CASE WHEN d > $k * mad THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_outliers
+       |FROM dev CROSS JOIN mad""".stripMargin
 }

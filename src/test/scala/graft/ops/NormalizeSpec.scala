@@ -72,4 +72,59 @@ class NormalizeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Normalize.winsorize(df, "v", 0.9, 0.1))
     intercept[IllegalArgumentException](Normalize.winsorize(df, "v", -0.1, 0.5))
   }
+
+  test("zScoreBy normalizes within each group and guards degenerate cases") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0),       // mean 2, popσ = √(2/3)
+      ("b", 10.0), ("b", 30.0),                 // mean 20, popσ = 10
+      ("c", 5.0), ("c", 5.0))                   // zero variance → null z
+      .toDF("g", "v")
+      .unionByName(Seq(("d", Option.empty[Double])).toDF("g", "v"))
+    val got = Normalize.zScoreBy(df, "v", "g").collect()
+      .map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double])) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    def want(x: Double, m: Double, sd: Double): Double =
+      BigDecimal((x - m) / sd).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sdA = math.sqrt(2.0 / 3.0)
+    assert(got(("a", Some(1.0))) == Some(want(1.0, 2.0, sdA)))
+    assert(got(("a", Some(2.0))) == Some(0.0))
+    assert(got(("b", Some(10.0))) == Some(-1.0))
+    assert(got(("b", Some(30.0))) == Some(1.0))
+    assert(got(("c", Some(5.0))).isEmpty)  // zero variance
+    assert(got(("d", None)).isEmpty)       // null value
+    // per-group means: the z of each group sums to ~0
+    val grouped = Normalize.zScoreBy(df, "v", "g")
+    val sums = grouped.groupBy("g")
+      .agg(org.apache.spark.sql.functions.sum("v_z")).collect()
+      .flatMap(r => Option(r.get(1)).map(v => math.abs(v.asInstanceOf[Double])))
+    assert(sums.forall(_ < 1e-3))
+  }
+
+  test("zScoreBy is repartition-stable on real lineitem") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Normalize.zScoreBy(df, "l_extendedprice", "l_returnflag")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice_z")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice_z")
+        .collect().toSeq
+    assert(run(li) == run(li.repartition(7)) && run(li).nonEmpty)
+  }
+
+  test("madOutliers flags exactly the planted far points") {
+    import spark.implicits._
+    // 20 values near 10 (median 10, mad small) + two far outliers
+    val base = (1 to 20).map(i => 10.0 + (i % 5 - 2) * 0.1) // 9.8..10.2
+    val df = (base ++ Seq(100.0, -50.0)).toDF("v")
+    val r = Normalize.madOutliers(df, "v").head()
+    assert(r.getLong(0) == 22L)
+    assert(r.getDouble(1) == 10.0)          // median
+    assert(r.getDouble(2) == 0.1)           // mad
+    assert(r.getLong(3) == 2L, r.toString)  // the two planted points
+    // degenerate: >50% identical → mad 0, every deviating row flags
+    val deg = (Seq.fill(10)(5.0) ++ Seq(5.1, 6.0)).toDF("v")
+    val d = Normalize.madOutliers(deg, "v").head()
+    assert(d.getDouble(2) == 0.0 && d.getLong(3) == 2L)
+    intercept[IllegalArgumentException](Normalize.madOutliers(df, "v", k = 0))
+  }
 }

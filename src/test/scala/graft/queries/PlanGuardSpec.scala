@@ -32,7 +32,9 @@ class PlanGuardSpec extends AnyFunSuite {
   // distinct-user total; e82: the |labels|-row centroid frame, as e68;
   // e85: the one-row OLS-fit and holdout-MAPE frames cross-joined onto the
   // calendar-bounded daily spine; e100: the one-row exact-total frame
-  // cross-joined with the one-row CI frame)
+  // cross-joined with the one-row CI frame; e103: the one-row median and
+  // MAD frames broadcast onto the deviation scan — the e40 clip-bounds
+  // shape)
   private val bnljByDesign =
     Set("e02_cosine_topk", "e15_decontam", "e17_bm25", "e18_editdist",
       "e29_lm_score", "e30_dsir_select", "e33_pmi_bigrams", "e35_source_kl",
@@ -42,7 +44,7 @@ class PlanGuardSpec extends AnyFunSuite {
       "e67_cohen_kappa", "e68_centroid_eval", "e71_calibration",
       "e73_ks_test", "e75_vocab_overlap", "e76_log_odds", "e77_mutual_info",
       "e79_assoc_rules", "e82_silhouette", "e85_forecast_eval",
-      "e100_bootstrap_ci")
+      "e100_bootstrap_ci", "e103_mad_outliers")
 
   test("no declared query plans a CartesianProduct; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
