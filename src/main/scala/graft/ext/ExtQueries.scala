@@ -2017,6 +2017,28 @@ object ExtQueries {
   // its own semantics.
   private val e101Base = 1704067200000000L // 2024-01-01T00:00:00Z in µs
   private val e101HalfDay = 43200000000L
+  // the e32 gaps-and-islands session intervals as reusable CTEs (numeric
+  // µs bounds) — shared by e101 (overlap join) and e104 (concurrency)
+  private val sessionCtesSql =
+    """lagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events
+      |), flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM lagged
+      |), isl AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged
+      |), sess AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS s_us,
+      |    MAX(epoch_us(ts)) + 1800000000 AS e_us
+      |  FROM isl GROUP BY user_id, sid
+      |),""".stripMargin
   private val e101 = Q(
     "e101_session_overlap",
     (s, dir) => {
@@ -2037,25 +2059,7 @@ object ExtQueries {
         .orderBy(col("flight"))
     },
     Some(
-      s"""WITH lagged AS (
-         |  SELECT user_id, ts, event_id,
-         |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-         |  FROM events
-         |), flagged AS (
-         |  SELECT user_id, ts, event_id,
-         |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000
-         |         THEN 1 ELSE 0 END AS is_new
-         |  FROM lagged
-         |), isl AS (
-         |  SELECT user_id, ts,
-         |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |      ROWS UNBOUNDED PRECEDING) AS sid
-         |  FROM flagged
-         |), sess AS (
-         |  SELECT user_id, MIN(epoch_us(ts)) AS s_us,
-         |    MAX(epoch_us(ts)) + 1800000000 AS e_us
-         |  FROM isl GROUP BY user_id, sid
-         |), flights AS (
+      s"""WITH $sessionCtesSql flights AS (
          |  SELECT CAST(i AS BIGINT) AS flight,
          |    $e101Base + CAST(i AS BIGINT) * $e101HalfDay AS f_start,
          |    $e101Base + (CAST(i AS BIGINT) + 1) * $e101HalfDay AS f_end
@@ -2067,6 +2071,23 @@ object ExtQueries {
          |FROM flights f JOIN sess s ON f.f_start < s.e_us AND s.s_us < f.f_end
          |GROUP BY 1
          |ORDER BY flight""".stripMargin))
+
+  // E5h exact max-concurrency profile: peak simultaneous sessions per hour
+  // via the distributed sweep-line (per-bucket boundary prefix + bucket-
+  // grid carry; −1 sorts before +1 at an equal instant, so back-to-back
+  // sessions never stack — the half-open contract). Zero-boundary hours
+  // carry the level. SQL GENERATED (Funnel.maxConcurrencySql) over the
+  // shared session CTEs.
+  private val e104 = Q(
+    "e104_concurrency",
+    (s, dir) => {
+      val sess = graft.streaming.EventStream.sessionizeBatch(
+          graft.queries.Reference.events(s, dir))
+        .select(unix_micros(col("session_start")).as("s_us"),
+          unix_micros(col("session_end")).as("e_us"))
+      Funnel.maxConcurrency(sess, "s_us", "e_us")
+    },
+    Some(Funnel.maxConcurrencySql("sess", prelude = sessionCtesSql)))
 
   // E-norm per-group z-score (population σ from exact fixed-point moments,
   // broadcast back, zero-shuffle projection) — grouped feature scaling
@@ -2105,5 +2126,5 @@ object ExtQueries {
     e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71,
     e72, e73, e74, e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86,
     e87, e88, e89, e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100,
-    e101, e102, e103)
+    e101, e102, e103, e104)
 }

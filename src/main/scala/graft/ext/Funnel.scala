@@ -375,6 +375,111 @@ object Funnel {
        |ORDER BY channel""".stripMargin
   }
 
+  /** Exact max-concurrency profile over half-open intervals `[start, end)`
+    * in integer microseconds: one row per `bucketUs`-wide time bucket with
+    * the maximum number of simultaneously open intervals at ANY instant
+    * inside the bucket — the capacity-planning primitive (peak concurrent
+    * sessions/streams/connections per hour). The companion to e101's
+    * overlap join: that one asks "which pairs overlap", this one "how high
+    * does the stack get".
+    *
+    * Sweep-line, distributed two-phase: every interval contributes a +1
+    * boundary at `start` and a −1 at `end` (at an equal instant −1 sorts
+    * first, so back-to-back intervals never count as concurrent — the
+    * half-open contract). Phase 1: a running sum per BUCKET partition
+    * (bounded by the bucket's boundary count) yields each bucket's local
+    * prefix maximum and net change. Phase 2: a cumulative sum over the
+    * BUCKET GRID (resolution-bounded, never row-bounded — the e69
+    * discipline) carries the level into each bucket;
+    * `max = carry-in + max(0, local max)` (the `max(0,·)` covers buckets
+    * whose first boundaries only close intervals — the peak is then the
+    * carried level at bucket start). Zero-boundary buckets appear with
+    * the carried level (a flat hour is an answer, not a gap).
+    *
+    * Determinism under ties: equal `(t, delta)` rows are interchangeable —
+    * equal deltas produce the same prefix-value multiset in any order, so
+    * the bucket max is a property of the data even though per-row running
+    * sums are not.
+    *
+    * Output: `(bucket_start "yyyy-MM-dd HH:mm:ss", max_concurrent)`,
+    * totally ordered.
+    */
+  def maxConcurrency(intervals: DataFrame, startCol: String, endCol: String,
+      bucketUs: Long = 3600000000L): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive: $bucketUs")
+    import org.apache.spark.sql.expressions.Window
+    val b = intervals.select(explode(array(
+        struct(col(startCol).cast("long").as("t"), lit(1L).as("delta")),
+        struct(col(endCol).cast("long").as("t"), lit(-1L).as("delta")))).as("x"))
+      .select(col("x.t").as("t"), col("x.delta").as("delta"))
+      .withColumn("bucket", expr(s"t div $bucketUs"))
+    val wLocal = Window.partitionBy(col("bucket"))
+      .orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val per = b.withColumn("run", sum(col("delta")).over(wLocal))
+      .groupBy(col("bucket"))
+      .agg(max(col("run")).as("max_local"), sum(col("delta")).as("net"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // |buckets| rows; two consumers (grid bounds + the spine join) —
+    // cache-lifetime convention (see object scaladoc)
+    val mm = per.agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+    val spine = mm.select(explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val wGrid = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    spine.join(per, Seq("bucket"), "left")
+      .withColumn("carry",
+        coalesce(sum(coalesce(col("net"), lit(0L))).over(wGrid), lit(0L)))
+      .select(
+        date_format(timestamp_micros(col("bucket") * bucketUs), "yyyy-MM-dd HH:mm:ss")
+          .as("bucket_start"),
+        (col("carry") + greatest(lit(0L), coalesce(col("max_local"), lit(0L))))
+          .as("max_concurrent"))
+      .orderBy(col("bucket_start"))
+  }
+
+  /** DuckDB mirror of [[maxConcurrency]] — generated; same boundary
+    * convention, same two-phase sums, same zero-boundary spine.
+    * `intervalsRel` is any relation text with `(s_us, e_us)` columns;
+    * `prelude` prepends CTEs it needs.
+    */
+  def maxConcurrencySql(intervalsRel: String, prelude: String = "",
+      bucketUs: Long = 3600000000L): String = {
+    val pre = if (prelude.isEmpty) "" else s"$prelude "
+    s"""WITH ${pre}bnd AS (
+       |  SELECT t, delta, t // $bucketUs AS bucket FROM (
+       |    SELECT s_us AS t, 1 AS delta FROM $intervalsRel
+       |    UNION ALL SELECT e_us, -1 FROM $intervalsRel
+       |  )
+       |), localp AS (
+       |  SELECT bucket, delta,
+       |    SUM(delta) OVER (PARTITION BY bucket ORDER BY t, delta
+       |      ROWS UNBOUNDED PRECEDING) AS run
+       |  FROM bnd
+       |), per AS (
+       |  SELECT bucket, CAST(MAX(run) AS BIGINT) AS max_local,
+       |    CAST(SUM(delta) AS BIGINT) AS net
+       |  FROM localp GROUP BY 1
+       |), mm AS (
+       |  SELECT MIN(bucket) AS b0, MAX(bucket) AS b1 FROM per
+       |), spine AS (
+       |  SELECT unnest(range(b0, b1 + 1)) AS bucket FROM mm
+       |), j AS (
+       |  SELECT s.bucket, COALESCE(p.max_local, 0) AS ml,
+       |    COALESCE(p.net, 0) AS net
+       |  FROM spine s LEFT JOIN per p USING (bucket)
+       |), c AS (
+       |  SELECT bucket, ml,
+       |    COALESCE(SUM(net) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
+       |  FROM j
+       |)
+       |SELECT strftime(make_timestamp(bucket * $bucketUs), '%Y-%m-%d %H:%M:%S')
+       |    AS bucket_start,
+       |  CAST(carry + greatest(0, ml) AS BIGINT) AS max_concurrent
+       |FROM c
+       |ORDER BY bucket_start""".stripMargin
+  }
+
   /** DuckDB mirror of [[retention]] — cohort day formatted to a string. */
   def retentionSql(table: String, maxOffsetDays: Int = 30): String =
     s"""WITH first_day AS (

@@ -280,6 +280,67 @@ class FunnelSpec extends AnyFunSuite {
     assert(got == Map(4L -> 1L, -1L -> 1L))
   }
 
+  private val H = 3600000000L // 1 hour in µs
+
+  test("maxConcurrency: sweep-line peaks, carry-through, and flat hours") {
+    import spark.implicits._
+    val iv = Seq(
+      ((1.1 * H).toLong, (2.2 * H).toLong),
+      ((1.2 * H).toLong, (1.3 * H).toLong),
+      ((1.25 * H).toLong, (3.5 * H).toLong),
+      (5L * H, (5.1 * H).toLong)).toDF("s_us", "e_us")
+    val got = Funnel.maxConcurrency(iv, "s_us", "e_us", bucketUs = H)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "1970-01-01 01:00:00" -> 3L, // three overlapping starts
+      "1970-01-01 02:00:00" -> 2L, // only closings: peak = carried level
+      "1970-01-01 03:00:00" -> 1L,
+      "1970-01-01 04:00:00" -> 0L, // zero-boundary hour still reported
+      "1970-01-01 05:00:00" -> 1L))
+  }
+
+  test("maxConcurrency: back-to-back half-open intervals never stack") {
+    import spark.implicits._
+    val iv = Seq((1L * H, 2L * H), (2L * H, 3L * H)).toDF("s_us", "e_us")
+    val got = Funnel.maxConcurrency(iv, "s_us", "e_us", bucketUs = H)
+      .collect().map(_.getLong(1))
+    assert(got.max == 1L, got.mkString(","))
+  }
+
+  test("maxConcurrency matches an in-memory sweep on real sessions") {
+    import org.apache.spark.sql.functions.unix_micros
+    val sess = graft.streaming.EventStream.sessionizeBatch(
+        graft.queries.Reference.events(spark, "/root/testdata/sf0.001"))
+      .select(unix_micros(col("session_start")).as("s_us"),
+        unix_micros(col("session_end")).as("e_us"))
+    val rows = sess.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // third voice: single-threaded sweep with per-hour maxima
+    val bounds = rows.flatMap { case (s, e) => Seq((s, 1L), (e, -1L)) }
+      .sortBy(identity)
+    val b0 = bounds.map(_._1 / H).min
+    val b1 = bounds.map(_._1 / H).max
+    var level = 0L
+    val maxima = scala.collection.mutable.Map[Long, Long]()
+    var bi = 0
+    for (bucket <- b0 to b1) {
+      var m = level // level at bucket start
+      while (bi < bounds.length && bounds(bi)._1 / H == bucket) {
+        level += bounds(bi)._2
+        m = math.max(m, level)
+        bi += 1
+      }
+      maxima(bucket) = m
+    }
+    val want = maxima.toSeq.sortBy(_._1).map(_._2)
+    val got = Funnel.maxConcurrency(sess, "s_us", "e_us", bucketUs = H)
+      .collect().map(_.getLong(1)).toSeq
+    assert(got == want, s"buckets ${got.length} vs ${want.length}")
+    // repartition stability
+    val again = Funnel.maxConcurrency(sess.repartition(7), "s_us", "e_us",
+      bucketUs = H).collect().map(_.getLong(1)).toSeq
+    assert(again == got)
+  }
+
   test("lastTouchAttribution is repartition-stable on real events") {
     val ev = graft.queries.Reference.events(spark, "/root/testdata/sf0.001")
     val a = Funnel.lastTouchAttribution(ev).collect().toSeq
