@@ -2089,6 +2089,59 @@ object ExtQueries {
     },
     Some(Funnel.maxConcurrencySql("sess", prelude = sessionCtesSql)))
 
+  // E2/E-rank nDCG@10 of label-centroid retrieval: every label's centroid
+  // (e68's fixed-point-exact mean vectors) ranks the whole corpus by 4dp
+  // cosine; relevance = label match. The graded retrieval-eval metric
+  // beside e64's RRF combiner and e69's AUC — answers "how separable are
+  // the embedding classes as a retrieval problem". SQL GENERATED
+  // (Ranking.ndcgAtKSql with the e68 centroid CTEs as prelude).
+  private val e105 = Q(
+    "e105_ndcg",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = emb
+        .where(col("label").isNotNull && col("embedding").isNotNull)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val cent = Similarity.labelCentroids(emb)
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query")).orderBy(col("cos").desc, col("vec_id"))
+      val ranked = base.crossJoin(broadcast(cent))
+        .select(col("c_label").as("query"), col("vec_id"), col("label"),
+          round(Similarity.cosine(col("v"), col("cvec")), 4).as("cos"))
+        .withColumn("rnk", row_number().over(wq).cast("long"))
+        .withColumn("rel",
+          when(col("label") === col("query"), 1L).otherwise(0L))
+      Ranking.ndcgAtK(ranked, "query", "rnk", "rel", k = 10)
+        .orderBy(col("query"))
+    },
+    Some(Ranking.ndcgAtKSql("ranked", k = 10, prelude =
+      """e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |  WHERE label IS NOT NULL AND embedding IS NOT NULL
+        |), atoms AS (
+        |  SELECT label, unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x
+        |  FROM e
+        |), cm AS (
+        |  SELECT label, dim,
+        |    CAST(SUM(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+        |      / COUNT(*) / 1000000 AS c
+        |  FROM atoms GROUP BY 1, 2
+        |), cent AS (
+        |  SELECT label AS c_label, list(c ORDER BY dim) AS cvec FROM cm GROUP BY 1
+        |), scored AS (
+        |  SELECT c.c_label AS query, e.vec_id, e.label,
+        |    round(list_cosine_similarity(e.v, c.cvec), 4) AS cos
+        |  FROM e CROSS JOIN cent c
+        |), ranked AS (
+        |  SELECT query, vec_id, label,
+        |    row_number() OVER (PARTITION BY query ORDER BY cos DESC, vec_id)
+        |      AS rnk,
+        |    CASE WHEN label = query THEN 1 ELSE 0 END AS rel
+        |  FROM scored
+        |),""".stripMargin) + "\nORDER BY query"))
+
   // E-norm per-group z-score (population σ from exact fixed-point moments,
   // broadcast back, zero-shuffle projection) — grouped feature scaling
   // under the hash oracle. ORDER BY spans every output column (the q01
@@ -2126,5 +2179,5 @@ object ExtQueries {
     e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71,
     e72, e73, e74, e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86,
     e87, e88, e89, e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100,
-    e101, e102, e103, e104)
+    e101, e102, e103, e104, e105)
 }

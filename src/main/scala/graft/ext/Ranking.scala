@@ -245,4 +245,88 @@ object Ranking {
         round(col("t")("tf") * log(col("n_docs").cast("double") /
           element_at(col("dfs"), col("pos") + 1)), 4).as("tfidf"))
   }
+
+  /** ln 2, computed ONCE in Scala and embedded as the same literal in the
+    * Spark plan and the generated SQL (the PoissonCum convention), so the
+    * nDCG discount `1/log₂(r+1) = ln2/ln(r+1)` leaves only `ln(r+1)` to
+    * the engines — the repo's established cross-engine ln primitive.
+    */
+  private val Ln2: Double = math.log(2.0)
+
+  /** nDCG@k — the graded retrieval-quality metric beside [[rrfFuse]]'s
+    * combiner and e69's binary AUC: per query,
+    * `DCG@k = Σ_{rank ≤ k} rel·(1/log₂(rank+1))` normalized by the ideal
+    * DCG of the same judged set (relevances re-sorted descending, top k).
+    * Input is a judged ranking `(queryCol, rankCol, relCol)` — one row per
+    * (query, document) with 1-based ranks and integer relevance grades;
+    * the frame must carry each query's COMPLETE judged set (feeding only
+    * a top-k slice silently truncates the ideal and inflates nDCG).
+    * Output: `(query, n_ranked, n_rel, ndcg)` — ndcg 4dp, null when a
+    * query has no relevant documents.
+    *
+    * Determinism: discounts are `round(10⁶·ln2/ln(rank+1))` exact longs
+    * (rank 1 → exactly 10⁶), rel·discount products sum as longs, and the
+    * one normalization division rounds at 4dp. Scale: the ideal ranking
+    * is a window PARTITIONED BY query (bounded by a query's judged-list
+    * length, never corpus-global); everything else is one hash aggregate.
+    */
+  def ndcgAtK(ranked: DataFrame, queryCol: String, rankCol: String,
+      relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be ≥ 1: $k")
+    def disc(r: org.apache.spark.sql.Column) =
+      round(lit(1000000.0) * Ln2 / log(r.cast("double") + lit(1.0)), 0)
+        .cast("long")
+    val wIdeal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol))
+      .orderBy(col(relCol).desc, col(rankCol))
+    ranked
+      .where(col(rankCol).isNotNull && col(relCol).isNotNull)
+      .withColumn("__irank", row_number().over(wIdeal).cast("long"))
+      .groupBy(col(queryCol).as("query"))
+      .agg(
+        count(lit(1)).as("n_ranked"),
+        sum(when(col(relCol) > 0, 1L).otherwise(0L)).as("n_rel"),
+        sum(when(col(rankCol) <= k, col(relCol).cast("long") * disc(col(rankCol)))
+          .otherwise(0L)).as("__dcg"),
+        sum(when(col("__irank") <= k, col(relCol).cast("long") * disc(col("__irank")))
+          .otherwise(0L)).as("__idcg"))
+      .select(col("query"), col("n_ranked"), col("n_rel"),
+        when(col("__idcg") > 0,
+          round(col("__dcg").cast("double") / col("__idcg").cast("double"), 4))
+          .as("ndcg"))
+  }
+
+  /** DuckDB mirror of [[ndcgAtK]] — generated; same embedded ln2 literal,
+    * same long discounts, same guards. `rankedRel` is any relation with
+    * `(query, rnk, rel)` columns; `prelude` prepends CTEs it needs.
+    */
+  def ndcgAtKSql(rankedRel: String, k: Int, prelude: String = ""): String = {
+    val pre = if (prelude.isEmpty) "" else s"$prelude "
+    def disc(r: String) =
+      // CAST the ln2 literal to DOUBLE: DuckDB parses a bare decimal
+      // literal as DECIMAL and its fixed-width multiply overflows
+      s"CAST(round(1000000.0 * CAST($Ln2 AS DOUBLE) / ln(CAST($r AS DOUBLE) + 1.0), 0) AS BIGINT)"
+    s"""WITH ${pre}jr AS (
+       |  SELECT query, rnk, rel,
+       |    row_number() OVER (PARTITION BY query ORDER BY rel DESC, rnk)
+       |      AS irank
+       |  FROM $rankedRel
+       |  WHERE rnk IS NOT NULL AND rel IS NOT NULL
+       |), agg AS (
+       |  SELECT query, COUNT(*) AS n_ranked,
+       |    CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+       |    CAST(SUM(CASE WHEN rnk <= $k
+       |      THEN CAST(rel AS BIGINT) * ${disc("rnk")} ELSE 0 END) AS BIGINT)
+       |      AS dcg,
+       |    CAST(SUM(CASE WHEN irank <= $k
+       |      THEN CAST(rel AS BIGINT) * ${disc("irank")} ELSE 0 END) AS BIGINT)
+       |      AS idcg
+       |  FROM jr GROUP BY 1
+       |)
+       |SELECT query, n_ranked, n_rel,
+       |  CASE WHEN idcg > 0
+       |       THEN round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 4)
+       |  END AS ndcg
+       |FROM agg""".stripMargin
+  }
 }

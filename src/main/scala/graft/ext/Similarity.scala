@@ -527,13 +527,15 @@ object Similarity {
     * broadcast of the |labels|-row centroid frame and a per-row fused
     * cosine loop — no shuffle until the final categories²-sized count.
     */
-  def centroidEval(emb: DataFrame, vecCol: String = "embedding",
-      labelCol: String = "label", idCol: String = "vec_id"): DataFrame = {
-    val base = emb
+  /** Per-label fixed-point-exact mean vectors `(c_label, cvec)` — the
+    * 1e-6 long-sum centroids [[centroidEval]] and the e105 retrieval eval
+    * share (bit-identical arrays on any engine/partitioning).
+    */
+  def labelCentroids(emb: DataFrame, vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame =
+    emb
       .where(col(labelCol).isNotNull && col(vecCol).isNotNull)
-      .select(col(idCol), col(labelCol).as("label"),
-        col(vecCol).cast("array<double>").as("v"))
-    val cent = base
+      .select(col(labelCol).as("label"), col(vecCol).cast("array<double>").as("v"))
       .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim"))
       .agg(sum(round(col("x") * lit(1000000), 0).cast("long")).as("sa"),
@@ -545,6 +547,14 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("dim"), col("c")))).as("sc"))
       .select(col("label").as("c_label"),
         transform(col("sc"), s => s("c")).as("cvec"))
+
+  def centroidEval(emb: DataFrame, vecCol: String = "embedding",
+      labelCol: String = "label", idCol: String = "vec_id"): DataFrame = {
+    val base = emb
+      .where(col(labelCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol), col(labelCol).as("label"),
+        col(vecCol).cast("array<double>").as("v"))
+    val cent = labelCentroids(emb, vecCol, labelCol)
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("cos").desc, col("c_label"))
     base

@@ -119,4 +119,54 @@ class RankingSpec extends AnyFunSuite {
     // every fused score is attainable from two ranks ≤ 20
     assert(scores.head <= 1.0 / 61 + 1.0 / 61 + 1e-9)
   }
+
+  private def discRef(r: Long): Long =
+    math.round(1000000.0 * math.log(2.0) / math.log(r + 1.0))
+
+  test("ndcgAtK matches the hand-computed graded formula") {
+    import spark.implicits._
+    // query q1: graded rels (3,2,0,1) at ranks 1..4, k=3
+    val judged = Seq(
+      ("q1", 1L, 3L), ("q1", 2L, 2L), ("q1", 3L, 0L), ("q1", 4L, 1L),
+      // q2: perfectly ranked binary list
+      ("q2", 1L, 1L), ("q2", 2L, 1L), ("q2", 3L, 0L),
+      // q3: worst ranking — the one relevant doc is last
+      ("q3", 1L, 0L), ("q3", 2L, 0L), ("q3", 3L, 1L),
+      // q4: nothing relevant
+      ("q4", 1L, 0L), ("q4", 2L, 0L)).toDF("query", "rnk", "rel")
+    val got = Ranking.ndcgAtK(judged, "query", "rnk", "rel", k = 3)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    val dcg1 = 3 * discRef(1) + 2 * discRef(2) // + 0·d(3); rank 4 outside k
+    val idcg1 = 3 * discRef(1) + 2 * discRef(2) + 1 * discRef(3)
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("q1") == ((4L, 3L, Some(r4(dcg1.toDouble / idcg1)))))
+    assert(got("q2") == ((3L, 2L, Some(1.0)))) // ideal order scores exactly 1
+    assert(got("q3") == ((3L, 1L,
+      Some(r4(discRef(3).toDouble / discRef(1))))))
+    assert(got("q4") == ((2L, 0L, None))) // no relevant → null, not 0
+    intercept[IllegalArgumentException](
+      Ranking.ndcgAtK(judged, "query", "rnk", "rel", k = 0))
+  }
+
+  test("ndcgAtK is repartition-stable and order-bounded on a real ranking") {
+    import spark.implicits._
+    // deterministic pseudo-ranking: 3 queries × 50 docs, rel from a residue
+    val judged = (for {
+      q <- 1 to 3; r <- 1L to 50L
+    } yield (s"q$q", r, if ((r * q) % 7 == 0) 1L else 0L))
+      .toDF("query", "rnk", "rel")
+    val a = Ranking.ndcgAtK(judged, "query", "rnk", "rel", k = 10)
+      .orderBy("query").collect().toSeq
+    val b = Ranking.ndcgAtK(judged.repartition(7), "query", "rnk", "rel", k = 10)
+      .orderBy("query").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    a.foreach { r =>
+      Option(r.get(3)).map(_.asInstanceOf[Double]).foreach { v =>
+        assert(v >= 0.0 && v <= 1.0, r.toString)
+      }
+    }
+  }
 }

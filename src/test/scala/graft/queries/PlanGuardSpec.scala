@@ -34,7 +34,8 @@ class PlanGuardSpec extends AnyFunSuite {
   // calendar-bounded daily spine; e100: the one-row exact-total frame
   // cross-joined with the one-row CI frame; e103: the one-row median and
   // MAD frames broadcast onto the deviation scan — the e40 clip-bounds
-  // shape)
+  // shape; e105: the |labels|-row centroid frame against every vector, as
+  // e68/e82)
   private val bnljByDesign =
     Set("e02_cosine_topk", "e15_decontam", "e17_bm25", "e18_editdist",
       "e29_lm_score", "e30_dsir_select", "e33_pmi_bigrams", "e35_source_kl",
@@ -44,7 +45,7 @@ class PlanGuardSpec extends AnyFunSuite {
       "e67_cohen_kappa", "e68_centroid_eval", "e71_calibration",
       "e73_ks_test", "e75_vocab_overlap", "e76_log_odds", "e77_mutual_info",
       "e79_assoc_rules", "e82_silhouette", "e85_forecast_eval",
-      "e100_bootstrap_ci", "e103_mad_outliers")
+      "e100_bootstrap_ci", "e103_mad_outliers", "e105_ndcg")
 
   test("no declared query plans a CartesianProduct; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
