@@ -586,6 +586,81 @@ object Dedup {
     }
   }
 
+  /** Exact n-gram CONTAINMENT near-dup pairs — the asymmetric companion to
+    * [[ngramJaccardPairs]]: `C(A→B) = |A∩B| / |A|`, so a short document
+    * fully embedded in a long one scores 1.0 where its Jaccard is tiny
+    * (the subsumption case symmetric overlap can't see — quoted articles,
+    * documents-with-appendices, version supersets). One row per unordered
+    * pair with BOTH directions:
+    * `(id_a, id_b, c_a_in_b, c_b_in_a)` (4dp), kept when the LARGER
+    * direction reaches `minContainment`; the consumer reads which side is
+    * the contained one off the two columns.
+    *
+    * Same posting-list-bucket shape and `maxDocFreq` discipline as the
+    * Jaccard form, with ONE deliberate difference: no length prefilter —
+    * Jaccard's `min ≥ t·max` necessary condition is exactly the size
+    * asymmetry containment exists to keep. Under a cap the sub-cap count
+    * is a lower bound on |A∩B|, hence on both containments, so the
+    * pre-filter admits no false positives and survivors re-score on full
+    * shingle sets (the capped-Jaccard contract, directionally applied).
+    */
+  def ngramContainmentPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleSize: Int = 3,
+      minContainment: Double = 0.9,
+      maxDocFreq: Int = 0): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1.0,
+      s"minContainment in (0, 1]: $minContainment")
+    val sh = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
+      .where(col("n_sh") > 0)
+    val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("g"))
+    val buckets0 = inv.groupBy(col("g"))
+      .agg(collect_list(struct(col("id"), col("n_sh"))).as("members"))
+      .where(size(col("members")) > 1)
+    val buckets =
+      if (maxDocFreq > 0) buckets0.where(size(col("members")) <= maxDocFreq)
+      else buckets0
+    val counted = buckets
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .where(col("a.id") < col("b.id")) // no length filter — see scaladoc
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"), first(col("a.n_sh")).as("n_a"),
+        first(col("b.n_sh")).as("n_b"))
+    def cScores(common: Column, na: Column, nb: Column) = (
+      common.cast("double") / na.cast("double"),
+      common.cast("double") / nb.cast("double"))
+    if (maxDocFreq <= 0) {
+      val (ca, cb) = cScores(col("common"), col("n_a"), col("n_b"))
+      counted
+        .select(col("id_a"), col("id_b"),
+          round(ca, 4).as("c_a_in_b"), round(cb, 4).as("c_b_in_a"))
+        .where(greatest(col("c_a_in_b"), col("c_b_in_a")) >= minContainment)
+    } else {
+      val (ca, cb) = cScores(col("common"), col("n_a"), col("n_b"))
+      val candidates = counted
+        .where(greatest(ca, cb) >= minContainment) // lower bound — lossless
+        .select(col("id_a"), col("id_b"))
+      val candIds = candidates.select(col("id_a").as("id"))
+        .union(candidates.select(col("id_b").as("id")))
+        .distinct()
+      val candSh = sh.join(candIds, Seq("id"), "left_semi")
+        .select(col("id"), col("sh")).dropDuplicates("id")
+      val common = size(array_intersect(col("sh_a"), col("sh_b")))
+      val (cae, cbe) = cScores(common, size(col("sh_a")), size(col("sh_b")))
+      candidates
+        .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(cae, 4).as("c_a_in_b"), round(cbe, 4).as("c_b_in_a"))
+        .where(greatest(col("c_a_in_b"), col("c_b_in_a")) >= minContainment)
+    }
+  }
+
   /** Audit for [[ngramJaccardPairs]]'s document-frequency cap: the shingles
     * a given `maxDocFreq` would exclude from candidate generation, as
     * (shingle, doc_freq), highest-frequency first. At corpus scale the top

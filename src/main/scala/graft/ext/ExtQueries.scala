@@ -2142,6 +2142,61 @@ object ExtQueries {
         |  FROM scored
         |),""".stripMargin) + "\nORDER BY query"))
 
+  // E1f n-gram CONTAINMENT near-dup under the hash oracle — the asymmetric
+  // subsumption detector Jaccard can't see: every document is paired with
+  // a planted half-length excerpt (doc_id + 200000) whose shingle set is
+  // a SUBSET of the original's, so c_excerpt_in_doc = 1.0 while the
+  // Jaccard sits near 0.5. DuckDB replays the excerpt construction
+  // (identical token slicing) and brute-forces containment over full
+  // shingle sets (the e11 oracle pattern); the operator's posting-list
+  // candidates + capped re-score must land on exactly the same pairs.
+  private val e106 = Q(
+    "e106_containment",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = split(trim(col("text")), "\\s+")
+      val k = greatest(floor(size(toks) / 2), lit(3)).cast("int")
+      val exc = d.select((col("doc_id") + 200000L).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), k)).as("text"))
+      val corpus = d.select(col("doc_id"), col("text")).unionAll(exc)
+      // same df cap as e11 — inactive at verify scale (df ≤ corpus size)
+      Dedup.ngramContainmentPairs(corpus, minContainment = 0.9,
+          maxDocFreq = 2000)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |), toks0 AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM base
+        |), exc AS (
+        |  SELECT doc_id + 200000 AS doc_id,
+        |    array_to_string(toks[1:greatest(len(toks) // 2, 3)], ' ') AS text
+        |  FROM toks0
+        |), corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id, text FROM exc
+        |), toksed AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM corpus
+        |), sh AS (
+        |  SELECT doc_id, list_distinct([
+        |    concat_ws(' ', toks[i], toks[i+1], toks[i+2]) FOR i IN range(1, greatest(len(toks) - 1, 1))
+        |  ]) AS sh
+        |  FROM toksed
+        |)
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(a.sh), 4) AS c_a_in_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(b.sh), 4) AS c_b_in_a
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
+        |)
+        |WHERE greatest(c_a_in_b, c_b_in_a) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin))
+
   // E-norm per-group z-score (population σ from exact fixed-point moments,
   // broadcast back, zero-shuffle projection) — grouped feature scaling
   // under the hash oracle. ORDER BY spans every output column (the q01
@@ -2179,5 +2234,5 @@ object ExtQueries {
     e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71,
     e72, e73, e74, e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86,
     e87, e88, e89, e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100,
-    e101, e102, e103, e104, e105)
+    e101, e102, e103, e104, e105, e106)
 }

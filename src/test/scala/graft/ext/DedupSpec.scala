@@ -664,4 +664,60 @@ class DedupSpec extends AnyFunSuite {
       .where(lit(false))
     assert(Dedup.embeddingNearDupMd5(emb).collect().isEmpty)
   }
+
+  test("ngramContainmentPairs finds subsumption that Jaccard misses") {
+    import spark.implicits._
+    val big = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val excerpt = "alpha beta gamma delta epsilon zeta" // prefix: subset shingles
+    val unrelated = "one two three four five six seven eight nine ten"
+    val docs = Seq((1L, big), (2L, excerpt), (3L, unrelated)).toDF("doc_id", "text")
+    val got = Dedup.ngramContainmentPairs(docs, minContainment = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // excerpt (4 shingles) fully inside big (18 shingles): c_excerpt = 1.0,
+    // c_big = 4/18 = 0.2222 — while the Jaccard (4/18) would never pass 0.9
+    assert(got == Map((1L, 2L) -> ((0.2222, 1.0))))
+    val jac = Dedup.ngramJaccardPairs(docs, minJaccard = 0.9).collect()
+    assert(jac.isEmpty) // the symmetric family is blind to this pair
+  }
+
+  test("ngramContainmentPairs: capped run rescores exactly (≡ uncapped)") {
+    import spark.implicits._
+    val docs = (1L to 30L).map { i =>
+      val words = (0 until 12).map(j => s"w${(i * 7 + j * 3) % 17}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+      .unionByName(Seq((100L, "w0 w3 w6 w9"), (101L, "w0 w3 w6 w9 x y z"))
+        .toDF("doc_id", "text"))
+    val uncapped = Dedup.ngramContainmentPairs(docs, minContainment = 0.8)
+      .collect().toSeq
+    val capped = Dedup.ngramContainmentPairs(docs, minContainment = 0.8,
+      maxDocFreq = 100).collect().toSeq
+    assert(uncapped.sortBy(r => (r.getLong(0), r.getLong(1))) ==
+      capped.sortBy(r => (r.getLong(0), r.getLong(1))))
+    assert(uncapped.nonEmpty)
+    // every reported pair really clears the threshold on the larger side
+    assert(uncapped.forall(r =>
+      math.max(r.getDouble(2), r.getDouble(3)) >= 0.8))
+  }
+
+  test("ngramContainmentPairs is repartition-stable on real documents") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = split(trim(col("text")), "\\s+")
+    val k = greatest(floor(size(toks) / 2), lit(3)).cast("int")
+    val exc = d.select((col("doc_id") + 200000L).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), k)).as("text"))
+    val corpus = d.select(col("doc_id"), col("text")).unionAll(exc)
+    val a = Dedup.ngramContainmentPairs(corpus, minContainment = 0.9)
+      .orderBy(col("id_a"), col("id_b")).collect().toSeq
+    val b = Dedup.ngramContainmentPairs(corpus.repartition(7), minContainment = 0.9)
+      .orderBy(col("id_a"), col("id_b")).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // every original finds its planted excerpt at containment 1.0
+    val planted = a.filter(r => r.getLong(1) == r.getLong(0) + 200000L)
+    assert(planted.forall(_.getDouble(3) == 1.0))
+    assert(planted.size >= (d.count() * 9) / 10) // ≥90% of docs have ≥3-token halves
+  }
 }
