@@ -887,6 +887,38 @@ object Dedup {
     docs.join(keepers, Seq(idCol), "left_semi").dropDuplicates(idCol)
   }
 
+  /** Quality-aware keeper selection: like [[nearDedupRowsFrom]] but each
+    * duplicate cluster keeps its BEST row — the one maximizing `scoreCol`
+    * (ties to the LOWEST id, so the choice is a property of the data) —
+    * instead of the arbitrary min-id. This is what a curation pipeline
+    * actually wants: among near-identical variants keep the longest /
+    * cleanest / highest-LM-scored one, drop the truncated and boilerplated
+    * copies (pair a [[graft.ext.TextStats.qualityScore]] or
+    * [[graft.ext.LangModel.lmScore]] column with any pair family).
+    *
+    * Shape: the CC groups join (bounded id/group rows), one per-group
+    * argmax via max(struct(score, −id))) — a hash aggregate, no window —
+    * then the left-semi keep. Null scores sort below every non-null score
+    * (coalesced to −∞ via the struct's null-first ordering being avoided
+    * explicitly), so an all-null-score cluster still keeps min id.
+    */
+  def nearDedupRowsKeepBest(docs: DataFrame, pairs: DataFrame,
+      scoreCol: String, idCol: String = "doc_id"): DataFrame = {
+    require(docs.columns.contains(scoreCol), s"missing score column $scoreCol")
+    val groups = dupGroups(docs.select(col(idCol)),
+      pairs.select(col("id_a"), col("id_b")), idCol)
+    val scored = groups.join(
+      docs.select(col(idCol),
+        coalesce(col(scoreCol).cast("double"), lit(Double.MinValue)).as("__s"))
+        .dropDuplicates(idCol),
+      Seq(idCol))
+    val keepers = scored
+      .groupBy(col("group_id"))
+      .agg(max(struct(col("__s"), (-col(idCol)).as("__negid"))).as("__w"))
+      .select((-col("__w.__negid")).as(idCol))
+    docs.join(keepers, Seq(idCol), "left_semi").dropDuplicates(idCol)
+  }
+
   /** Deterministic pseudo-random hyperplane coefficient matrix: plane p,
     * dim i → hash-derived double in [-1, 1). Same formula the per-row HOF
     * used (xxhash64 of "p:i", seed 42, pmod-folded to [-1, 1) — pinned

@@ -2197,6 +2197,83 @@ object ExtQueries {
         |WHERE greatest(c_a_in_b, c_b_in_a) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin))
 
+  // E1g quality-aware dedup tail: the e106 containment clusters resolved
+  // by nearDedupRowsKeepBest with score = char length — each cluster keeps
+  // its LONGEST member (the superset doc; ties to lowest id), so the
+  // planted excerpts drop and the originals survive. DuckDB replays the
+  // e14 recursive-CTE grouping + a (score DESC, id) argmax. This is the
+  // curation semantics min-id keepers can't express: keep the best copy,
+  // not an arbitrary one.
+  private val e107 = Q(
+    "e107_keep_best",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = split(trim(col("text")), "\\s+")
+      val k = greatest(floor(size(toks) / 2), lit(3)).cast("int")
+      val exc = d.select((col("doc_id") + 200000L).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), k)).as("text"))
+      val corpus = d.select(col("doc_id"), col("text")).unionAll(exc)
+        .withColumn("score", length(col("text")).cast("long"))
+      val pairs = Dedup.ngramContainmentPairs(corpus, minContainment = 0.9,
+          maxDocFreq = 2000)
+        .select(col("id_a"), col("id_b"))
+      Dedup.nearDedupRowsKeepBest(corpus, pairs, "score")
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |), toks0 AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM base
+        |), exc AS (
+        |  SELECT doc_id + 200000 AS doc_id,
+        |    array_to_string(toks[1:greatest(len(toks) // 2, 3)], ' ') AS text
+        |  FROM toks0
+        |), corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id, text FROM exc
+        |), toksed AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM corpus
+        |), sh AS (
+        |  SELECT doc_id, list_distinct([
+        |    concat_ws(' ', toks[i], toks[i+1], toks[i+2]) FOR i IN range(1, greatest(len(toks) - 1, 1))
+        |  ]) AS sh
+        |  FROM toksed
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(a.sh), 4) AS c_a_in_b,
+        |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(b.sh), 4) AS c_b_in_a
+        |    FROM sh a, sh b
+        |    WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
+        |  )
+        |  WHERE greatest(c_a_in_b, c_b_in_a) >= 0.9
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), ids AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS score FROM corpus
+        |)
+        |SELECT doc_id, score FROM (
+        |  WITH RECURSIVE reach(id, r) AS (
+        |    SELECT doc_id, doc_id FROM corpus
+        |    UNION
+        |    SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+        |  ), grouped AS (
+        |    SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
+        |  )
+        |  SELECT i.doc_id, i.score,
+        |    row_number() OVER (PARTITION BY g.group_id
+        |                       ORDER BY i.score DESC, i.doc_id) AS rn
+        |  FROM grouped g JOIN ids i ON g.doc_id = i.doc_id
+        |)
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin))
+
   // E-norm per-group z-score (population σ from exact fixed-point moments,
   // broadcast back, zero-shuffle projection) — grouped feature scaling
   // under the hash oracle. ORDER BY spans every output column (the q01
@@ -2234,5 +2311,5 @@ object ExtQueries {
     e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71,
     e72, e73, e74, e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86,
     e87, e88, e89, e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100,
-    e101, e102, e103, e104, e105, e106)
+    e101, e102, e103, e104, e105, e106, e107)
 }

@@ -703,6 +703,30 @@ class DedupSpec extends AnyFunSuite {
       math.max(r.getDouble(2), r.getDouble(3)) >= 0.8))
   }
 
+  test("nearDedupRowsKeepBest keeps the highest-scored member per cluster") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", Some(5.0)), (2L, "b", Some(9.0)), (3L, "c", Some(9.0)), // one cluster
+      (4L, "d", Some(1.0)),                                             // singleton
+      (5L, "e", Option.empty[Double]), (6L, "f", Option.empty[Double])) // null-score cluster
+      .toDF("doc_id", "text", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.nearDedupRowsKeepBest(docs, pairs, "q")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // cluster {1,2,3}: max score 9.0 tie → lowest id 2; {5,6} all-null → 5
+    assert(kept == Set(2L, 4L, 5L))
+    // uniform scores degrade to the min-id semantics of nearDedupRowsFrom
+    val uniform = docs.withColumn("q",
+      org.apache.spark.sql.functions.lit(1.0))
+    val a = Dedup.nearDedupRowsKeepBest(uniform, pairs, "q")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Dedup.nearDedupRowsFrom(uniform, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      Dedup.nearDedupRowsKeepBest(docs, pairs, "nope"))
+  }
+
   test("ngramContainmentPairs is repartition-stable on real documents") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val toks = split(trim(col("text")), "\\s+")
