@@ -2274,6 +2274,15 @@ object ExtQueries {
         |WHERE rn = 1
         |ORDER BY doc_id""".stripMargin))
 
+  // E5i per-channel time-to-convert percentiles — the latency companion to
+  // e97's credit rollup: Δ = conversion second − in-window last-touch
+  // second, exact per-channel p50/p90 under the e49 portable percentile
+  // contract. SQL GENERATED (Funnel.timeToConvertSql).
+  private val e108 = Q(
+    "e108_time_to_convert",
+    (s, dir) => Funnel.timeToConvert(graft.queries.Reference.events(s, dir)),
+    Some(Funnel.timeToConvertSql("events")))
+
   // E-norm per-group z-score (population σ from exact fixed-point moments,
   // broadcast back, zero-shuffle projection) — grouped feature scaling
   // under the hash oracle. ORDER BY spans every output column (the q01
@@ -2311,5 +2320,5 @@ object ExtQueries {
     e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71,
     e72, e73, e74, e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86,
     e87, e88, e89, e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100,
-    e101, e102, e103, e104, e105, e106, e107)
+    e101, e102, e103, e104, e105, e106, e107, e108)
 }

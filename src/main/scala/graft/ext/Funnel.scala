@@ -329,6 +329,120 @@ object Funnel {
       .orderBy(col("channel"))
   }
 
+  /** Per-channel time-to-convert distribution — the latency companion to
+    * [[lastTouchAttribution]]'s credit rollup: for every conversion with
+    * an in-window last touch, Δ = conversion second − touch second (whole
+    * seconds, the as-of tolerance truncation), then per-channel exact
+    * percentiles of Δ. Output: `(channel, n_conversions, p50_s, p90_s, …)`
+    * (one `p{N}_s` column per requested probability, 4dp — the e49/e10
+    * portable percentile contract), totally ordered by channel.
+    * Unattributed conversions have no Δ and are excluded by definition
+    * (their COUNT lives in [[lastTouchAttribution]]'s −1 bucket).
+    *
+    * `exact = true` buffers each channel's deltas in its final-aggregation
+    * task (the [[graft.ext.Percentiles.exactBy]] contract — fine while the
+    * busiest channel fits); at corpus scale flip `exact = false` for the
+    * mergeable GK sketch, the same switch as winsorize/Profile.
+    */
+  def timeToConvert(events: DataFrame,
+      convType: String = "purchase",
+      touchTypes: Seq[String] = Seq("view", "click"),
+      windowSeconds: Long = 48L * 3600,
+      channelJsonKey: String = "k",
+      probs: Seq[Double] = Seq(0.5, 0.9),
+      exact: Boolean = true,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", idCol: String = "event_id",
+      propsCol: String = "props"): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      s"probabilities in (0,1): $probs")
+    val channel = get_json_object(col(propsCol), s"$$.$channelJsonKey")
+      .cast("long")
+    val touches = events
+      .where(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), col(tsCol).as("__tts"),
+        col(idCol).as("__tid"), channel.as("__ch"))
+      .groupBy(col(userCol), col("__tts"))
+      .agg(max(struct(col("__tid"), col("__ch"))).as("__w"))
+      .select(col(userCol), col("__tts"), col("__w.__ch").as("channel"),
+        col("__tts").cast("long").as("touch_s"))
+    val conv = events
+      .where(col(typeCol) === convType)
+      .select(col(idCol), col(userCol), col(tsCol))
+    val deltas = graft.ops.AsOfJoin.asofBackward(conv, touches,
+        key = userCol, leftTime = tsCol, rightTime = "__tts",
+        payloadCols = Seq("channel", "touch_s"),
+        toleranceSeconds = Some(windowSeconds))
+      .where(col("touch_s").isNotNull)
+      .select(col("channel"),
+        (col(tsCol).cast("long") - col("touch_s")).as("tt_s"))
+    val arr = probs.map(p => s"${p}D").mkString(", ")
+    val pctAgg =
+      if (exact) expr(s"percentile(tt_s, array($arr))")
+      else expr(s"approx_percentile(tt_s, array($arr), 10000)")
+    val pctCols = probs.zipWithIndex.map { case (p, i) =>
+      round(element_at(col("__pcts"), i + 1).cast("double"), 4)
+        .as(pctName(p))
+    }
+    deltas.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"), pctAgg.as("__pcts"))
+      .select((col("channel") +: col("n_conversions") +: pctCols): _*)
+      .orderBy(col("channel"))
+  }
+
+  private def pctName(p: Double): String = {
+    val pct = p * 100
+    val s = if (pct == pct.floor) pct.toLong.toString
+    else pct.toString.replace('.', '_')
+    s"p${s}_s"
+  }
+
+  /** DuckDB mirror of [[timeToConvert]] — generated: same pre-deduped
+    * touch table, same floor-to-second Δ, same 4dp quantile_cont contract.
+    */
+  def timeToConvertSql(table: String,
+      convType: String = "purchase",
+      touchTypes: Seq[String] = Seq("view", "click"),
+      windowSeconds: Long = 48L * 3600,
+      channelJsonKey: String = "k",
+      probs: Seq[Double] = Seq(0.5, 0.9)): String = {
+    def lq(s: String) = s.replace("'", "''")
+    val touchIn = touchTypes.map(t => s"'${lq(t)}'").mkString(", ")
+    val pctSel = probs
+      .map(p => s"round(quantile_cont(tt_s, $p), 4) AS ${pctName(p)}")
+      .mkString(",\n  ")
+    s"""WITH touches AS (
+       |  SELECT user_id, ts, channel FROM (
+       |    SELECT user_id, ts,
+       |      CAST(json_extract_string(props, '$$.$channelJsonKey') AS BIGINT)
+       |        AS channel,
+       |      row_number() OVER (PARTITION BY user_id, ts
+       |                         ORDER BY event_id DESC) AS rn
+       |    FROM $table
+       |    WHERE event_type IN ($touchIn)
+       |  ) WHERE rn = 1
+       |), conv AS (
+       |  SELECT event_id, user_id, ts FROM $table
+       |  WHERE event_type = '${lq(convType)}'
+       |), credited AS (
+       |  SELECT t.channel AS channel,
+       |    CASE WHEN t.ts IS NOT NULL
+       |           AND (epoch_us(c.ts) // 1000000) - (epoch_us(t.ts) // 1000000)
+       |             <= $windowSeconds
+       |         THEN (epoch_us(c.ts) // 1000000) - (epoch_us(t.ts) // 1000000)
+       |    END AS tt_s
+       |  FROM conv c ASOF LEFT JOIN touches t
+       |    ON c.user_id = t.user_id AND c.ts >= t.ts
+       |)
+       |SELECT channel, COUNT(*) AS n_conversions,
+       |  $pctSel
+       |FROM credited
+       |WHERE tt_s IS NOT NULL
+       |GROUP BY 1
+       |ORDER BY channel""".stripMargin
+  }
+
   /** DuckDB mirror of [[lastTouchAttribution]] — generated: ASOF LEFT JOIN
     * against the same max-event_id pre-deduped touch table, the same
     * window void, the same −1 bucket and msum revenue.

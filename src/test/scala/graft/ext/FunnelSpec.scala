@@ -341,6 +341,41 @@ class FunnelSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("timeToConvert computes per-channel delta percentiles, excludes unattributed") {
+    val ev = attrEvents(Seq(
+      // channel 5: three conversions at 60 s, 120 s, 600 s after the touch
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0, """{"k": 5}"""),
+      (2L, "2024-01-01 10:01:00", 1L, "purchase", 1.0, """{"k": 9}"""),
+      (3L, "2024-01-02 10:00:00", 2L, "click", 0.0, """{"k": 5}"""),
+      (4L, "2024-01-02 10:02:00", 2L, "purchase", 1.0, """{"k": 9}"""),
+      (5L, "2024-01-03 10:00:00", 3L, "view", 0.0, """{"k": 5}"""),
+      (6L, "2024-01-03 10:10:00", 3L, "purchase", 1.0, """{"k": 9}"""),
+      // organic purchase: no touch → excluded entirely
+      (7L, "2024-01-04 12:00:00", 4L, "purchase", 1.0, """{"k": 9}""")))
+    val got = Funnel.timeToConvert(ev).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 3L)
+    // exact percentile over (60, 120, 600): p50 = 120, p90 = 504
+    assert(r.getDouble(2) == 120.0, r.toString)
+    assert(r.getDouble(3) == 504.0, r.toString)
+  }
+
+  test("timeToConvert is repartition-stable and consistent with attribution") {
+    val ev = graft.queries.Reference.events(spark, "/root/testdata/sf0.001")
+    val a = Funnel.timeToConvert(ev).collect().toSeq
+    val b = Funnel.timeToConvert(ev.repartition(13)).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // attributed-conversion totals agree with lastTouchAttribution's
+    // non-organic buckets, channel by channel
+    val attr = Funnel.lastTouchAttribution(ev).collect()
+      .filter(_.getLong(0) >= 0).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ttc = a.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ttc == attr)
+    // deltas are within the window
+    a.foreach(r => assert(r.getDouble(2) >= 0 && r.getDouble(3) <= 48 * 3600))
+  }
+
   test("lastTouchAttribution is repartition-stable on real events") {
     val ev = graft.queries.Reference.events(spark, "/root/testdata/sf0.001")
     val a = Funnel.lastTouchAttribution(ev).collect().toSeq
