@@ -642,8 +642,12 @@ object Dedup {
         .where(greatest(col("c_a_in_b"), col("c_b_in_a")) >= minContainment)
     } else {
       val (ca, cb) = cScores(col("common"), col("n_a"), col("n_b"))
+      // Round the lower-bound scores to the SAME 4dp the final filter (and
+      // the uncapped path / the oracle) applies: rounding is monotone, so
+      // round(capped) <= round(true) and the prefilter stays lossless while
+      // keeping boundary pairs whose true score rounds UP to the threshold.
       val candidates = counted
-        .where(greatest(ca, cb) >= minContainment) // lower bound — lossless
+        .where(greatest(round(ca, 4), round(cb, 4)) >= minContainment)
         .select(col("id_a"), col("id_b"))
       val candIds = candidates.select(col("id_a").as("id"))
         .union(candidates.select(col("id_b").as("id")))
@@ -827,27 +831,37 @@ object Dedup {
   /** Transitive duplicate groups from a near-dup pair list: connected
     * components over the similarity graph (duplicate clusters are rarely
     * clean pairs — A≈B≈C must collapse to ONE keeper even when A~C missed
-    * the similarity cut). GraphX's ConnectedComponents labels every doc
-    * with the minimum id of its component, which doubles as the keeper id.
-    * Pregel-style iterative label propagation: O(diameter) supersteps, each
-    * a shuffle — the standard 100 TB-scale formulation.
+    * the similarity cut). Every doc is labeled with the MINIMUM id of its
+    * component, which doubles as the keeper id.
+    *
+    * Default path: DataFrame-native alternating large-star / small-star
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond")
+    * — each round is two hash-aggregate + join passes over the edge list,
+    * entirely inside Tungsten/whole-stage-codegen and under AQE, converging
+    * in O(log² n) rounds (vs O(diameter) for plain label propagation; on
+    * the clique-shaped dedup graphs both are a handful). `useGraphX = true`
+    * keeps the previous Pregel formulation — retained as the equivalence
+    * reference (spec-pinned identical), not as a production path: the RDD
+    * loop gets no codegen, no AQE, and Kryo-serializes every row per
+    * iteration.
     *
     * Returns (id, group_id); docs absent from `pairs` are their own group.
     */
   def dupGroups(allIds: DataFrame, pairs: DataFrame,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", useGraphX: Boolean = false): DataFrame = {
     val spark = allIds.sparkSession
-    import org.apache.spark.graphx.{Edge, Graph}
-    // GraphX vertex ids are Long. A silent cast("long") on a string/UUID id
-    // column yields nulls and garbage components — refuse non-integral ids
-    // loudly instead. Hash string ids to long upstream (xxhash64(col) —
-    // collision odds ~n²/2⁶⁵) and keep the mapping to join back.
+    // Vertex ids are Long (GraphX requires it; the DF path keeps the same
+    // contract so group ids are comparable). A silent cast("long") on a
+    // string/UUID id column yields nulls and garbage components — refuse
+    // non-integral ids loudly instead. Hash string ids to long upstream
+    // (xxhash64(col) — collision odds ~n²/2⁶⁵) and keep the mapping to
+    // join back.
     def requireIntegral(df: DataFrame, c: String): Unit = {
       import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
       df.schema(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType => ()
         case other => throw new IllegalArgumentException(
-          s"dupGroups needs an integral id column (GraphX vertex ids are Long); " +
+          s"dupGroups needs an integral id column (vertex ids are Long); " +
             s"'$c' is ${other.catalogString}. Hash string ids to long explicitly " +
             s"(e.g. xxhash64) and join the mapping back — do not rely on a cast.")
       }
@@ -855,14 +869,116 @@ object Dedup {
     requireIntegral(allIds, idCol)
     requireIntegral(pairs, "id_a")
     requireIntegral(pairs, "id_b")
-    val vertices = allIds.select(col(idCol).cast("long")).distinct()
-      .rdd.map(r => (r.getLong(0), ()))
-    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-    val graph = Graph(vertices, edges)
-    val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(graph)
-    spark.createDataFrame(cc.vertices.map { case (id, group) => (id, group) })
-      .toDF(idCol, "group_id")
+    if (useGraphX) {
+      import org.apache.spark.graphx.{Edge, Graph}
+      val vertices = allIds.select(col(idCol).cast("long")).distinct()
+        .rdd.map(r => (r.getLong(0), ()))
+      val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+      val graph = Graph(vertices, edges)
+      val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(graph)
+      spark.createDataFrame(cc.vertices.map { case (id, group) => (id, group) })
+        .toDF(idCol, "group_id")
+    } else {
+      val ep = pairs.select(col("id_a").cast("long").as("node"))
+        .union(pairs.select(col("id_b").cast("long").as("node")))
+      val labels = ccLargeSmallStar(
+        pairs.select(col("id_a").cast("long"), col("id_b").cast("long")))
+      // GraphX parity: the node universe is allIds ∪ edge endpoints;
+      // unlabeled nodes (singletons and component minima) label themselves
+      allIds.select(col(idCol).cast("long").as("node"))
+        .union(ep).where(col("node").isNotNull).distinct()
+        .join(labels, Seq("node"), "left")
+        .select(col("node").as(idCol),
+          coalesce(col("group_id"), col("node")).as("group_id"))
+    }
+  }
+
+  /** Alternating large-star / small-star connected components (Kiveris et
+    * al. 2014) over an undirected edge list — pure DataFrame self-joins and
+    * min-aggregates, no RDDs. Each round:
+    *
+    *  - '''large-star''': for every node `a`, attach each STRICTLY LARGER
+    *    neighbor `b > a` to `m = min(Γ(a) ∪ {a})`. Every edge survives from
+    *    its smaller endpoint's perspective, so no connectivity is lost.
+    *  - '''small-star''': orient edges to the larger endpoint `u`; attach
+    *    `u` and all its (smaller) neighbors to their minimum.
+    *
+    * Both passes strictly shrink the potential Σ(node − its min reachable
+    * neighbor); at the fixed point the edge set is a collection of stars
+    * `(member, component-min)`. Convergence is detected by an order-
+    * invariant fingerprint (count + sum of per-edge xxhash64) — one tiny
+    * aggregate per round on the frame the round materialized anyway.
+    *
+    * Scale shape: per round, two hash aggregates (the min maps, keyed by
+    * node) and two broadcast-eligible equi-joins back onto the edge list —
+    * every operator whole-stage-codegen'd, AQE free to pick join strategies
+    * and coalesce partitions; the edge frame is `localCheckpoint`ed each
+    * round (lineage cut — the PageRank discipline) and the previous round's
+    * blocks are released as soon as the next materializes, so live storage
+    * is O(1) rounds.
+    *
+    * Returns (node, group_id) for every node that appears in `pairs` and is
+    * NOT its component's minimum; minima (and nodes absent from `pairs`)
+    * are the caller's to label themselves.
+    */
+  private[graft] def ccLargeSmallStar(pairs: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    def pinCut(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, (sc.getPersistentRDDs.keySet -- before).toSeq
+        .flatMap(sc.getPersistentRDDs.get))
+    }
+    // orient u > v, drop self-loops, dedup
+    var (edges, held) = pinCut(pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct())
+    def fingerprint(e: DataFrame): (Long, BigDecimal) = {
+      // sum the 64-bit hashes in DECIMAL(38,0) — a long sum overflows ANSI
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+    var prev = fingerprint(edges)
+    var round = 0
+    var converged = prev._1 == 0L
+    while (!converged && round < maxRounds) {
+      // large-star: Γ over both directions; m = min(Γ(a) ∪ {a}) ≤ a < b,
+      // so emitted edges are already (larger, smaller)-oriented
+      val adj = edges.select(col("u").as("a"), col("v").as("b"))
+        .union(edges.select(col("v").as("a"), col("u").as("b")))
+      val minsL = adj.groupBy(col("a"))
+        .agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      val ls = adj.join(minsL, Seq("a"))
+        .where(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: all neighbors of u are < u here; m = min(Γ(u)) < u
+      val minsS = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = ls.join(minsS, Seq("u"))
+        .select(col("v").as("node"), col("m"))
+        .union(minsS.select(col("u").as("node"), col("m")))
+        .where(col("node") =!= col("m"))
+        .select(col("node").as("u"), col("m").as("v"))
+        .distinct()
+      val (next, nextHeld) = pinCut(ss)
+      val cur = fingerprint(next)
+      held.foreach(_.unpersist(blocking = false))
+      edges = next; held = nextHeld
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    require(converged,
+      s"connected components did not converge in $maxRounds rounds")
+    // at the fixed point every edge is (member, component-min)
+    edges.select(col("u").as("node"), col("v").as("group_id"))
   }
 
   /** End-to-end near-dedup: MinHash candidate pairs → transitive groups →

@@ -375,7 +375,11 @@ object Funnel {
         payloadCols = Seq("channel", "touch_s"),
         toleranceSeconds = Some(windowSeconds))
       .where(col("touch_s").isNotNull)
-      .select(col("channel"),
+      // attributed-but-channel-less touches (props.k missing/non-numeric)
+      // bucket to −1 — e97's convention, and it pins NULL ordering: Spark
+      // sorts NULLs first ASC, DuckDB last, so a raw NULL group would
+      // diverge in row order under the hash gate
+      .select(coalesce(col("channel"), lit(-1L)).as("channel"),
         (col(tsCol).cast("long") - col("touch_s")).as("tt_s"))
     val arr = probs.map(p => s"${p}D").mkString(", ")
     val pctAgg =
@@ -435,7 +439,7 @@ object Funnel {
        |  FROM conv c ASOF LEFT JOIN touches t
        |    ON c.user_id = t.user_id AND c.ts >= t.ts
        |)
-       |SELECT channel, COUNT(*) AS n_conversions,
+       |SELECT COALESCE(channel, -1) AS channel, COUNT(*) AS n_conversions,
        |  $pctSel
        |FROM credited
        |WHERE tt_s IS NOT NULL
@@ -526,7 +530,9 @@ object Funnel {
         struct(col(startCol).cast("long").as("t"), lit(1L).as("delta")),
         struct(col(endCol).cast("long").as("t"), lit(-1L).as("delta")))).as("x"))
       .select(col("x.t").as("t"), col("x.delta").as("delta"))
-      .withColumn("bucket", expr(s"t div $bucketUs"))
+      // floor division (the AsOfJoin binning convention) — `div` truncates
+      // toward zero and would diverge from DuckDB's `//` on pre-1970 times
+      .withColumn("bucket", floor(col("t") / lit(bucketUs)).cast("long"))
     val wLocal = Window.partitionBy(col("bucket"))
       .orderBy(col("t"), col("delta"))
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -253,6 +253,67 @@ object Similarity {
     }
   }
 
+  /** Occupancy skew = fullest cell ÷ mean cell occupancy — the scalar
+    * [[ivfNeedsRefit]] thresholds on, exposed so callers (and the refit
+    * report) can log it. Footer metadata only; 0.0 on an empty index.
+    */
+  def ivfSkew(spark: SparkSession, path: String): Double = {
+    val occ = ivfOccupancy(spark, path)
+    if (occ.isEmpty || occ.values.sum == 0L) 0.0
+    else occ.values.max.toDouble / (occ.values.sum.toDouble / occ.size)
+  }
+
+  /** The refit that [[ivfNeedsRefit]] asks for: re-cluster the index from
+    * its CURRENT cell contents (original build + every upserted batch) and
+    * replace the physical layout — closing the upsert lifecycle
+    * (build → append drift → trigger → refit) without the caller hand-wiring
+    * a rebuild.
+    *
+    * The new fit is staged in a temp directory and SWAPPED in with
+    * filesystem renames (old layout parked, new layout moved into place,
+    * park deleted), so a crash mid-refit leaves either the old index or the
+    * new one — readers never observe a half-written corpus. The read of the
+    * old corpus fully materializes into the staged write before anything is
+    * touched, so the swap is the only mutation window.
+    *
+    * `nClusters = 0` (default) keeps the current cell count; pass an
+    * explicit value to resize (e.g. √n̂ from [[ivfOccupancy]] totals after
+    * heavy growth). Returns (skew before, skew after) — the [[ivfSkew]]
+    * scalar — for the caller's drift log; recall-before/after is the
+    * caller's probe (it needs a query workload — see SimilaritySpec's
+    * drift → trigger → refit → recall-restored loop).
+    */
+  def refitIvfIndex(spark: SparkSession, path: String,
+      nClusters: Int = 0,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): (Double, Double) = {
+    val skewBefore = ivfSkew(spark, path)
+    val occ = ivfOccupancy(spark, path)
+    require(occ.nonEmpty, s"no IVF corpus at $path/corpus — build the index first")
+    val k = if (nClusters > 0) nClusters else occ.size
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val tmp = s"$path/__refit_tmp"
+    val park = s"$path/__refit_old"
+    fs.delete(p(tmp), true); fs.delete(p(park), true)
+    // stage the new fit from the current contents (cell column dropped —
+    // the new fit reassigns); buildIvfIndex materializes the read before
+    // the swap touches anything
+    val corpus = spark.read.parquet(s"$path/corpus").select(col(idCol), col(vecCol))
+    buildIvfIndex(corpus, tmp, k, vecCol, idCol)
+    // swap: park old, move staged in, drop the park
+    fs.mkdirs(p(park))
+    require(fs.rename(p(s"$path/corpus"), p(s"$park/corpus")) &&
+      fs.rename(p(s"$path/centroids"), p(s"$park/centroids")),
+      s"refit swap failed parking the old layout under $park — staged fit left at $tmp")
+    require(fs.rename(p(s"$tmp/corpus"), p(s"$path/corpus")) &&
+      fs.rename(p(s"$tmp/centroids"), p(s"$path/centroids")),
+      s"refit swap failed installing the new layout — old index parked at $park")
+    fs.delete(p(park), true); fs.delete(p(tmp), true)
+    (skewBefore, ivfSkew(spark, path))
+  }
+
   /** Query a [[buildIvfIndex]] index: rank centroids against the query on
     * the driver (the centroids table is nClusters rows — deliberately tiny),
     * then scan ONLY the nProbes matching cell partitions and score exact

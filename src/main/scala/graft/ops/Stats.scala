@@ -504,6 +504,32 @@ object Stats {
        |       THEN round((po - pe) / (1.0 - pe), 4) END AS kappa
        |FROM ps""".stripMargin
 
+  /** Pre-flight grid-cardinality guard for the rank-grid family
+    * ([[aucBinary]], [[rocPoints]], [[ksTest]], [[spearman]]) — makes the
+    * "resolution-bounded, never row-bounded" contract SELF-ENFORCING
+    * instead of an argument: those operators run an unpartitioned
+    * cumulative window over the distinct-bucket grid, which is fine at the
+    * declared parameters (decimals=2..4 over bounded ranges) but a caller
+    * passing decimals=6 over a wide-range column would get an unbounded
+    * single-task window. The guard persists the grid-sized cell frame
+    * (its first consumer materializes it anyway — the count is the
+    * materialization, so the corpus is still scanned ONCE) and refuses
+    * loudly above `maxGridCells` — the [[graft.ext.Percentiles.exactBy]]
+    * largest-group pattern applied to grids.
+    */
+  private def boundedGrid(cells: DataFrame, op: String,
+      maxGridCells: Long): DataFrame = {
+    require(maxGridCells > 0, s"maxGridCells must be positive: $maxGridCells")
+    val pinned = cells.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = pinned.count()
+    require(n <= maxGridCells,
+      s"Stats.$op: $n distinct value-grid cells exceed maxGridCells=$maxGridCells. " +
+        "The cumulative window runs in ONE task bounded by GRID size — lower " +
+        "`decimals` (each step cuts the grid 10x), or switch to a sketch " +
+        "(approx_percentile / GK) at this scale.")
+    pinned
+  }
+
   /** Exact binary AUC — the Mann–Whitney rank form with the standard tie
     * correction: AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻), the
     * classifier-eval metric (and the quality-score sanity probe: does the
@@ -523,16 +549,16 @@ object Stats {
     * float division fixes its association and rounds.
     */
   def aucBinary(df: DataFrame, scoreCol: String, labelCol: String,
-      decimals: Int = 4): DataFrame = {
+      decimals: Int = 4, maxGridCells: Long = 50000000L): DataFrame = {
     require(decimals >= -6 && decimals <= 6,
       s"decimals bounds the score grid; want [-6, 6], got $decimals")
     val scaleF = math.pow(10, decimals)
     val lab = col(labelCol).cast("boolean")
-    val cells = df
+    val cells = boundedGrid(df
       .where(col(scoreCol).isNotNull && lab.isNotNull)
       .groupBy(round(col(scoreCol) * scaleF, 0).cast("long").as("sb"))
       .agg(sum(when(lab, 1L).otherwise(0L)).as("np"),
-        sum(when(!lab, 1L).otherwise(0L)).as("nn"))
+        sum(when(!lab, 1L).otherwise(0L)).as("nn")), "aucBinary", maxGridCells)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("sb"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val agg = cells
@@ -595,17 +621,17 @@ object Stats {
     * yields null for its rate column rather than a division error.
     */
   def rocPoints(df: DataFrame, scoreCol: String, labelCol: String,
-      decimals: Int = 4): DataFrame = {
+      decimals: Int = 4, maxGridCells: Long = 50000000L): DataFrame = {
     require(decimals >= -6 && decimals <= 6,
       s"decimals bounds the score grid; want [-6, 6], got $decimals")
     import org.apache.spark.sql.expressions.Window
     val scaleF = math.pow(10, decimals)
     val lab = col(labelCol).cast("boolean")
-    val cells = df
+    val cells = boundedGrid(df
       .where(col(scoreCol).isNotNull && lab.isNotNull)
       .groupBy(round(col(scoreCol) * scaleF, 0).cast("long").as("sb"))
       .agg(sum(when(lab, 1L).otherwise(0L)).as("np"),
-        sum(when(!lab, 1L).otherwise(0L)).as("nn"))
+        sum(when(!lab, 1L).otherwise(0L)).as("nn")), "rocPoints", maxGridCells)
     val wCum = Window.orderBy(col("sb").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window.orderBy(col("sb").desc)
@@ -937,17 +963,16 @@ object Stats {
     * top-1 all run on that grid.
     */
   def ksTest(df: DataFrame, valueCol: String, labelCol: String,
-      decimals: Int = 4): DataFrame = {
+      decimals: Int = 4, maxGridCells: Long = 50000000L): DataFrame = {
     require(decimals >= -6 && decimals <= 6,
       s"decimals bounds the value grid; want [-6, 6], got $decimals")
     val scaleF = math.pow(10, decimals)
     val lab = col(labelCol).cast("boolean")
-    val cells = df
+    val cells = boundedGrid(df
       .where(col(valueCol).isNotNull && lab.isNotNull)
       .groupBy(round(col(valueCol) * scaleF, 0).cast("long").as("sb"))
       .agg(sum(when(lab, 1L).otherwise(0L)).as("na"),
-        sum(when(!lab, 1L).otherwise(0L)).as("nb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sum(when(!lab, 1L).otherwise(0L)).as("nb")), "ksTest", maxGridCells)
     val tot = cells.agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("sb"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -1034,16 +1059,15 @@ object Stats {
     * integers.
     */
   def spearman(df: DataFrame, xCol: String, yCol: String,
-      decimals: Int = 2): DataFrame = {
+      decimals: Int = 2, maxGridCells: Long = 50000000L): DataFrame = {
     require(decimals >= -6 && decimals <= 6,
       s"decimals bounds the rank grid; want [-6, 6], got $decimals")
     val scaleF = math.pow(10, decimals)
-    val joint = df
+    val joint = boundedGrid(df
       .where(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(round(col(xCol) * scaleF, 0).cast("long").as("bx"),
         round(col(yCol) * scaleF, 0).cast("long").as("by"))
-      .agg(count(lit(1)).as("n_xy"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .agg(count(lit(1)).as("n_xy")), "spearman", maxGridCells)
     // grid-sized (resolution-bounded); three consumers (two marginals +
     // the moment join) — cache-lifetime convention, see object scaladoc
     def marginalRanks(bCol: String, rName: String): DataFrame = {
@@ -1301,9 +1325,13 @@ object Stats {
        |  FROM means
        |), ci AS (
        |  SELECT MAX(cnt) AS b,
-       |    MIN(CASE WHEN rn = greatest(1, CAST(ceiling(cnt * ${alpha / 2}) AS BIGINT))
+       |    -- CAST the embedded literals to DOUBLE: bare decimals parse as DECIMAL
+       |    -- and DuckDB would compute the rank product exactly while the
+       |    -- Spark twin multiplies doubles — ceil could differ by one when
+       |    -- the exact product is an integer (the ndcgAtKSql convention)
+       |    MIN(CASE WHEN rn = greatest(1, CAST(ceiling(cnt * CAST(${alpha / 2} AS DOUBLE)) AS BIGINT))
        |             THEN mean_rep END) AS lo,
-       |    MIN(CASE WHEN rn = least(cnt, CAST(ceiling(cnt * ${1 - alpha / 2}) AS BIGINT))
+       |    MIN(CASE WHEN rn = least(cnt, CAST(ceiling(cnt * CAST(${1 - alpha / 2} AS DOUBLE)) AS BIGINT))
        |             THEN mean_rep END) AS hi
        |  FROM ranked
        |), tot AS (

@@ -289,6 +289,39 @@ class DedupSpec extends AnyFunSuite {
     assert(groups(4L) == 4L && groups(5L) == 4L)
   }
 
+  test("large-star/small-star CC ≡ GraphX on the e11 pair graph and adversarial shapes") {
+    import spark.implicits._
+    // real corpus: the e11 n-gram Jaccard pair graph over sf0.001 documents
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val realPairs = Dedup.ngramJaccardPairs(corpus, minJaccard = 0.3)
+      .select(col("id_a"), col("id_b"))
+    val realIds = corpus.select(col("doc_id"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dfPath = asMap(Dedup.dupGroups(realIds, realPairs))
+    val gxPath = asMap(Dedup.dupGroups(realIds, realPairs, useGraphX = true))
+    assert(dfPath == gxPath, "DataFrame CC must match GraphX on real pairs")
+    assert(dfPath.nonEmpty)
+    // adversarial shapes: a long path (forces multiple alternation rounds),
+    // a clique, a singleton, and an edge endpoint absent from allIds
+    val ids = (1L to 12L).toDF("doc_id")
+    val path = (20L to 27L).sliding(2).map(s => (s(1), s(0))).toSeq // 20..27 chain, absent from ids
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // path graph
+      (8L, 9L), (9L, 10L), (8L, 10L)) ++ path) // triangle + external chain
+      .toDF("id_a", "id_b")
+    val got = asMap(Dedup.dupGroups(ids, pairs))
+    val gx = asMap(Dedup.dupGroups(ids, pairs, useGraphX = true))
+    assert(got == gx, "shape graphs must match GraphX exactly")
+    (1L to 6L).foreach(i => assert(got(i) == 1L))
+    assert(got(7L) == 7L && got(11L) == 11L && got(12L) == 12L) // singletons
+    Seq(8L, 9L, 10L).foreach(i => assert(got(i) == 8L))
+    (20L to 27L).foreach(i => assert(got(i) == 20L)) // endpoints outside allIds
+    // empty pair list: everyone is their own group
+    val none = asMap(Dedup.dupGroups(ids, pairs.where(lit(false))))
+    assert(none == (1L to 12L).map(i => i -> i).toMap)
+  }
+
   test("nearDedupRows keeps one doc per near-dup cluster") {
     // 1,2,5 normalize-identical; 3 near (jaccard ~0.7 on shingles); 4 unique
     val kept = Dedup.nearDedupRows(docs, minJaccard = 0.5)

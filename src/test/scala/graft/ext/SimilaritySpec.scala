@@ -184,12 +184,37 @@ class SimilaritySpec extends AnyFunSuite {
     // a balanced index does not demand a refit; a pathological append —
     // 600 copies of one vector, all landing in a single cell — does
     assert(!Similarity.ivfNeedsRefit(spark, idx, skewThreshold = 4.0))
+    // pathological append: 600 near-copies of one vector (tiny deterministic
+    // per-id perturbations — a tight CLUSTER, not identical points, so a
+    // refit can meaningfully re-cluster it), all landing in a single cell
     val hotEmb = real.where(col("vec_id") === 0).select(col("embedding"))
     Similarity.upsertIvfIndex(spark, idx,
       spark.range(600).crossJoin(broadcast(hotEmb))
-        .select((col("id") + 20000).as("vec_id"), col("embedding")))
+        .select((col("id") + 20000).as("vec_id"),
+          transform(col("embedding"),
+            (x, j) => x + (pmod(col("id") * 31 + j, lit(7)) - 3).cast("double") * 0.02)
+            .as("embedding")))
     assert(Similarity.ivfNeedsRefit(spark, idx, skewThreshold = 4.0),
       s"skewed occupancy not flagged: ${Similarity.ivfOccupancy(spark, idx)}")
+    // drift → trigger → REFIT: re-cluster from current contents, atomic swap
+    val (skewBefore, skewAfter) = Similarity.refitIvfIndex(spark, idx)
+    assert(skewBefore > 4.0, s"reported pre-refit skew $skewBefore")
+    assert(skewAfter < skewBefore,
+      s"refit did not reduce occupancy skew: $skewBefore -> $skewAfter")
+    assert(!Similarity.ivfNeedsRefit(spark, idx, skewThreshold = skewBefore))
+    // nothing lost, cell count kept, no staging/park leftovers
+    val occ2 = Similarity.ivfOccupancy(spark, idx)
+    assert(occ2.values.sum == 1100L, s"refit lost rows: ${occ2.values.sum}")
+    assert(occ2.size == nClusters, s"refit changed cell count: ${occ2.size}")
+    assert(!new java.io.File(s"$idx/__refit_tmp").exists, "staging dir left behind")
+    assert(!new java.io.File(s"$idx/__refit_old").exists, "parked old layout left behind")
+    // recall restored: a query at the hot cluster's center finds its
+    // near-copies (cosine ~1) through the NEW centroids at small probes
+    val qv0 = real.where(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val top = Similarity.ivfTopKIndexed(spark, idx, qv0, 5, nProbes = 2).collect()
+    assert(top.length == 5 && top.forall(_.getDouble(1) >= 0.95),
+      s"post-refit probe lost the hot cluster: ${top.map(_.getDouble(1)).toSeq}")
   }
 
   test("ivfTopKBatch equals per-query ivfTopKIndexed on the real embeddings table") {

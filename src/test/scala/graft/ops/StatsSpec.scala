@@ -563,4 +563,30 @@ class StatsSpec extends AnyFunSuite {
       Stats.bootstrapMeanCi(df, "v", "id", alpha = 0.7)
     }
   }
+
+  test("rank-grid guard trips on adversarial resolution, passes at declared parameters") {
+    import spark.implicits._
+    // adversarial shape: fine decimals over a wide value range — every row
+    // its own grid cell, so the single-task cumulative window would be
+    // row-bounded. With a low ceiling the guard must refuse EAGERLY (at
+    // call time, before any window runs).
+    val wide = (1 to 500).map(i => (i * 1234.567891, i % 2 == 0, (501 - i) * 0.97))
+      .toDF("score", "label", "y")
+    def trips(f: => org.apache.spark.sql.DataFrame): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("maxGridCells"), e.getMessage)
+    }
+    trips(Stats.aucBinary(wide, "score", "label", decimals = 6, maxGridCells = 100))
+    trips(Stats.rocPoints(wide, "score", "label", decimals = 6, maxGridCells = 100))
+    trips(Stats.ksTest(wide, "score", "label", decimals = 6, maxGridCells = 100))
+    trips(Stats.spearman(wide, "score", "y", decimals = 6, maxGridCells = 100))
+    // the same data at the DECLARED parameters passes and produces results
+    assert(Stats.aucBinary(wide, "score", "label").collect().length == 1)
+    assert(Stats.spearman(wide, "score", "y", decimals = 2).collect().length == 1)
+    // and a coarse grid under the same low ceiling also passes: the guard
+    // binds on grid cardinality, not row count
+    import org.apache.spark.sql.functions.col
+    assert(Stats.ksTest(wide.select((col("score") % 7.0).as("score"), col("label")),
+      "score", "label", decimals = 0, maxGridCells = 100).collect().length == 1)
+  }
 }
