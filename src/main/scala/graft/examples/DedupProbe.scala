@@ -1,0 +1,185 @@
+package graft.examples
+
+import graft.ext.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Two dedup-infrastructure measurements the round-10 verdict asked for,
+  * executed at rehearsal scale (typically `/tmp/sf1`, 500k docs):
+  *
+  *  1. '''Connected-components engine A/B''' (VERDICT item 2): time
+  *     [[Dedup.dupGroups]]'s DataFrame-native large-star/small-star path
+  *     against the retired GraphX path on the e11 pair graph, asserting the
+  *     label maps are IDENTICAL first — the perf claim only counts because
+  *     the outputs are pinned equal.
+  *
+  *  2. '''Capped-Jaccard empirical recall''' (VERDICT item 4): the
+  *     `maxDocFreq` cap's recall contract is test-pinned (a pair is found
+  *     iff it reaches the threshold on sub-cap shingles alone) but its cost
+  *     on REALISTIC data was unmeasured. On a deterministic hash-sample of
+  *     the corpus (uncapped is Σ df² and intentionally not run at full sf1 —
+  *     the round-9 rehearsal measured it spilling >75 GB), run capped vs
+  *     uncapped at several caps and report: pairs found, true pairs lost,
+  *     lost-pair histogram by true-Jaccard band, and the maximum Jaccard
+  *     lost. Same for the containment family (e106's cap).
+  *
+  * Run: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.examples.DedupProbe /tmp/sf1 0.1"`.
+  * Results recorded per round in ROUND_NOTES.md / BASELINE.md.
+  */
+object DedupProbe {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/sf1")
+    val frac = if (args.length > 1) args(1).toDouble else 0.1
+    // which sections to run: "cc" (engine A/B), "recall" (capped-vs-uncapped
+    // on the hash sample), "captime" (full-corpus capped-Jaccard wall time
+    // per cap — the Σ df² sensitivity probe for rehearsal scale)
+    val sections = (if (args.length > 2) args(2) else "cc,recall")
+      .split(",").map(_.trim).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-dedup-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = graft.ops.Layout.repairScanParallelism(
+      spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"), col("text")))
+
+    // ---- 0. full-corpus cap sensitivity (Σ df² realized under the cap) ----
+    if (sections("captime")) {
+      Seq(1000, 500, 250, 100).foreach { cap =>
+        val t0 = System.nanoTime()
+        val n = Dedup.ngramJaccardPairs(docs, minJaccard = 0.5, maxDocFreq = cap).count()
+        println(f"[dedup-probe] captime jaccard(0.5) cap=$cap%d: $n%d pairs in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+    }
+    // ---- 0a. e18 hot-segment audit + capped timing: segment-bucket sizes
+    // drive the PassJoin candidate volume (a B-doc bucket is ~B² DPs); this
+    // prints the top buckets at this scale and times the capped operator —
+    // the evidence behind the declared `maxSegmentBucket` choice.
+    if (sections("hotseg")) {
+      val top = Dedup.editDistanceHotSegments(docs, maxDist = 5, prefixLen = 40,
+        minBucket = 100).limit(8).collect()
+      println(s"[dedup-probe] hotseg top buckets: " +
+        top.map(r => s"(l=${r.getInt(0)},i=${r.getInt(1)},n=${r.getLong(3)})").mkString(" "))
+      // capped legs FIRST (tightest first): an OOMing leg can take the whole
+      // SparkContext with it (measured at sf10), voiding every leg after it
+      val hotsegCaps = sys.env.get("GRAFT_HOTSEG_CAPS")
+        .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(2000, 0))
+      hotsegCaps.takeWhile(_ => !spark.sparkContext.isStopped).foreach { cap =>
+        try {
+          val t0 = System.nanoTime()
+          val n = Dedup.editDistancePairs(docs, maxDist = 5, prefixLen = 40,
+            maxSegmentBucket = cap).count()
+          println(f"[dedup-probe] editdist cap=$cap%d: $n%d pairs in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        } catch {
+          case e: Throwable =>
+            println(s"[dedup-probe] editdist cap=$cap FAILED: ${e.getMessage.take(120)}")
+        }
+      }
+    }
+
+    // ---- 0b. CC engine A/B at graph scale: real dedup pair graphs are tiny
+    // (near-dups are rare), so the e11 graph can't exercise the at-scale
+    // claim. Synthesize a dedup-cluster-shaped graph — many 10-node chain
+    // components (worst diameter for a cluster of that size) plus a handful
+    // of 100k-member mega-clusters (the boilerplate-duplicate shape) — and
+    // A/B the engines at millions of edges.
+    if (sections("ccscale")) {
+      val n = 5000000L
+      val ids = spark.range(n).select(col("id").as("doc_id"))
+      val chains = spark.range(n).where(pmod(col("id"), lit(10)) =!= 0)
+        .select(col("id").as("id_a"), (col("id") - 1).as("id_b"))
+      val mega = spark.range(n).where(pmod(col("id"), lit(50)) === 0)
+        .select(col("id").as("id_a"),
+          (pmod(col("id"), lit(5)) * 1000000000L).as("id_b")) // 5 hubs of 100k
+      val pairs = chains.union(mega).localCheckpoint(true)
+      val nPairs = pairs.count()
+      def timeIt(tag: String, f: => DataFrame): Double = {
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"[dedup-probe] ccscale $tag: $s%.1f s over $nPairs%d edges")
+        s
+      }
+      val a = timeIt("large-star/small-star", Dedup.dupGroups(ids, pairs))
+      val b = timeIt("graphx", Dedup.dupGroups(ids, pairs, useGraphX = true))
+      println(f"[dedup-probe] ccscale ratio graphx/df = x${b / a}%.2f")
+    }
+
+    // ---- 1. CC engine A/B on the e11 pair graph (declared params) ----
+    if (sections("cc")) {
+      val pairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.5, maxDocFreq = 1000)
+        .select(col("id_a"), col("id_b")).localCheckpoint(true)
+      val nPairs = pairs.count()
+      val ids = docs.select(col("doc_id"))
+      def labelsFingerprint(df: DataFrame): (Long, BigDecimal) = {
+        val r = df.agg(count(lit(1)),
+          sum(xxhash64(col("doc_id"), col("group_id")).cast("decimal(38,0)"))).head
+        (r.getLong(0), BigDecimal(r.getDecimal(1)))
+      }
+      val fpDf = labelsFingerprint(Dedup.dupGroups(ids, pairs))
+      val fpGx = labelsFingerprint(Dedup.dupGroups(ids, pairs, useGraphX = true))
+      require(fpDf == fpGx, s"CC engines disagree: DF $fpDf vs GraphX $fpGx")
+      def time(f: => DataFrame): Double = {
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val tDf = (1 to 3).map(_ => time(Dedup.dupGroups(ids, pairs)))
+      val tGx = (1 to 3).map(_ => time(Dedup.dupGroups(ids, pairs, useGraphX = true)))
+      println(f"[dedup-probe] CC over $nPairs%d pairs: large-star/small-star " +
+        f"${median(tDf)}%.2f s vs GraphX ${median(tGx)}%.2f s " +
+        f"(x${median(tGx) / median(tDf)}%.2f); labels identical")
+    }
+    if (!sections("recall")) { spark.stop(); return }
+
+    // ---- 2. capped vs uncapped recall on a hash-sample ----
+    val sample = docs.where(pmod(xxhash64(col("doc_id")), lit(1000L)) < (frac * 1000).toLong)
+      .localCheckpoint(true)
+    val nSample = sample.count()
+    println(s"[dedup-probe] recall sample: $nSample docs (frac $frac)")
+
+    def recallTable(opName: String, run: Int => DataFrame, scoreOf: DataFrame => DataFrame,
+        caps: Seq[Int]): Unit = {
+      val un = scoreOf(run(0)).localCheckpoint(true)
+      val nUn = un.count()
+      caps.foreach { cap =>
+        val cp = scoreOf(run(cap))
+        val nCp = cp.count()
+        val lost = un.join(cp.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_anti")
+          .localCheckpoint(true)
+        val bands = lost.groupBy(floor(col("score") * 10).as("band10"))
+          .agg(count(lit(1)).as("n")).orderBy(col("band10"))
+          .collect().map(r => s"[${r.getLong(0) / 10.0},${r.getLong(0) / 10.0 + 0.1}): ${r.getLong(1)}")
+        val maxLost = lost.agg(max(col("score"))).head()
+        val maxLostStr = if (maxLost.isNullAt(0)) "none" else f"${maxLost.getDouble(0)}%.4f"
+        println(s"[dedup-probe] $opName cap=$cap: pairs $nCp / uncapped $nUn, " +
+          s"lost ${nUn - nCp}; lost by band {${bands.mkString(", ")}}; max score lost $maxLostStr")
+      }
+    }
+
+    recallTable("jaccard(0.5)",
+      cap => Dedup.ngramJaccardPairs(sample, minJaccard = 0.5, maxDocFreq = cap),
+      df => df.select(col("id_a"), col("id_b"), col("jaccard").as("score")),
+      Seq(2000, 1000, 500, 250))
+    recallTable("containment(0.9)",
+      cap => Dedup.ngramContainmentPairs(sample, minContainment = 0.9, maxDocFreq = cap),
+      df => df.select(col("id_a"), col("id_b"),
+        greatest(col("c_a_in_b"), col("c_b_in_a")).as("score")),
+      Seq(2000, 1000, 500))
+
+    spark.stop()
+  }
+}

@@ -496,6 +496,35 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Posting-list bucket builder shared by [[ngramJaccardPairs]] and
+    * [[ngramContainmentPairs]]: group the inverted index `(id, n_sh, g)` into
+    * per-shingle member lists, keeping only shingles shared by 2..`maxDocFreq`
+    * documents (all sharers when `maxDocFreq = 0`).
+    *
+    * When a cap is set, document frequency is counted FIRST (a partial-
+    * aggregated long per shingle) and only surviving shingles reach the
+    * `collect_list` — ordering matters at scale: filtering on
+    * `size(members)` AFTER aggregation means the densest shingle
+    * (boilerplate, df ≈ corpus size) buffers its ENTIRE posting list in one
+    * aggregation task before the cap can drop it. The sf10 rehearsal
+    * (5M docs) measured that as 114 GB of aggregation spill and a ×14.8
+    * sf1→sf10 wall ratio on e11; with the df-prefilter every list buffer is
+    * bounded by the cap. The join on `g` leaves the stream hash-partitioned
+    * by `g`, so the follow-up groupBy adds no exchange — the prefilter costs
+    * one cheap count pass, not a third shuffle of the index.
+    */
+  private def postingBuckets(inv: DataFrame, maxDocFreq: Int): DataFrame =
+    if (maxDocFreq > 0) {
+      val dfreq = inv.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+        .where(col("__df") > 1 && col("__df") <= maxDocFreq)
+      inv.join(dfreq.select(col("g")), Seq("g"))
+        .groupBy(col("g"))
+        .agg(collect_list(struct(col("id"), col("n_sh"))).as("members"))
+    } else
+      inv.groupBy(col("g"))
+        .agg(collect_list(struct(col("id"), col("n_sh"))).as("members"))
+        .where(size(col("members")) > 1)
+
   /** Exact n-gram Jaccard near-dup pairs at or above `minJaccard`, via
     * posting-list buckets: explode shingles → ONE shuffle grouping the
     * (id, |set|) posting list per shingle → in-bucket pair explode with a
@@ -548,12 +577,7 @@ object Dedup {
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
     val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("g"))
-    val buckets0 = inv.groupBy(col("g"))
-      .agg(collect_list(struct(col("id"), col("n_sh"))).as("members"))
-      .where(size(col("members")) > 1)
-    val buckets =
-      if (maxDocFreq > 0) buckets0.where(size(col("members")) <= maxDocFreq)
-      else buckets0
+    val buckets = postingBuckets(inv, maxDocFreq)
     val copairs = buckets
       .select(explode(col("members")).as("a"), col("members"))
       .select(col("a"), explode(col("members")).as("b"))
@@ -618,12 +642,7 @@ object Dedup {
       .select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
       .where(col("n_sh") > 0)
     val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("g"))
-    val buckets0 = inv.groupBy(col("g"))
-      .agg(collect_list(struct(col("id"), col("n_sh"))).as("members"))
-      .where(size(col("members")) > 1)
-    val buckets =
-      if (maxDocFreq > 0) buckets0.where(size(col("members")) <= maxDocFreq)
-      else buckets0
+    val buckets = postingBuckets(inv, maxDocFreq)
     val counted = buckets
       .select(explode(col("members")).as("a"), col("members"))
       .select(col("a"), explode(col("members")).as("b"))
@@ -880,10 +899,17 @@ object Dedup {
       spark.createDataFrame(cc.vertices.map { case (id, group) => (id, group) })
         .toDF(idCol, "group_id")
     } else {
-      val ep = pairs.select(col("id_a").cast("long").as("node"))
-        .union(pairs.select(col("id_b").cast("long").as("node")))
-      val labels = ccLargeSmallStar(
-        pairs.select(col("id_a").cast("long"), col("id_b").cast("long")))
+      // materialize the pair list ONCE (often the output of an expensive
+      // candidate join): the CC loop AND the node-universe union both read
+      // it, and without the cut each reference would recompute the whole
+      // pair generation. Left persisted — the operator-internal cache
+      // convention (see Curate's release-behind for pipeline-scale use).
+      val pc = pairs
+        .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
+        .localCheckpoint(true)
+      val ep = pc.select(col("id_a").as("node"))
+        .union(pc.select(col("id_b").as("node")))
+      val labels = ccLargeSmallStar(pc)
       // GraphX parity: the node universe is allIds ∪ edge endpoints;
       // unlabeled nodes (singletons and component minima) label themselves
       allIds.select(col(idCol).cast("long").as("node"))
@@ -910,10 +936,10 @@ object Dedup {
     * invariant fingerprint (count + sum of per-edge xxhash64) — one tiny
     * aggregate per round on the frame the round materialized anyway.
     *
-    * Scale shape: per round, two hash aggregates (the min maps, keyed by
-    * node) and two broadcast-eligible equi-joins back onto the edge list —
-    * every operator whole-stage-codegen'd, AQE free to pick join strategies
-    * and coalesce partitions; the edge frame is `localCheckpoint`ed each
+    * Scale shape: per round, each star pass computes its neighborhood min
+    * with a whole-partition window over the node-hashed adjacency — ONE
+    * exchange per pass (a groupBy + join-back would exchange the adjacency
+    * twice) and no join; the edge frame is `localCheckpoint`ed each
     * round (lineage cut — the PageRank discipline) and the previous round's
     * blocks are released as soon as the next materializes, so live storage
     * is O(1) rounds.
@@ -948,27 +974,32 @@ object Dedup {
     var round = 0
     var converged = prev._1 == 0L
     while (!converged && round < maxRounds) {
+      import org.apache.spark.sql.expressions.Window
       // large-star: Γ over both directions; m = min(Γ(a) ∪ {a}) ≤ a < b,
-      // so emitted edges are already (larger, smaller)-oriented
+      // so emitted edges are already (larger, smaller)-oriented. The
+      // neighborhood min rides a whole-partition window (ONE exchange of
+      // the adjacency; a groupBy+join would exchange it twice), and
+      // duplicate edges are harmless to a min, so no intra-round distinct.
       val adj = edges.select(col("u").as("a"), col("v").as("b"))
         .union(edges.select(col("v").as("a"), col("u").as("b")))
-      val minsL = adj.groupBy(col("a"))
-        .agg(min(col("b")).as("mb"))
-        .select(col("a"), least(col("a"), col("mb")).as("m"))
-      val ls = adj.join(minsL, Seq("a"))
+      val ls = adj
+        .withColumn("m", least(min(col("b")).over(Window.partitionBy(col("a"))), col("a")))
         .where(col("b") > col("a"))
         .select(col("b").as("u"), col("m").as("v"))
-        .distinct()
-      // small-star: all neighbors of u are < u here; m = min(Γ(u)) < u
-      val minsS = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val ss = ls.join(minsS, Seq("u"))
-        .select(col("v").as("node"), col("m"))
-        .union(minsS.select(col("u").as("node"), col("m")))
+      // small-star: all neighbors of u are < u here; m = min(Γ(u)) < u.
+      // Same window shape; the union's two branches reuse the one exchange.
+      val lsm = ls.withColumn("m", min(col("v")).over(Window.partitionBy(col("u"))))
+      val ss = lsm.select(col("v").as("node"), col("m"))
+        .union(lsm.select(col("u").as("node"), col("m")))
         .where(col("node") =!= col("m"))
         .select(col("node").as("u"), col("m").as("v"))
         .distinct()
       val (next, nextHeld) = pinCut(ss)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $round pinned at +${System.nanoTime() / 1e9}")
       val cur = fingerprint(next)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $round fp=$cur at +${System.nanoTime() / 1e9}")
       held.foreach(_.unpersist(blocking = false))
       edges = next; held = nextHeld
       converged = cur == prev

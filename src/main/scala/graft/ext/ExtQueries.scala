@@ -438,10 +438,20 @@ object ExtQueries {
   // brute-forces every pair with DuckDB's own levenshtein — identical
   // classic edit-distance metric, so the surviving (id_a, id_b, dist) rows
   // hash-match exactly.
+  // maxSegmentBucket = 500 follows the e11 maxDocFreq convention: provably
+  // INACTIVE at verify scale (sf0.01 max segment bucket < 100, sf0.1 max 192
+  // — DedupProbe hotseg audit, identical pair sets with and without the
+  // cap), while at rehearsal scale it bounds the Σ bucket² candidate volume.
+  // The sf10 probe (5M docs) fixed the value: stopword-led prefix segments
+  // reach ~19k docs and both the uncapped form AND cap=2000 OOM'd the
+  // 48g heap, while cap=500 completes (2.2M pairs, 349 s) — a pair matching
+  // ONLY via >500-doc boilerplate segments is dropped by design, the
+  // documented capped-recall contract.
   private val e18 = Q(
     "e18_editdist",
     (s, dir) =>
-      Dedup.editDistancePairs(tp(s, dir, "documents"), maxDist = 5, prefixLen = 40)
+      Dedup.editDistancePairs(tp(s, dir, "documents"), maxDist = 5, prefixLen = 40,
+        maxSegmentBucket = 500)
         .orderBy(col("id_a"), col("id_b")),
     Some(
       """WITH p AS (
