@@ -18,6 +18,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Pre-flight audit for e18_editdist: its maxSegmentBucket=500 cap is
+    // documented INACTIVE at verify scale (the DuckDB oracle brute-forces
+    // all pairs, so a cap that ever became ACTIVE would surface only as an
+    // opaque hash mismatch). Trip loudly here instead if regenerated test
+    // data grows a hot prefix-segment bucket past the cap. Cost: one
+    // projection+aggregate over documents (~0.3 s at sf0.01).
+    locally {
+      import org.apache.spark.sql.functions.{col, max}
+      val hot = graft.ext.Dedup.editDistanceHotSegments(
+          spark.read.parquet(s"$sfDir/documents.parquet"),
+          maxDist = 5, prefixLen = 40, minBucket = 0)
+        .agg(max(col("n_docs"))).head()
+      val maxBucket = if (hot.isNullAt(0)) 0L else hot.getLong(0)
+      require(maxBucket <= 500,
+        s"e18 maxSegmentBucket=500 would be ACTIVE at verify scale (max " +
+          s"segment bucket $maxBucket): the oracle brute-forces all pairs, so " +
+          s"the gate would hash-mismatch opaquely — re-pin the e18 cap/comment")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

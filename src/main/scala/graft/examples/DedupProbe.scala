@@ -101,9 +101,12 @@ object DedupProbe {
       val ids = spark.range(n).select(col("id").as("doc_id"))
       val chains = spark.range(n).where(pmod(col("id"), lit(10)) =!= 0)
         .select(col("id").as("id_a"), (col("id") - 1).as("id_b"))
+      // hub index from the SURVIVING id space (id/50), not pmod(id, 5) —
+      // rows here all have id % 50 == 0, so that would collapse to one hub:
+      // 5 hubs of n/50/5 = 20k members each
       val mega = spark.range(n).where(pmod(col("id"), lit(50)) === 0)
         .select(col("id").as("id_a"),
-          (pmod(col("id"), lit(5)) * 1000000000L).as("id_b")) // 5 hubs of 100k
+          (pmod((col("id") / 50).cast("long"), lit(5)) * 1000000000L).as("id_b"))
       val pairs = chains.union(mega).localCheckpoint(true)
       val nPairs = pairs.count()
       def timeIt(tag: String, f: => DataFrame): Double = {

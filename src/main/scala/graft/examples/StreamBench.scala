@@ -93,6 +93,23 @@ object StreamBench {
     // space so the state store carries a production-shaped key count.
     val rateSec = if (args.length > 2) args(2).toInt else 120
     val targetRate = if (args.length > 3) args(3).toInt else 50000
+    // progress is accumulated via a StreamingQueryListener, NOT polled from
+    // recentProgress at the end: recentProgress keeps only the last
+    // spark.sql.streaming.numRecentProgressUpdates (default 100) entries,
+    // so a long run at a short trigger would silently drop early triggers
+    // and undercount rows/achieved-rate/p50/p95.
+    val rateProgress =
+      new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    val progressListener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == "rate-sessions") rateProgress.add(e.progress)
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(progressListener)
     val rate = spark.readStream.format("rate")
       .option("rowsPerSecond", targetRate)
       .option("numPartitions", cpus.toInt)
@@ -108,11 +125,17 @@ object StreamBench {
       .as[EventStream.Event]
     val rateQ = EventStream.sessionizeStateful(rateEvents, gapMillis = 60000L)
       .writeStream.outputMode("append").format("noop")
+      .queryName("rate-sessions")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("2 seconds"))
       .start()
     Thread.sleep(rateSec * 1000L)
-    val prog = rateQ.recentProgress.toSeq
     rateQ.stop()
+    rateQ.awaitTermination()
+    spark.streams.removeListener(progressListener)
+    val prog = {
+      import scala.jdk.CollectionConverters._
+      rateProgress.asScala.toSeq.sortBy(_.batchId)
+    }
     // drop the first trigger (query start absorbs planning/codegen warmup)
     val steady = prog.drop(1)
     val rows = steady.map(_.numInputRows).sum

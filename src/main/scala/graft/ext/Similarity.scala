@@ -270,11 +270,25 @@ object Similarity {
     * a rebuild.
     *
     * The new fit is staged in a temp directory and SWAPPED in with
-    * filesystem renames (old layout parked, new layout moved into place,
-    * park deleted), so a crash mid-refit leaves either the old index or the
-    * new one — readers never observe a half-written corpus. The read of the
-    * old corpus fully materializes into the staged write before anything is
-    * touched, so the swap is the only mutation window.
+    * filesystem renames (old layout parked under `__refit_old`, new layout
+    * moved into place, park deleted). The read of the old corpus fully
+    * materializes into the staged write before anything is touched, so the
+    * swap window is four renames — but four renames are NOT atomic:
+    *
+    *  - '''Single-writer, no concurrent readers during the swap.''' A
+    *    reader racing the swap can pair old centroids with new cell
+    *    assignments (silently wrong probes), and a crash between the
+    *    renames leaves `$path` without a complete corpus+centroids pair.
+    *  - '''Recovery is [[recoverIvfIndex]]''': call it before opening an
+    *    index that may have seen an interrupted refit (a leftover
+    *    `__refit_old`/`__refit_tmp` directory is the tell). It rolls the
+    *    swap forward or back to a consistent index; this method calls it
+    *    first, so re-running a crashed refit also self-heals.
+    *
+    * At 100 TB the same sequence runs against an object store via a
+    * pointer-file indirection (write a fresh versioned prefix, CAS the
+    * pointer) — the sandbox's local-FS rename is the same two-phase shape
+    * with the park directory standing in for the old version.
     *
     * `nClusters = 0` (default) keeps the current cell count; pass an
     * explicit value to resize (e.g. √n̂ from [[ivfOccupancy]] totals after
@@ -287,6 +301,9 @@ object Similarity {
       nClusters: Int = 0,
       vecCol: String = "embedding",
       idCol: String = "vec_id"): (Double, Double) = {
+    // heal any interrupted previous swap FIRST — a blind cleanup here would
+    // delete a parked old index whose restore is still pending
+    recoverIvfIndex(spark, path)
     val skewBefore = ivfSkew(spark, path)
     val occ = ivfOccupancy(spark, path)
     require(occ.nonEmpty, s"no IVF corpus at $path/corpus — build the index first")
@@ -312,6 +329,56 @@ object Similarity {
       s"refit swap failed installing the new layout — old index parked at $park")
     fs.delete(p(park), true); fs.delete(p(tmp), true)
     (skewBefore, ivfSkew(spark, path))
+  }
+
+  /** Recovery for a [[refitIvfIndex]] swap interrupted by a crash. The swap
+    * is four renames (park corpus, park centroids, install corpus, install
+    * centroids); each possible interruption point leaves a distinct — and
+    * unambiguous — directory state, and this method rolls it to a
+    * consistent index:
+    *
+    *  - corpus + centroids both present at `$path`: healthy (or the crash
+    *    hit after the install, before cleanup) → just drop leftovers.
+    *  - corpus present, centroids missing, staged centroids in
+    *    `__refit_tmp`: the crash split the two install renames → roll
+    *    FORWARD by installing the staged centroids that match the already-
+    *    installed corpus (installing the parked OLD centroids here would
+    *    recreate exactly the mixed-fit state this recovery exists to
+    *    prevent).
+    *  - corpus missing: the crash hit while parking (or before any
+    *    install) → roll BACK whatever `__refit_old` holds.
+    *
+    * Leftover `__refit_tmp` / `__refit_old` directories are deleted either
+    * way. Returns true iff a rename was replayed (false = index was already
+    * consistent). Single-writer like the refit itself; call on open when an
+    * interrupted refit is possible.
+    */
+  def recoverIvfIndex(spark: SparkSession, path: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def ok(s: String) = fs.exists(p(s))
+    val tmp = s"$path/__refit_tmp"
+    val park = s"$path/__refit_old"
+    val replayed =
+      if (ok(s"$path/corpus") && ok(s"$path/centroids")) false
+      else if (ok(s"$path/corpus") && ok(s"$tmp/centroids")) {
+        require(fs.rename(p(s"$tmp/centroids"), p(s"$path/centroids")),
+          s"recovery failed installing staged centroids from $tmp")
+        true
+      } else {
+        var did = false
+        Seq("corpus", "centroids").foreach { part =>
+          if (!ok(s"$path/$part") && ok(s"$park/$part")) {
+            require(fs.rename(p(s"$park/$part"), p(s"$path/$part")),
+              s"recovery failed restoring $part from $park")
+            did = true
+          }
+        }
+        did
+      }
+    fs.delete(p(tmp), true); fs.delete(p(park), true)
+    replayed
   }
 
   /** Query a [[buildIvfIndex]] index: rank centroids against the query on

@@ -373,6 +373,60 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sils.nonEmpty && sils.forall(s => s >= -1.0 && s <= 1.0))
   }
 
+  test("recoverIvfIndex heals every interrupted refit swap point") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_rec").toString
+    Similarity.buildIvfIndex(real, idx, nClusters = 4)
+    val nRows = real.count()
+    val qv = real.where(col("vec_id") === 7L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    // nProbes = all 4 cells -> the probe is exhaustive, so top-k is
+    // FIT-independent: the same ids must come back after every recovery,
+    // including the roll-forward onto the staged fit
+    def topIds() = Similarity.ivfTopKIndexed(spark, idx, qv, 5, nProbes = 4)
+      .collect().map(_.getLong(0)).toSeq
+    val healthy = topIds()
+    def mv(a: String, b: String): Unit = {
+      val dst = new java.io.File(b); dst.getParentFile.mkdirs()
+      assert(new java.io.File(a).renameTo(dst), s"test mv $a -> $b failed")
+    }
+    // stage a "new fit" exactly as an interrupted refit would have left it
+    def stage(): Unit = Similarity.buildIvfIndex(
+      spark.read.parquet(s"$idx/corpus").select(col("vec_id"), col("embedding")),
+      s"$idx/__refit_tmp", nClusters = 4)
+    // healthy index: recovery is a no-op
+    assert(!Similarity.recoverIvfIndex(spark, idx))
+    assert(topIds() == healthy)
+    // crash point 1: corpus parked, centroids still installed -> roll back
+    stage()
+    mv(s"$idx/corpus", s"$idx/__refit_old/corpus")
+    assert(Similarity.recoverIvfIndex(spark, idx))
+    assert(topIds() == healthy)
+    // crash point 2: both parked, nothing installed -> roll back both
+    stage()
+    mv(s"$idx/corpus", s"$idx/__refit_old/corpus")
+    mv(s"$idx/centroids", s"$idx/__refit_old/centroids")
+    assert(Similarity.recoverIvfIndex(spark, idx))
+    assert(topIds() == healthy)
+    // crash point 3: new corpus installed, centroids rename pending -> roll
+    // FORWARD with the staged centroids (restoring the parked OLD centroids
+    // would pair them with the new cell assignments — the mixed-fit state)
+    stage()
+    mv(s"$idx/corpus", s"$idx/__refit_old/corpus")
+    mv(s"$idx/centroids", s"$idx/__refit_old/centroids")
+    mv(s"$idx/__refit_tmp/corpus", s"$idx/corpus")
+    assert(Similarity.recoverIvfIndex(spark, idx))
+    assert(!new java.io.File(s"$idx/__refit_tmp").exists, "staging dir left behind")
+    assert(!new java.io.File(s"$idx/__refit_old").exists, "parked layout left behind")
+    assert(Similarity.ivfOccupancy(spark, idx).values.sum == nRows,
+      "rolled-forward index lost rows")
+    assert(topIds() == healthy)
+    // a refit straight after a crash self-heals before swapping again
+    mv(s"$idx/corpus", s"$idx/__refit_old/corpus")
+    val (_, skewAfter) = Similarity.refitIvfIndex(spark, idx)
+    assert(skewAfter > 0.0 && topIds() == healthy)
+  }
+
   test("cosine_sim reaches SQL text via GraftExtensions") {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
