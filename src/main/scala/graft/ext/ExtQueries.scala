@@ -2323,6 +2323,94 @@ object ExtQueries {
       "o_totalprice"),
     Some(graft.ops.Normalize.madOutliersSql("orders", "o_totalprice")))
 
+  // E3k per-document top-k TF-IDF terms over the full vocabulary — keyword
+  // extraction for corpus labeling (bm25/e17 scores a literal term list;
+  // this discovers each doc's characteristic terms from the data). Exact
+  // long tf/df/N; score rounded to 4dp BEFORE the rank window in both
+  // engines; ties to term asc. SQL GENERATED (Ranking.tfIdfTopTermsSql).
+  private val e109 = Q(
+    "e109_tfidf_terms",
+    (s, dir) =>
+      Ranking.tfIdfTopTerms(tp(s, dir, "documents"), k = 3, minDf = 2,
+          maxDfFrac = 0.5)
+        .orderBy(col("doc_id"), col("rank")),
+    Some(Ranking.tfIdfTopTermsSql("documents", k = 3, minDf = 2,
+      maxDfFrac = 0.5) + "\nORDER BY doc_id, rank"))
+
+  // E-mix Gini of the docs-per-source distribution — the corpus-balance
+  // scalar a mixture ledger tracks before applying per-domain caps. Exact
+  // integer rank-sums over the distinct-group-size GRID (the rank-grid
+  // discipline: the window is resolution-bounded, never group-bounded);
+  // one double division, 6dp. SQL GENERATED (Stats.giniByGroupSql);
+  // e61's Stats.gini is the VALUE-distribution cousin.
+  private val e110 = Q(
+    "e110_source_gini",
+    (s, dir) => graft.ops.Stats.giniByGroup(t(s, dir, "documents"), "source"),
+    Some(graft.ops.Stats.giniByGroupSql("documents", "source")))
+
+  // E-mix quality-ordered per-source cap — keep the 40 LONGEST docs per
+  // source (RefinedWeb-style curation keeps the best variants; e13 is the
+  // uniform-random cap). Spark runs the exact two-phase salted window
+  // (hot-group-proof); the oracle is the plain single window — identical
+  // by the subset argument pinned in SplitsSpec.
+  private val e111 = Q(
+    "e111_cap_best",
+    (s, dir) =>
+      graft.ops.Splits.capPerGroupTop(tp(s, dir, "documents"), "source",
+          k = 40, orderCol = "n_chars")
+        .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+        .orderBy(col("source"), col("rank")),
+    Some(
+      """SELECT source, CAST(rn AS INTEGER) AS rank, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 40
+        |ORDER BY source, rank""".stripMargin))
+
+  // E3l inverted-index BM25 with a query TABLE — the served-retrieval
+  // shape (e17 compiles ≤64 literal terms into the scan; this joins an
+  // arbitrary (q_id, term) set against posting lists, thousands of queries
+  // in one pass). Per-(q,doc) score sums run FIXED-POINT (msum applied to
+  // ranking) so reduction order can't diverge. SQL GENERATED
+  // (Ranking.bm25JoinSql) from the same literal query set.
+  private val bm25JoinQueries: Seq[(Long, String)] = Seq(
+    1L -> "join", 1L -> "slow", 2L -> "vector", 2L -> "scan", 3L -> "hash",
+    3L -> "table", 3L -> "value")
+  private val e112 = Q(
+    "e112_bm25_join",
+    (s, dir) => {
+      import s.implicits._
+      Ranking.bm25Join(tp(s, dir, "documents"),
+          bm25JoinQueries.toDF("q_id", "term"), k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(Ranking.bm25JoinSql("documents", bm25JoinQueries, k = 10)
+      + "\nORDER BY q_id, rank"))
+
+  // E-drift Population Stability Index — value-distribution drift between
+  // the first and second half of the events month (split 2024-01-16), the
+  // standard ML-monitoring gate. One conditional hash aggregate to the
+  // bucket grid, 1e-6-smoothed terms, fixed-point sum. SQL GENERATED
+  // (Drift.psiSql).
+  private val e113 = Q(
+    "e113_psi",
+    (s, dir) => graft.ext.Drift.psi(graft.queries.Reference.events(s, dir),
+      splitTs = "2024-01-16 00:00:00", bucketWidth = 10.0),
+    Some(graft.ext.Drift.psiSql("events", splitTs = "2024-01-16 00:00:00",
+      bucketWidth = 10.0)))
+
+  // E3m Flesch reading-ease — the readability member of the quality
+  // battery; three codegen'd regex counts per row, zero shuffle, one
+  // fixed-order float expression over integer inputs. SQL GENERATED
+  // (TextStats.readabilitySql).
+  private val e114 = Q(
+    "e114_readability",
+    (s, dir) => TextStats.readability(tp(s, dir, "documents"))
+      .orderBy(col("doc_id")),
+    Some(TextStats.readabilitySql("documents") + "\nORDER BY doc_id"))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
@@ -2330,5 +2418,6 @@ object ExtQueries {
     e57, e58, e59, e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71,
     e72, e73, e74, e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86,
     e87, e88, e89, e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100,
-    e101, e102, e103, e104, e105, e106, e107, e108)
+    e101, e102, e103, e104, e105, e106, e107, e108, e109, e110, e111,
+    e112, e113, e114)
 }

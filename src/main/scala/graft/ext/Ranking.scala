@@ -125,6 +125,195 @@ object Ranking {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
+  /** Per-document top-k TF-IDF terms over the FULL corpus vocabulary — the
+    * keyword-extraction / document-labeling primitive ([[bm25]] scores a
+    * small LITERAL term list; this op discovers each document's most
+    * characteristic terms from the data). tf·idf with the classic
+    * `idf = ln(N / df)`; terms outside `[minDf, maxDfFrac·N]` are pruned
+    * (singleton noise below, stopword-grade ubiquity above — df-pruning is
+    * also what keeps the per-term join bounded, the e11 `maxDocFreq`
+    * argument applied to ranking).
+    *
+    * Scale shape: one corpus scan exploding to (doc, term) pairs; two hash
+    * aggregates (tf by (doc, term), df by term — both map-side partial);
+    * the 1-row corpus count re-enters via a broadcast; the tf⋈df equi-join
+    * shuffles on `term` (vocab-sized, Zipf-bounded after the df prune); the
+    * final rank is a window PARTITIONED by doc — per-partition work is
+    * bounded by a document's own vocabulary, so there is no unpartitioned
+    * sort anywhere.
+    *
+    * Determinism: tf, df, N are exact longs; the score is one float
+    * expression in fixed textual order (`tf · ln(N/df)`, mirrored 1:1 in
+    * [[tfIdfTopTermsSql]]), rounded to 4 decimals BEFORE ranking so both
+    * engines rank identical values; ties break on term asc. Output:
+    * (doc_id, term, tf, df, score, rank), rank 1 = best.
+    */
+  def tfIdfTopTerms(
+      docs: DataFrame,
+      k: Int = 3,
+      minDf: Int = 2,
+      maxDfFrac: Double = 0.5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0 && minDf >= 1 && maxDfFrac > 0 && maxDfFrac <= 1.0,
+      s"invalid tfIdfTopTerms params: k=$k minDf=$minDf maxDfFrac=$maxDfFrac")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val pairs = docs.select(col(idCol).as("doc_id"), explode(toks).as("term"))
+    val tf = pairs.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dft, "term")
+      .crossJoin(broadcast(n))
+      .where(col("df") >= minDf &&
+        col("df") <= lit(maxDfFrac) * col("n_docs"))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
+  /** DuckDB mirror of [[tfIdfTopTerms]] — GENERATED from the same constants;
+    * the score expression appears in the identical textual order and is
+    * rounded to 4 decimals before the rank window in both engines.
+    */
+  def tfIdfTopTermsSql(table: String, k: Int = 3, minDf: Int = 2,
+      maxDfFrac: Double = 0.5): String =
+    s"""WITH pairs AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM $table
+       |), tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM pairs GROUP BY doc_id, term
+       |), dft AS (
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+       |), n AS (SELECT COUNT(*) AS n_docs FROM $table)
+       |SELECT doc_id, term, tf, df, score, rank FROM (
+       |  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+       |    round(tf.tf * ln(CAST(n_docs AS DOUBLE) / dft.df), 4) AS score,
+       |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY round(tf.tf * ln(CAST(n_docs AS DOUBLE) / dft.df), 4) DESC,
+       |               tf.term) AS INTEGER) AS rank
+       |  FROM tf JOIN dft USING (term), n
+       |  WHERE dft.df >= $minDf AND dft.df <= $maxDfFrac * n_docs
+       |)
+       |WHERE rank <= $k""".stripMargin
+
+  /** Inverted-index BM25 with a query TABLE — the served-retrieval shape
+    * at scale. [[bm25]] takes ≤ 64 literal terms compiled into the scan;
+    * this joins an arbitrary (q_id, term) query set against the corpus's
+    * posting lists, so thousands of queries score in ONE pass with no
+    * per-query job (the [[graft.ext.Similarity.ivfTopKBatch]] argument
+    * applied to lexical retrieval).
+    *
+    * Scale shape: one corpus scan builds (doc, term, tf) + per-doc lengths
+    * (two hash aggregates, map-side partial); per-term df reduces from the
+    * tf table; N and Σdl re-enter as a 1-row broadcast. The query set —
+    * DISTINCT (q_id, term) — joins posting lists on `term`: a broadcast
+    * hash join while queries fit (the served case), an equi-join beyond.
+    * Per-(query, doc) scores reduce in a hash aggregate whose SUM runs in
+    * FIXED-POINT (each per-term score rounds to 4dp → scaled longs), so
+    * Spark's and DuckDB's reduction orders cannot diverge — the msum
+    * discipline applied to ranking. The final per-query top-k is the
+    * k-bounded [[graft.functions.TopK.groupedTopK]] aggregator: the only
+    * query-keyed shuffle carries ≤ k rows per (partition, query).
+    *
+    * Output: (q_id, doc_id, score, rank), rank 1 best, ties to the lower
+    * doc_id. Queries whose terms miss the corpus entirely produce no rows.
+    */
+  def bm25Join(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      qIdCol: String = "q_id",
+      qTermCol: String = "term",
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val pairs = docs.select(col(idCol).as("doc_id"), explode(toks).as("term"))
+    val tf = pairs.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(toks).cast("long")).as("sum_dl"))
+    val q = queries.select(col(qIdCol).cast("long").as("q_id"),
+      lower(col(qTermCol)).as("term")).distinct()
+    // per-(query, term, doc) partial score — same textual float order as
+    // bm25/bm25Sql, rounded 4dp; the per-(q, doc) SUM then runs fixed-point
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val part = idf * (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    val scored = q.join(tf, "term")
+      .join(dl, "doc_id")
+      .join(broadcast(dft.crossJoin(broadcast(stats))), "term")
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg((sum(round(part * 10000.0, 0).cast("long")).cast("double") / 10000.0)
+        .as("score"))
+    graft.functions.TopK.groupedTopK(scored, "q_id", "doc_id", "score", k)
+      .select(col("q_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  /** DuckDB mirror of [[bm25Join]] for a literal query set — GENERATED from
+    * the same (q_id, terms) pairs and constants. The per-term score appears
+    * in the identical textual order as the Spark expression and rounds to
+    * 4dp BEFORE the fixed-point per-(q, doc) sum; the rank window replays
+    * groupedTopK's (score desc, doc_id asc) total order.
+    */
+  def bm25JoinSql(table: String, queryTerms: Seq[(Long, String)], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    def lq(s: String) = s.replace("'", "''")
+    val values = queryTerms
+      .map { case (qid, t) => s"($qid, '${lq(t)}')" }.mkString(", ")
+    s"""WITH q AS (
+       |  -- CAST: VALUES integer literals default to INTEGER; Spark's q_id
+       |  -- is LongType, and the gate compares dtypes strictly
+       |  SELECT DISTINCT CAST(q_id AS BIGINT) AS q_id, lower(term) AS term
+       |  FROM (VALUES $values) AS v(q_id, term)
+       |), pairs AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM $table
+       |), tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM pairs GROUP BY doc_id, term
+       |), dl AS (
+       |  SELECT doc_id, len(string_split_regex(trim(lower(text)), '\\s+')) AS dl
+       |  FROM $table
+       |), dft AS (
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+       |), stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS sum_dl
+       |  FROM $table
+       |), scored AS (
+       |  SELECT q.q_id, tf.doc_id,
+       |    CAST(SUM(CAST(round(
+       |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |        * (tf * ($k1 + 1.0))
+       |        / (tf + $k1 * (1.0 - $b + $b * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+       |      * 10000.0, 0) AS BIGINT)) AS BIGINT) / 10000.0 AS score
+       |  FROM q JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id,
+       |    dft, stats
+       |  WHERE dft.term = tf.term
+       |  GROUP BY q.q_id, tf.doc_id
+       |)
+       |SELECT q_id, doc_id, score,
+       |  CAST(rn AS INTEGER) AS rank
+       |FROM (
+       |  SELECT q_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY score DESC, doc_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $k""".stripMargin
+  }
+
   /** Top-k rank assignment over a scored frame: the k best rows by
     * (score desc, id) with a 1-based `rank` column. The id tie-break makes
     * the rank total, so downstream fusion is engine-deterministic. The

@@ -120,6 +120,62 @@ object TextStats {
     round((lenScore + swScore + punctScore) / 3.0, 6)
   }
 
+  /** Flesch reading-ease per document — the readability member of the
+    * quality battery (C4/Gopher filter on counts and ratios; readability
+    * adds the sentence/syllable dimension web curation actually gates on).
+    * Classic formula `206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words)` with the standard heuristics: words =
+    * whitespace tokens, sentences = runs of `[.!?]` (min 1 so fragment
+    * docs stay finite), syllables = vowel-group count (`[aeiouy]+` on the
+    * lowercased text) — the portable approximation every engine can
+    * replicate exactly (a dictionary syllabifier is neither portable nor
+    * needed for corpus-level gating).
+    *
+    * Zero shuffle — three codegen'd regex counts per row and one float
+    * expression in fixed textual order over integer inputs (identical
+    * IEEE in both engines; [[readabilitySql]] mirrors it 1:1), rounded
+    * 4dp. Output: (doc_id, n_words, n_sentences, n_syllables, flesch).
+    */
+  def readability(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val words = size(tokens(col(textCol))).cast("long")
+    val sentences = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("long"),
+      lit(1L))
+    val syllables = size(
+      regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"), lit(0))).cast("long")
+    docs.select(
+      col(idCol).as("doc_id"),
+      words.as("n_words"),
+      sentences.as("n_sentences"),
+      syllables.as("n_syllables"))
+      .withColumn("flesch",
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 4))
+  }
+
+  /** DuckDB mirror of [[readability]] — generated; double literals CAST
+    * explicitly (bare decimals parse as DECIMAL in DuckDB), same textual
+    * float order over the same integer counts.
+    */
+  def readabilitySql(table: String, textCol: String = "text",
+      idCol: String = "doc_id"): String =
+    s"""SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  round(CAST(206.835 AS DOUBLE)
+       |    - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sentences)
+       |    - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / n_words),
+       |    4) AS flesch
+       |FROM (
+       |  SELECT $idCol AS doc_id,
+       |    CAST(len(string_split_regex(trim($textCol), '\\s+')) AS BIGINT)
+       |      AS n_words,
+       |    GREATEST(CAST(len(regexp_extract_all($textCol, '[.!?]+')) AS BIGINT),
+       |      1) AS n_sentences,
+       |    CAST(len(regexp_extract_all(lower($textCol), '[aeiouy]+')) AS BIGINT)
+       |      AS n_syllables
+       |  FROM $table)""".stripMargin
+
   /** Polynomial rolling-hash fingerprint (Rabin–Karp over token hashes):
     * h = Σ xxhash64(tok_i)·B^(n−1−i) mod 2^31, folded left-to-right as
     * h = (h·B + tok) mod 2^31 — order-sensitive (unlike a bag-of-words

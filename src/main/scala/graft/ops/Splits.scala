@@ -167,4 +167,36 @@ object Splits {
       .where(col("__rank") <= k)
       .drop("__rank")
   }
+
+  /** Quality-ordered per-group cap — "keep the k BEST documents per
+    * domain": rows rank inside each group by (`orderCol` DESC, id ASC) and
+    * everything past k is dropped, with the surviving rank returned as
+    * `rank` (1 = best). The curation semantics real per-domain caps want
+    * (keep the longest/cleanest variants); [[capPerGroup]] is the uniform-
+    * random cousin, [[graft.ext.Dedup.nearDedupRowsKeepBest]] the
+    * per-CLUSTER argmax.
+    *
+    * Scale shape: a single partitioned window puts a hot group's entire
+    * membership in one task (one mega-domain = one straggler), so the cap
+    * runs in two EXACT phases: phase 1 ranks within (group, lane) — a
+    * deterministic hash split of each group into `salts` lanes — keeping
+    * ≤ k per lane; phase 2 ranks the ≤ salts·k survivors per group. The
+    * global top-k is always a subset of the union of per-lane top-k, so
+    * the result is identical to the single-window form (spec-pinned) while
+    * bounding any task to ~max(|group|/salts, salts·k) rows.
+    */
+  def capPerGroupTop(df: DataFrame, groupCol: String, k: Int,
+      orderCol: String, idCol: String = "doc_id", salts: Int = 32): DataFrame = {
+    require(k > 0 && salts > 0, s"invalid cap: k=$k salts=$salts")
+    val W = org.apache.spark.sql.expressions.Window
+    val lane = pmod(xxhash64(col(idCol)), lit(salts.toLong))
+    val w1 = W.partitionBy(col(groupCol), lane)
+      .orderBy(col(orderCol).desc, col(idCol))
+    val pre = df.withColumn("__r1", row_number().over(w1))
+      .where(col("__r1") <= k).drop("__r1")
+    val w2 = W.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).desc, col(idCol))
+    pre.withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+  }
 }

@@ -1394,4 +1394,70 @@ object Stats {
        |  END AS df
        |FROM f""".stripMargin
   }
+
+  /** Gini coefficient of the per-group row distribution — the corpus-
+    * balance diagnostic a mixture ledger reads next to its proportions
+    * (0 = every source contributes equally, → 1 = one source owns the
+    * corpus; the per-domain concentration number web-scale curation tracks
+    * before applying caps).
+    *
+    * Scale shape: one hash aggregate to |groups| counts, a second to the
+    * DISTINCT count VALUES (the grid), one cumulative window over that
+    * grid, one final reduce. The unpartitioned window follows the
+    * rank-grid discipline ([[spearman]]): it runs over distinct group
+    * SIZES — resolution-bounded, never group- or row-bounded (a billion
+    * domains share far fewer distinct document counts). With ties grouped,
+    * the sorted-rank sum Σ i·xᵢ for a size v of multiplicity m above c
+    * smaller groups is v·(m·c + m(m+1)/2) — integer-exact and
+    * order-invariant, so no tie-break column is needed anywhere.
+    *
+    * Everything is exact longs until ONE double division at the end
+    * (identical IEEE in both engines — [[giniSql]] mirrors the textual
+    * order), rounded to 6 decimals. Long arithmetic holds to ~2⁶³ in
+    * n·total; a corpus past that flips the sums to DECIMAL(38,0), the
+    * [[corrMatrix]] fixed-point pattern. Output: one row
+    * (n_groups, n_rows, gini).
+    */
+  def giniByGroup(df: DataFrame, groupCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("x"))
+    val grid = counts.groupBy(col("x")).agg(count(lit(1)).as("m"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("x"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = grid.withColumn("c", sum(col("m")).over(w) - col("m"))
+    cum.select(col("m"), (col("x") * col("m")).as("xm"),
+        (col("x") * (col("m") * col("c") + expr("(m * (m + 1)) div 2"))).as("ix"))
+      .agg(sum(col("m")).as("n"), sum(col("xm")).as("total"),
+        sum(col("ix")).as("sumix"))
+      .select(col("n").as("n_groups"), col("total").as("n_rows"),
+        round((lit(2L) * col("sumix") - (col("n") + 1L) * col("total"))
+          .cast("double") / (col("n") * col("total")), 6).as("gini"))
+  }
+
+  /** DuckDB mirror of [[giniByGroup]] — same grid construction, same integer
+    * arithmetic (`//` ≡ Spark's `div`), same single double division.
+    */
+  def giniByGroupSql(table: String, groupCol: String): String =
+    s"""WITH counts AS (
+       |  SELECT $groupCol, COUNT(*) AS x FROM $table GROUP BY $groupCol
+       |), grid AS (
+       |  SELECT x, COUNT(*) AS m FROM counts GROUP BY x
+       |), cum AS (
+       |  SELECT x, m,
+       |    SUM(m) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - m AS c
+       |  FROM grid
+       |), terms AS (
+       |  SELECT m, x * m AS xm, x * (m * c + (m * (m + 1)) // 2) AS ix
+       |  FROM cum
+       |), s AS (
+       |  -- DuckDB SUM(BIGINT) widens to HUGEINT (int128) — cast back so the
+       |  -- count columns stay BIGINT like Spark's LongType sums
+       |  SELECT CAST(SUM(m) AS BIGINT) AS n, CAST(SUM(xm) AS BIGINT) AS total,
+       |    CAST(SUM(ix) AS BIGINT) AS sumix
+       |  FROM terms
+       |)
+       |SELECT n AS n_groups, total AS n_rows,
+       |  round(CAST(2 * sumix - (n + 1) * total AS DOUBLE) / (n * total), 6)
+       |    AS gini
+       |FROM s""".stripMargin
 }

@@ -32,6 +32,38 @@ class DriftSpec extends AnyFunSuite {
     assert(klA > 0)
   }
 
+  test("psi: zero on identical halves, hand value on a planted shift") {
+    // period A (day 1) and period B (day 2) with IDENTICAL bucket counts
+    def ev(day: Int, v: Double, n: Int) = (1 to n).map(i =>
+      (f"2024-01-0$day%d 10:$i%02d:00", v))
+    val same = (ev(1, 5.0, 8) ++ ev(1, 25.0, 2) ++ ev(2, 5.0, 8) ++ ev(2, 25.0, 2))
+      .toDF("tss", "value")
+      .select(to_timestamp(col("tss")).as("ts"), col("value"))
+    val r0 = Drift.psi(same, splitTs = "2024-01-02 00:00:00", bucketWidth = 10.0).head()
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2), r0.getDouble(3)) ==
+      ((10L, 10L, 2L, 0.0)))
+    // planted shift: A = 8/2 across buckets 0/2, B = 2/8 — hand PSI with
+    // the 1e-6 epsilon and the 6dp + 1e-6 fixed-point conventions
+    val shift = (ev(1, 5.0, 8) ++ ev(1, 25.0, 2) ++ ev(2, 5.0, 2) ++ ev(2, 25.0, 8))
+      .toDF("tss", "value")
+      .select(to_timestamp(col("tss")).as("ts"), col("value"))
+    val r1 = Drift.psi(shift, splitTs = "2024-01-02 00:00:00", bucketWidth = 10.0).head()
+    def term(pa: Double, pb: Double): Long = math.round(
+      BigDecimal((pa - pb) * math.log((pa + 1e-6) / (pb + 1e-6)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1000000)
+    val want = BigDecimal((term(0.8, 0.2) + term(0.2, 0.8)).toDouble / 1000000)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1.getDouble(3) == want, s"got ${r1.getDouble(3)} want $want")
+    assert(r1.getDouble(3) > 0.25, "a hard flip should cross the 'investigate' bar")
+    // one-sided bucket stays finite (epsilon smoothing)
+    val oneSided = (ev(1, 5.0, 5) ++ ev(2, 5.0, 4) ++ ev(2, 95.0, 1))
+      .toDF("tss", "value")
+      .select(to_timestamp(col("tss")).as("ts"), col("value"))
+    val r2 = Drift.psi(oneSided, splitTs = "2024-01-02 00:00:00", bucketWidth = 10.0).head()
+    assert(!r2.getDouble(3).isNaN && !r2.getDouble(3).isInfinite)
+    assert(r2.getLong(2) == 2L)
+  }
+
   test("dailyAnomalies flags a planted spike and withholds scores without history") {
     // 14 calm days of 10 events, then a 30-event spike on day 15
     val rows = (1 to 14).flatMap { d =>

@@ -25,6 +25,73 @@ class RankingSpec extends AnyFunSuite {
     math.rint(raw * 10000) / 10000
   }
 
+  test("bm25Join equals per-term bm25 summed, fixed-point, top-k ranked") {
+    import spark.implicits._
+    val q = Seq((1L, "spark"), (1L, "join"), (2L, "filter")).toDF("q_id", "term")
+    val got = Ranking.bm25Join(corpus, q, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getInt(3))))
+      .toMap
+    // reference: sum the 4dp per-term bm25 scores (fixed-point: exact sums
+    // of 1e4-scaled longs), rank by (score desc, doc_id)
+    val per = Ranking.bm25(corpus, Seq("spark", "join", "filter")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    def s(qid: Long, terms: Seq[String], doc: Long): Double =
+      terms.flatMap(t => per.get((t, doc))).map(x => math.round(x * 10000)).sum / 10000.0
+    val q1docs = Seq(1L, 2L, 4L) // docs matching spark|join
+    val want1 = q1docs.map(d => d -> s(1L, Seq("spark", "join"), d))
+      .sortBy { case (d, sc) => (-sc, d) }
+      .zipWithIndex.map { case ((d, sc), i) => (1L, d) -> ((sc, i + 1)) }
+    want1.foreach { case (k, v) => assert(got(k) == v, s"$k: ${got(k)} vs $v") }
+    // q2 = filter: only doc 3
+    assert(got((2L, 3L))._2 == 1 && got.keys.count(_._1 == 2L) == 1)
+    // terms absent from the corpus produce nothing, queries are distinct-safe
+    val dup = Seq((5L, "spark"), (5L, "spark"), (6L, "zzz_missing")).toDF("q_id", "term")
+    val g2 = Ranking.bm25Join(corpus, dup, k = 3).collect()
+    assert(g2.forall(_.getLong(0) == 5L), "dup terms double-counted or missing q dropped")
+  }
+
+  test("readability: hand counts and formula, fragment floor, vowel groups") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat. it ran!"),      // 5 words, 2 sentences, 5 syllable groups
+      (2L, "word"),                       // fragment: sentences floor to 1
+      (3L, "")).toDF("doc_id", "text")    // empty: words=[""] -> 1, syllables 0
+    val out = TextStats.readability(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    def fl(w: Long, se: Long, sy: Long) =
+      math.rint((206.835 - 1.015 * (w.toDouble / se) - 84.6 * (sy.toDouble / w)) * 10000) / 10000
+    assert(out(1L) == ((5L, 2L, 5L, fl(5, 2, 5))), out(1L).toString)
+    assert(out(2L) == ((1L, 1L, 1L, fl(1, 1, 1))))
+    assert(out(3L)._2 == 1L && out(3L)._3 == 0L)
+  }
+
+  test("tfIdfTopTerms: hand-checked scores, df pruning, rank ties to term asc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha alpha beta common"),
+      (2L, "alpha gamma common"),
+      (3L, "beta gamma common"),
+      (4L, "delta common")).toDF("doc_id", "text")
+    // N=4; df: alpha 2, beta 2, gamma 2, common 4, delta 1
+    // maxDfFrac 0.5 prunes common (df 4 > 2); minDf 2 prunes delta (df 1)
+    val out = Ranking.tfIdfTopTerms(docs, k = 2, minDf = 2, maxDfFrac = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(5)) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    def sc(tf: Long, df: Long) = math.rint(tf * math.log(4.0 / df) * 10000) / 10000
+    // doc 1: alpha tf=2 beats beta tf=1
+    assert(out((1L, 1)) == (("alpha", 2L, 2L, sc(2, 2))))
+    assert(out((1L, 2)) == (("beta", 1L, 2L, sc(1, 2))))
+    // doc 2: alpha/gamma tie on score -> term asc breaks it
+    assert(out((2L, 1))._1 == "alpha" && out((2L, 2))._1 == "gamma")
+    // doc 4: delta pruned by minDf, common by maxDfFrac -> no rows at all
+    assert(!out.keys.exists(_._1 == 4L))
+    // every score matches the fixed textual order formula
+    out.values.foreach { case (_, tf, df, s) => assert(s == sc(tf, df)) }
+  }
+
   test("bm25 matches the hand formula on every matching (term, doc)") {
     val out = Ranking.bm25(corpus, Seq("spark", "join")).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))

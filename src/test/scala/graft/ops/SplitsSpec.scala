@@ -61,6 +61,35 @@ class SplitsSpec extends AnyFunSuite {
       .toDF("doc_id", "src")
   }
 
+  test("capPerGroupTop: two-phase salted cap equals the single-window form exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // lengths collide on purpose (i % 7) so the (orderCol desc, id asc)
+    // tie-break is exercised across lanes
+    val docs = (0L until 3000L)
+      .map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", i % 7))
+      .toDF("doc_id", "src", "len")
+    val got = Splits.capPerGroupTop(docs, "src", k = 25, orderCol = "len",
+        salts = 8)
+      .select("src", "rank", "doc_id", "len")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).sorted
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("len").desc, col("doc_id"))
+    val want = docs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 25).select("src", "rank", "doc_id", "len")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).sorted
+    assert(got.toSeq == want.toSeq)
+    // stable under repartition/reorder; k larger than any group keeps all
+    val again = Splits.capPerGroupTop(docs.repartition(11).orderBy(rand(5)),
+        "src", k = 25, orderCol = "len", salts = 8)
+      .select("src", "rank", "doc_id", "len")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).sorted
+    assert(again.toSeq == got.toSeq)
+    assert(Splits.capPerGroupTop(docs, "src", k = 5000, orderCol = "len").count() == 3000)
+    intercept[IllegalArgumentException](
+      Splits.capPerGroupTop(docs, "src", 0, "len"))
+  }
+
   test("stratifiedSampleByHash tracks per-stratum percentages, default 0 drops absent strata") {
     val out = Splits.stratifiedSampleByHash(mixFrame, "src", Map("en" -> 50, "de" -> 10))
       .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -19,6 +19,28 @@ class StatsSpec extends AnyFunSuite {
       ("x", "c", 10L, None))) // zero-variance side → null, not NaN
   }
 
+  test("gini: 0 on perfect balance, hand value on skew, ties order-invariant") {
+    import spark.implicits._
+    // perfectly balanced: 3 groups x 4 rows -> gini 0
+    val even = (0 until 12).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "g")
+    val e = Stats.giniByGroup(even, "g").head()
+    assert((e.getLong(0), e.getLong(1), e.getDouble(2)) == ((3L, 12L, 0.0)))
+    // counts (1, 1, 2, 4): sorted rank-sum = 1*1 + 2*1 + 3*2 + 4*4 = 25
+    //   G = (2*25 - 5*8) / (4*8) = 10/32 = 0.3125 — hand-checked
+    val skew = (Seq.fill(1)("a") ++ Seq.fill(1)("b") ++ Seq.fill(2)("c") ++
+      Seq.fill(4)("d")).zipWithIndex.map { case (g, i) => (i.toLong, g) }
+      .toDF("id", "g")
+    val s = Stats.giniByGroup(skew, "g").head()
+    assert((s.getLong(0), s.getLong(1), s.getDouble(2)) == ((4L, 8L, 0.3125)))
+    // order-invariance under repartition (the grid form needs no tie-break)
+    val again = Stats.giniByGroup(skew.repartition(7), "g").head()
+    assert(again.getDouble(2) == 0.3125)
+    // near-total concentration pushes toward 1
+    val conc = (Seq.fill(97)("big") ++ Seq("x", "y", "z")).zipWithIndex
+      .map { case (g, i) => (i.toLong, g) }.toDF("id", "g")
+    assert(Stats.giniByGroup(conc, "g").head().getDouble(2) > 0.7)
+  }
+
   test("corrMatrix matches a hand-computed non-trivial correlation") {
     import spark.implicits._
     // x = 1,2,3,4; y = 1,3,2,4 → r = (4·30−10·10)/((4·30−100)) = 20/√(20·20)… compute

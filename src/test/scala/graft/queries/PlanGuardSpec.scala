@@ -45,7 +45,10 @@ class PlanGuardSpec extends AnyFunSuite {
       "e67_cohen_kappa", "e68_centroid_eval", "e71_calibration",
       "e73_ks_test", "e75_vocab_overlap", "e76_log_odds", "e77_mutual_info",
       "e79_assoc_rules", "e82_silhouette", "e85_forecast_eval",
-      "e100_bootstrap_ci", "e103_mad_outliers", "e105_ndcg")
+      "e100_bootstrap_ci", "e103_mad_outliers", "e105_ndcg",
+      // e109/e112/e113: 1-row corpus-stats / totals frames broadcast into
+      // the scoring join — the bm25/e17 designed-BNLJ shape
+      "e109_tfidf_terms", "e112_bm25_join", "e113_psi")
 
   test("no declared query plans a CartesianProduct; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
