@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines (mandated
@@ -437,6 +437,188 @@ object Dedup {
        |)
        |WHERE jaccard >= $minJaccard
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Batch-vs-corpus MinHash near-dup lookup — the INCREMENTAL dedup
+    * shape: real corpora ingest daily batches, and "dedup the new batch
+    * against 100 TB" must not recompute anything corpus-sized
+    * ([[minhashNearDupMd5]] is the one-shot all-pairs form; this is its
+    * serving form, the [[Similarity.upsertIvfIndex]] argument applied to
+    * lexical dedup). Similarity is judged on SIGNATURES alone — the
+    * estimated Jaccard (fraction of agreeing MinHash slots, the unbiased
+    * resemblance estimator, Broder 1997) — because at scale the corpus
+    * side stores ~100 bytes/doc of signature, never shingle sets; exact
+    * re-verification is the caller's follow-up on the tiny candidate list
+    * if needed.
+    *
+    * Scale shape: the batch side computes signatures for the BATCH only;
+    * candidates come from a (band, key) equi-join of batch band keys
+    * against corpus band keys (both derived from signatures by a
+    * projection); agreement scoring joins the two signature tables on the
+    * candidate ids. Nothing corpus-sized shuffles except the band-key join
+    * itself, whose corpus side is signature-width rows.
+    *
+    * Output: (batch_id, corpus_id, est_jaccard ≥ minEstJaccard), 4dp.
+    * Engine-portable: md5 signatures, plain-text band keys — mirrored by
+    * [[minhashLookupMd5Sql]].
+    */
+  def minhashLookupMd5(
+      batch: DataFrame,
+      corpus: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleSize: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val k = bands * rowsPerBand
+    lookupSigs(minhashSigsMd5(batch, textCol, idCol, shingleSize, k),
+      minhashSigsMd5(corpus, textCol, idCol, shingleSize, k),
+      bands, rowsPerBand, minEstJaccard)
+  }
+
+  /** (id, sig) MinHash-md5 signature frame of a corpus — the material a
+    * signature store persists. Docs with zero shingles are excluded (they
+    * have no resemblance to estimate).
+    */
+  private[graft] def minhashSigsMd5(docs: DataFrame, textCol: String,
+      idCol: String, shingleSize: Int, k: Int): DataFrame =
+    docs.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("id"), array(minhashSignatureMd5(col("sh"), k): _*).as("sig"))
+
+  private def sigBandKeys(bands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("key"))
+    }
+
+  private def lookupSigs(bs: DataFrame, cs: DataFrame, bands: Int,
+      rowsPerBand: Int, minEstJaccard: Double): DataFrame = {
+    val bk = sigBandKeys(bands, rowsPerBand)
+    def bandRows(s: DataFrame, idAs: String) =
+      s.select(col("id").as(idAs), explode(array(bk: _*)).as("bk"))
+    val cand = bandRows(bs, "batch_id")
+      .join(bandRows(cs, "corpus_id"), Seq("bk"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val k = bands * rowsPerBand
+    cand
+      .join(bs.select(col("id").as("batch_id"), col("sig").as("sig_b")), Seq("batch_id"))
+      .join(cs.select(col("id").as("corpus_id"), col("sig").as("sig_c")), Seq("corpus_id"))
+      .withColumn("est_jaccard", round(
+        size(filter(zip_with(col("sig_b"), col("sig_c"), (a, b) => a === b),
+          x => x)).cast("double") / k, 4))
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select(col("batch_id"), col("corpus_id"), col("est_jaccard"))
+  }
+
+  /** Persist a MinHash signature store: `$path/sigs` (id, sig) parquet +
+    * `$path/meta` pinning (shingleSize, bands, rowsPerBand) so every later
+    * [[appendMinHashStore]]/[[minHashStoreLookup]] provably uses the SAME
+    * parameters (mixed-parameter signatures are silently meaningless).
+    */
+  def buildMinHashStore(docs: DataFrame, path: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleSize: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): Unit = {
+    val spark = docs.sparkSession
+    minhashSigsMd5(docs, textCol, idCol, shingleSize, bands * rowsPerBand)
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    import spark.implicits._
+    Seq((shingleSize, bands, rowsPerBand))
+      .toDF("shingle_size", "bands", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def readStoreMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** Append a new batch's signatures to a [[buildMinHashStore]] store —
+    * append-only part-files, existing files never rewritten (the
+    * [[Similarity.upsertIvfIndex]] contract). Call AFTER
+    * [[minHashStoreLookup]] has decided which batch docs survive dedup.
+    */
+  def appendMinHashStore(spark: SparkSession, path: String, newDocs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val (sh, b, r) = readStoreMeta(spark, path)
+    minhashSigsMd5(newDocs, textCol, idCol, sh, b * r)
+      .write.mode("append").parquet(s"$path/sigs")
+  }
+
+  /** Dedup a new batch against a [[buildMinHashStore]] store: batch
+    * signatures are computed fresh, the corpus side is READ (never
+    * recomputed) — the incremental lifecycle is
+    * build → (lookup → filter → append)*. Result ≡ [[minhashLookupMd5]]
+    * on the store's source corpus (spec-pinned).
+    */
+  def minHashStoreLookup(spark: SparkSession, path: String, batch: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val (sh, b, r) = readStoreMeta(spark, path)
+    lookupSigs(minhashSigsMd5(batch, textCol, idCol, sh, b * r),
+      spark.read.parquet(s"$path/sigs"), b, r, minEstJaccard)
+  }
+
+  /** Generated DuckDB mirror of [[minhashLookupMd5]]: `batchSql` is a
+    * parenthesized subquery producing (idCol, textCol) for the batch side;
+    * same shingles, md5 permutation hashes, band keys, and slot-agreement
+    * estimator, from the SAME constants.
+    */
+  def minhashLookupMd5Sql(
+      corpusTable: String,
+      batchSql: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleSize: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      minEstJaccard: Double = 0.5): String = {
+    val k = bands * rowsPerBand
+    val grams = (0 until shingleSize).map(o => s"toks[i+$o]").mkString(", ")
+    def sigCte(src: String, pfx: String): String =
+      s"""${pfx}_toks AS (
+         |  SELECT $idCol, string_split_regex(trim(lower($textCol)), '\\s+') AS toks
+         |  FROM $src
+         |), ${pfx}_shn AS (
+         |  SELECT $idCol, sh FROM (
+         |    SELECT $idCol, list_distinct([
+         |      concat_ws(' ', $grams)
+         |      FOR i IN range(1, greatest(len(toks) - ${shingleSize - 2}, 1))
+         |    ]) AS sh
+         |    FROM ${pfx}_toks)
+         |  WHERE len(sh) > 0
+         |), ${pfx}_hm AS (
+         |  SELECT $idCol, p.perm AS perm,
+         |    md5(CAST(p.perm AS VARCHAR) || ':' || g) AS m
+         |  FROM (SELECT $idCol, unnest(sh) AS g FROM ${pfx}_shn) shx
+         |  CROSS JOIN (SELECT unnest(range(0, $k)) AS perm) p
+         |), ${pfx}_sig AS (
+         |  SELECT $idCol, perm, MIN(${md5Hex60Sql("m")}) AS s
+         |  FROM ${pfx}_hm GROUP BY 1, 2
+         |), ${pfx}_bk AS (
+         |  SELECT $idCol, perm // $rowsPerBand AS band,
+         |    string_agg(CAST(s AS VARCHAR), ',' ORDER BY perm) AS key
+         |  FROM ${pfx}_sig GROUP BY 1, 2
+         |)""".stripMargin
+    s"""WITH ${sigCte(corpusTable, "c")},
+       |${sigCte(batchSql, "b")},
+       |cand AS (
+       |  SELECT DISTINCT b.$idCol AS batch_id, c.$idCol AS corpus_id
+       |  FROM b_bk b JOIN c_bk c ON b.band = c.band AND b.key = c.key
+       |), agree AS (
+       |  SELECT cand.batch_id, cand.corpus_id,
+       |    CAST(SUM(CASE WHEN bs.s = cs.s THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+       |  FROM cand
+       |  JOIN b_sig bs ON bs.$idCol = cand.batch_id
+       |  JOIN c_sig cs ON cs.$idCol = cand.corpus_id AND cs.perm = bs.perm
+       |  GROUP BY 1, 2
+       |)
+       |SELECT batch_id, corpus_id,
+       |  round(CAST(n_agree AS DOUBLE) / $k, 4) AS est_jaccard
+       |FROM agree
+       |WHERE round(CAST(n_agree AS DOUBLE) / $k, 4) >= $minEstJaccard""".stripMargin
   }
 
   /** Hamming distance between two packed 64-bit SimHashes. */

@@ -2411,6 +2411,30 @@ object ExtQueries {
       .orderBy(col("doc_id")),
     Some(TextStats.readabilitySql("documents") + "\nORDER BY doc_id"))
 
+  // E1j incremental near-dup: a freshly-ingested batch (every 10th doc,
+  // re-id'd, with a 3-token suffix — a realistic near-copy) deduped
+  // against the corpus on SIGNATURES alone (slot-agreement estimated
+  // Jaccard, Broder's unbiased resemblance estimator) — the daily-ingest
+  // lifecycle where the corpus side is a ~100-byte/doc signature store,
+  // never recomputed. SQL GENERATED (Dedup.minhashLookupMd5Sql) from the
+  // same constants; the store-backed form is spec-pinned ≡ this inline
+  // form (DedupSpec).
+  private val e115 = Q(
+    "e115_incr_dedup",
+    (s, dir) => {
+      val base = tp(s, dir, "documents")
+      val batch = base.where(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 900000).as("doc_id"),
+          concat(col("text"), lit(" freshly ingested copy")).as("text"))
+      Dedup.minhashLookupMd5(batch, base, minEstJaccard = 0.5)
+        .orderBy(col("batch_id"), col("corpus_id"))
+    },
+    Some(Dedup.minhashLookupMd5Sql("documents",
+      """(SELECT doc_id + 900000 AS doc_id,
+        |  text || ' freshly ingested copy' AS text
+        |FROM documents WHERE doc_id % 10 = 0)""".stripMargin)
+      + "\nORDER BY batch_id, corpus_id"))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
@@ -2419,5 +2443,5 @@ object ExtQueries {
     e72, e73, e74, e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86,
     e87, e88, e89, e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100,
     e101, e102, e103, e104, e105, e106, e107, e108, e109, e110, e111,
-    e112, e113, e114)
+    e112, e113, e114, e115)
 }

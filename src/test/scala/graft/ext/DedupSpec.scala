@@ -777,4 +777,46 @@ class DedupSpec extends AnyFunSuite {
     assert(planted.forall(_.getDouble(3) == 1.0))
     assert(planted.size >= (d.count() * 9) / 10) // ≥90% of docs have ≥3-token halves
   }
+
+  test("minhash store lifecycle: build -> lookup -> append -> lookup, append-only files") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "red orange yellow green blue indigo violet white black gray"))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("graft_mh_store").toString
+    Dedup.buildMinHashStore(corpus, store)
+    // batch: an exact copy of doc 1 (est 1.0), a near-copy of doc 2 with a
+    // suffix, and an unrelated doc (no row)
+    val batch = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (102L, "one two three four five six seven eight nine ten extra tail"),
+      (103L, "totally different content about nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.minHashStoreLookup(spark, store, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(hits((101L, 1L)) == 1.0, hits.toString)
+    assert(hits.contains((102L, 2L)) && hits((102L, 2L)) >= 0.5)
+    assert(!hits.keys.exists(_._1 == 103L))
+    // store-backed lookup ≡ the inline batch-vs-corpus form
+    val inline = Dedup.minhashLookupMd5(batch, corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(hits == inline)
+    // append the surviving batch; files are append-only
+    def sigFiles() = new java.io.File(s"$store/sigs").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    val before = sigFiles()
+    Dedup.appendMinHashStore(spark, store, batch.where(col("doc_id") === 103L))
+    val after = sigFiles()
+    assert(before.forall { case (n, m) => after.get(n).contains(m) },
+      "append rewrote existing signature files")
+    assert(after.size > before.size, "append added no part-files")
+    // a near-copy of the appended doc is now found through the store
+    val batch2 = Seq((201L, "totally different content about nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val hits2 = Dedup.minHashStoreLookup(spark, store, batch2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(hits2((201L, 103L)) == 1.0, hits2.toString)
+  }
 }
