@@ -134,9 +134,10 @@ object Ranking {
     * also what keeps the per-term join bounded, the e11 `maxDocFreq`
     * argument applied to ranking).
     *
-    * Scale shape: one corpus scan exploding to (doc, term) pairs; two hash
-    * aggregates (tf by (doc, term), df by term — both map-side partial);
-    * the 1-row corpus count re-enters via a broadcast; the tf⋈df equi-join
+    * Scale shape: ONE corpus scan explodes to (doc, term) pairs and
+    * reduces to the persisted tf table; df and the 1-row corpus count both
+    * derive from tf (no second corpus scan), the count re-entering via a
+    * broadcast; the tf⋈df equi-join
     * shuffles on `term` (vocab-sized, Zipf-bounded after the df prune); the
     * final rank is a window PARTITIONED by doc — per-partition work is
     * bounded by a document's own vocabulary, so there is no unpartitioned
@@ -161,8 +162,11 @@ object Ranking {
     val pairs = docs.select(col(idCol).as("doc_id"), explode(toks).as("term"))
     val tf = pairs.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df and N derive from the persisted tf table — ONE corpus scan (every
+    // doc has ≥1 token row: split yields [""] on empty text)
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val n = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
     val scored = tf.join(dft, "term")
       .crossJoin(broadcast(n))
       .where(col("df") >= minDf &&
@@ -192,7 +196,7 @@ object Ranking {
        |  SELECT doc_id, term, COUNT(*) AS tf FROM pairs GROUP BY doc_id, term
        |), dft AS (
        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
-       |), n AS (SELECT COUNT(*) AS n_docs FROM $table)
+       |), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf)
        |SELECT doc_id, term, tf, df, score, rank FROM (
        |  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
        |    round(tf.tf * ln(CAST(n_docs AS DOUBLE) / dft.df), 4) AS score,
@@ -211,11 +215,15 @@ object Ranking {
     * per-query job (the [[graft.ext.Similarity.ivfTopKBatch]] argument
     * applied to lexical retrieval).
     *
-    * Scale shape: one corpus scan builds (doc, term, tf) + per-doc lengths
-    * (two hash aggregates, map-side partial); per-term df reduces from the
-    * tf table; N and Σdl re-enter as a 1-row broadcast. The query set —
-    * DISTINCT (q_id, term) — joins posting lists on `term`: a broadcast
-    * hash join while queries fit (the served case), an equi-join beyond.
+    * Scale shape: ONE corpus scan builds the (doc, term, tf) posting table
+    * (hash aggregate, map-side partial), persisted operator-internally (the
+    * [[graft.ext.Drift.sourceTokenKl]] convention) because everything else
+    * DERIVES from it without touching the corpus again: per-doc length
+    * dl = Σ tf over the doc's terms (token counts are a partition of the
+    * token multiset), per-term df, and the 1-row (N, Σdl) broadcast. The
+    * query set — DISTINCT (q_id, term) — joins posting lists on `term`: a
+    * broadcast hash join while queries fit (the served case), an equi-join
+    * beyond.
     * Per-(query, doc) scores reduce in a hash aggregate whose SUM runs in
     * FIXED-POINT (each per-term score rounds to 4dp → scaled longs), so
     * Spark's and DuckDB's reduction orders cannot diverge — the msum
@@ -239,10 +247,13 @@ object Ranking {
     val toks = split(lower(trim(col(textCol))), "\\s+")
     val pairs = docs.select(col(idCol).as("doc_id"), explode(toks).as("term"))
     val tf = pairs.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dl = docs.select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // dl, df, and (N, Σdl) all derive from tf — the corpus is scanned ONCE
+    // (every doc has ≥1 token row: split yields [""] on empty text, so the
+    // dl/stats reduction sees every doc)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(toks).cast("long")).as("sum_dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val q = queries.select(col(qIdCol).cast("long").as("q_id"),
       lower(col(qTermCol)).as("term")).distinct()
     // per-(query, term, doc) partial score — same textual float order as
@@ -284,14 +295,12 @@ object Ranking {
        |), tf AS (
        |  SELECT doc_id, term, COUNT(*) AS tf FROM pairs GROUP BY doc_id, term
        |), dl AS (
-       |  SELECT doc_id, len(string_split_regex(trim(lower(text)), '\\s+')) AS dl
-       |  FROM $table
+       |  -- derived from tf, like the Spark side: dl = Σ tf over a doc's terms
+       |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
        |), dft AS (
        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
        |), stats AS (
-       |  SELECT COUNT(*) AS n_docs,
-       |    CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS sum_dl
-       |  FROM $table
+       |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
        |), scored AS (
        |  SELECT q.q_id, tf.doc_id,
        |    CAST(SUM(CAST(round(
