@@ -368,6 +368,37 @@ object Pipeline {
         s"mean n_chars=${ci.getDouble(2)} ci=[${ci.getDouble(3)},${ci.getDouble(4)}]")
     }
 
+    // round-12 curation layer: corpus balance -> quality-ordered caps ->
+    // readability gate -> keyword labels -> incremental-dedup lifecycle
+    locally {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val g = graft.ops.Stats.giniByGroup(docs, "source").head()
+      val capped = graft.ops.Splits.capPerGroupTop(docs, "source", k = 10,
+        orderCol = "n_chars").count()
+      val readable = graft.ext.TextStats.readability(docs)
+        .where(col("flesch") > 50).count()
+      val kw = graft.ext.Ranking.tfIdfTopTerms(docs, k = 1)
+        .where(col("doc_id") === 0L).take(1)
+        .map(r => r.getString(1)).mkString
+      // incremental-dedup lifecycle on a real store: build from the corpus,
+      // ingest a perturbed batch, re-ingest the survivors
+      val store = java.nio.file.Files.createTempDirectory("graft_demo_mh").toString
+      Dedup.buildMinHashStore(docs, store)
+      val batch = docs.where(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          concat(col("text"), lit(" ingest suffix")).as("text"))
+      val dups = Dedup.minHashStoreLookup(spark, store, batch)
+      val dupBatchIds = dups.select("batch_id").distinct().count()
+      Dedup.appendMinHashStore(spark, store,
+        batch.join(dups.select(col("batch_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti"))
+      println(f"[demo] curation: source-gini=${g.getDouble(2)}%.4f over ${g.getLong(0)}%d " +
+        s"sources; cap10/source keeps $capped; flesch>50: $readable docs; " +
+        s"doc0 keyword '$kw'; incr-dedup flagged $dupBatchIds/${batch.count()} " +
+        s"batch docs, survivors appended to the signature store")
+    }
+
     Ddl.dropDatabaseCascade(spark, "demo_db")
     spark.stop()
     println("[demo] OK")
