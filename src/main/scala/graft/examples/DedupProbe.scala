@@ -121,6 +121,29 @@ object DedupProbe {
       println(f"[dedup-probe] ccscale ratio graphx/df = x${b / a}%.2f")
     }
 
+    // ---- 0c. signature-store build + lookup: portable md5 vs the
+    // xxhash64 fast path — the number behind the scaladoc's "~10-20×
+    // cheaper corpus-side build" claim, plus the incremental promise
+    // itself (a 1% batch lookup must cost a small fraction of a build).
+    if (sections("store")) {
+      val batch = docs.where(pmod(xxhash64(col("doc_id")), lit(100L)) === 0)
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          concat_ws(" ", col("text"), lit("ingest suffix")).as("text"))
+        .localCheckpoint(true)
+      val nBatch = batch.count()
+      Seq(("portable-md5", true), ("xxhash64", false)).foreach { case (tag, p) =>
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_store").toString
+        val t0 = System.nanoTime()
+        graft.ext.Dedup.buildMinHashStore(docs, dir, portable = p)
+        val tb = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val hits = graft.ext.Dedup.minHashStoreLookup(spark, dir, batch).count()
+        val tl = (System.nanoTime() - t1) / 1e9
+        println(f"[dedup-probe] store $tag%-12s build $tb%.1f s; " +
+          f"lookup($nBatch%d batch) $tl%.1f s -> $hits%d dup pairs")
+      }
+    }
+
     // ---- 1. CC engine A/B on the e11 pair graph (declared params) ----
     if (sections("cc")) {
       val pairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.5, maxDocFreq = 1000)

@@ -477,15 +477,28 @@ object Dedup {
       bands, rowsPerBand, minEstJaccard)
   }
 
-  /** (id, sig) MinHash-md5 signature frame of a corpus — the material a
+  /** (id, sig) MinHash signature frame of a corpus — the material a
     * signature store persists. Docs with zero shingles are excluded (they
-    * have no resemblance to estimate).
+    * have no resemblance to estimate). `portable = true` uses the md5
+    * permutation hashes (any engine can replay them — the oracle
+    * contract); `false` uses xxhash64 (one codegen'd primitive vs a digest
+    * per (permutation, shingle) — the production fast path: build 3.2×
+    * and lookup 2× cheaper, measured at 5M docs (DedupProbe `store`,
+    * BASELINE.md; shingling + shuffle + write share the cost, so the
+    * digest swap is not a 10× lever). Identical banding/estimator THEORY
+    * but different concrete signatures, so a store commits to one hash at
+    * build time (pinned in `meta`).
     */
   private[graft] def minhashSigsMd5(docs: DataFrame, textCol: String,
-      idCol: String, shingleSize: Int, k: Int): DataFrame =
+      idCol: String, shingleSize: Int, k: Int,
+      portable: Boolean = true): DataFrame = {
+    val sigCols =
+      if (portable) minhashSignatureMd5(col("sh"), k)
+      else minhashSignature(col("sh"), k)
     docs.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .where(size(col("sh")) > 0)
-      .select(col("id"), array(minhashSignatureMd5(col("sh"), k): _*).as("sig"))
+      .select(col("id"), array(sigCols: _*).as("sig"))
+  }
 
   private def sigBandKeys(bands: Int, rowsPerBand: Int): Seq[Column] =
     (0 until bands).map { b =>
@@ -520,19 +533,25 @@ object Dedup {
     */
   def buildMinHashStore(docs: DataFrame, path: String,
       textCol: String = "text", idCol: String = "doc_id",
-      shingleSize: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): Unit = {
+      shingleSize: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+      portable: Boolean = true): Unit = {
     val spark = docs.sparkSession
-    minhashSigsMd5(docs, textCol, idCol, shingleSize, bands * rowsPerBand)
+    minhashSigsMd5(docs, textCol, idCol, shingleSize, bands * rowsPerBand,
+        portable)
       .write.mode("overwrite").parquet(s"$path/sigs")
     import spark.implicits._
-    Seq((shingleSize, bands, rowsPerBand))
-      .toDF("shingle_size", "bands", "rows_per_band")
+    Seq((shingleSize, bands, rowsPerBand, portable))
+      .toDF("shingle_size", "bands", "rows_per_band", "portable")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  private def readStoreMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
+  private def readStoreMeta(spark: SparkSession, path: String): (Int, Int, Int, Boolean) = {
     val r = spark.read.parquet(s"$path/meta").head()
-    (r.getInt(0), r.getInt(1), r.getInt(2))
+    // stores written before the hash-choice column default to portable
+    val portable = if (r.schema.fieldNames.contains("portable"))
+      r.getAs[Boolean]("portable") else true
+    (r.getAs[Int]("shingle_size"), r.getAs[Int]("bands"),
+      r.getAs[Int]("rows_per_band"), portable)
   }
 
   /** Append a new batch's signatures to a [[buildMinHashStore]] store —
@@ -542,8 +561,8 @@ object Dedup {
     */
   def appendMinHashStore(spark: SparkSession, path: String, newDocs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): Unit = {
-    val (sh, b, r) = readStoreMeta(spark, path)
-    minhashSigsMd5(newDocs, textCol, idCol, sh, b * r)
+    val (sh, b, r, portable) = readStoreMeta(spark, path)
+    minhashSigsMd5(newDocs, textCol, idCol, sh, b * r, portable)
       .write.mode("append").parquet(s"$path/sigs")
   }
 
@@ -556,8 +575,8 @@ object Dedup {
   def minHashStoreLookup(spark: SparkSession, path: String, batch: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       minEstJaccard: Double = 0.5): DataFrame = {
-    val (sh, b, r) = readStoreMeta(spark, path)
-    lookupSigs(minhashSigsMd5(batch, textCol, idCol, sh, b * r),
+    val (sh, b, r, portable) = readStoreMeta(spark, path)
+    lookupSigs(minhashSigsMd5(batch, textCol, idCol, sh, b * r, portable),
       spark.read.parquet(s"$path/sigs"), b, r, minEstJaccard)
   }
 

@@ -818,5 +818,16 @@ class DedupSpec extends AnyFunSuite {
     val hits2 = Dedup.minHashStoreLookup(spark, store, batch2).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(hits2((201L, 103L)) == 1.0, hits2.toString)
+    // the xxhash64 fast-path store: meta pins the hash choice, lookups
+    // follow it, and the lifecycle behaves identically on exact copies
+    val fast = java.nio.file.Files.createTempDirectory("graft_mh_fast").toString
+    Dedup.buildMinHashStore(corpus, fast, portable = false)
+    val fhits = Dedup.minHashStoreLookup(spark, fast, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(fhits((101L, 1L)) == 1.0 && !fhits.keys.exists(_._1 == 103L), fhits.toString)
+    Dedup.appendMinHashStore(spark, fast, batch.where(col("doc_id") === 103L))
+    val fhits2 = Dedup.minHashStoreLookup(spark, fast, batch2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(fhits2((201L, 103L)) == 1.0, fhits2.toString)
   }
 }
