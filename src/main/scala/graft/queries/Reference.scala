@@ -821,7 +821,44 @@ object Reference {
          |ORDER BY ship_year""".stripMargin
     })
 
+  // --------------------------------- Q31: TPC-H Q17-shaped correlated average
+  // Small-quantity outlier revenue for one brand: lineitems below 20% of
+  // their own part's average quantity. The classic formulation is a
+  // correlated scalar subquery (the oracle keeps that exact text — DuckDB
+  // decorrelates it); the DataFrame form IS the decorrelated plan, declared
+  // directly: broadcast brand dim bounds the fact scan, one per-part
+  // aggregate builds the thresholds, one equi-join applies them — no
+  // per-row re-aggregation anywhere, which is the only shape that survives
+  // at 100 TB. Averages run on the msum fixed point (l_quantity is double
+  // parquet — a float sum's reduction order would diverge across engines).
+  private val q31 = Q(
+    "q31_q17outlier",
+    (s, dir) => {
+      val bp = broadcast(t(s, dir, "part")
+        .where(col("p_brand") === "Brand#1").select(col("p_partkey")))
+      val brandLi = t(s, dir, "lineitem")
+        .join(bp, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      // every lineitem row of a brand part is in brandLi, so the per-part
+      // average over brandLi equals the correlated subquery's average
+      val cuts = brandLi.groupBy(col("l_partkey"))
+        .agg((lit(0.2) * mavg(col("l_quantity"))).as("qty_cut"))
+      brandLi.join(cuts, "l_partkey")
+        .where(col("l_quantity") < col("qty_cut"))
+        .agg(round(msum(col("l_extendedprice")) / lit(7.0), 4).as("avg_yearly"),
+          count(lit(1)).as("n_outlier_rows"))
+    },
+    Some(
+      s"""SELECT
+         |  round(${msumSql("l_extendedprice")} / 7.0, 4) AS avg_yearly,
+         |  COUNT(*) AS n_outlier_rows
+         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         |WHERE p.p_brand = 'Brand#1'
+         |  AND l.l_quantity < (
+         |    SELECT CAST(0.2 AS DOUBLE) * ${mavgSql("l2.l_quantity")}
+         |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q05, q07, q08, q09, q10, q12, q13, q14, q15, q16, q17,
-      q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
+      q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31)
 }
