@@ -858,7 +858,59 @@ object Reference {
          |    SELECT CAST(0.2 AS DOUBLE) * ${mavgSql("l2.l_quantity")}
          |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin))
 
+  // ------------------------------- Q32: TPC-H Q21-shaped "sole late shipper"
+  // Suppliers ranked by orders where they were the ONLY supplier to ship
+  // late (> 90 days after the order date) on a multi-supplier order — the
+  // classic EXISTS + NOT EXISTS double correlation. The oracle keeps that
+  // text (DuckDB decorrelates it); the DataFrame side declares the
+  // decorrelated plan: ONE fact⋈orders equi-join, ONE per-order aggregate
+  // (distinct suppliers, distinct late suppliers, the lone late supplier via
+  // max over a singleton), filter, re-aggregate by supplier — no per-row
+  // EXISTS probes, which is the only shape that survives at 100 TB (the
+  // correlated form re-scans lineitem per row).
+  private val q32 = Q(
+    "q32_q21waiting",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 90)
+            .as("late"))
+      val per = j.groupBy(col("l_orderkey")).agg(
+        count_distinct(col("l_suppkey")).as("n_supps"),
+        count_distinct(when(col("late"), col("l_suppkey"))).as("n_late_supps"),
+        max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+      per.where(col("n_supps") > 1 && col("n_late_supps") === 1)
+        .groupBy(col("late_supp").as("suppkey"))
+        .agg(count(lit(1)).as("n_waiting"))
+        .orderBy(col("n_waiting").desc, col("suppkey"))
+        .limit(20)
+    },
+    Some(
+      """SELECT l1.l_suppkey AS suppkey,
+        |  COUNT(DISTINCT l1.l_orderkey) AS n_waiting
+        |FROM lineitem l1 JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE date_diff('day', CAST(o.o_orderdate AS DATE),
+        |        CAST(l1.l_shipdate AS DATE)) > 90
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND date_diff('day', CAST(o3.o_orderdate AS DATE),
+        |            CAST(l3.l_shipdate AS DATE)) > 90)
+        |GROUP BY 1
+        |ORDER BY n_waiting DESC, suppkey
+        |LIMIT 20""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q05, q07, q08, q09, q10, q12, q13, q14, q15, q16, q17,
-      q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31)
+      q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
+      q32)
 }
