@@ -878,9 +878,16 @@ object Reference {
         .select(col("l_orderkey"), col("l_suppkey"),
           (datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 90)
             .as("late"))
-      val per = j.groupBy(col("l_orderkey")).agg(
-        count_distinct(col("l_suppkey")).as("n_supps"),
-        count_distinct(when(col("late"), col("l_suppkey"))).as("n_late_supps"),
+      // two plain aggregates, NOT two count_distincts in one: multiple
+      // distinct aggregates plan as an Expand that triples the joined
+      // stream — at 100 TB that's the query's whole cost. Level 1 collapses
+      // to (order, supplier, ever-late); level 2 counts what are now
+      // distinct-by-construction rows.
+      val perSupp = j.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("late"))
+      val per = perSupp.groupBy(col("l_orderkey")).agg(
+        count(lit(1)).as("n_supps"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late_supps"),
         max(when(col("late"), col("l_suppkey"))).as("late_supp"))
       per.where(col("n_supps") > 1 && col("n_late_supps") === 1)
         .groupBy(col("late_supp").as("suppkey"))
