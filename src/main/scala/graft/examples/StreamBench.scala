@@ -131,6 +131,14 @@ object StreamBench {
     Thread.sleep(rateSec * 1000L)
     rateQ.stop()
     rateQ.awaitTermination()
+    // listener-bus delivery is asynchronous — the final trigger's progress
+    // event can still be in flight after awaitTermination; poll until the
+    // buffer stops growing before detaching, so trailing events drain
+    var drained = -1
+    while (rateProgress.size() != drained) {
+      drained = rateProgress.size()
+      Thread.sleep(200L)
+    }
     spark.streams.removeListener(progressListener)
     val prog = {
       import scala.jdk.CollectionConverters._

@@ -726,6 +726,81 @@ object Dedup {
         .agg(collect_list(struct(col("id"), col("n_sh"))).as("members"))
         .where(size(col("members")) > 1)
 
+  /** Exact containment verification for candidate id pairs — the
+    * directional twin of [[verifyExactJaccard]]: full shingle sets are
+    * fetched only for docs appearing in some pair, and both containment
+    * directions are computed 4dp-rounded on the FULL sets, so whatever
+    * pruned the candidates, the emitted rows are those of the naive
+    * all-pairs operator.
+    */
+  private def verifyContainment(
+      pairs: DataFrame, sh: DataFrame, minContainment: Double): DataFrame = {
+    val candIds = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+      .distinct()
+    val candSh = sh.join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), col("sh")).dropDuplicates("id")
+    val common = size(array_intersect(col("sh_a"), col("sh_b")))
+    pairs
+      .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(common.cast("double") / size(col("sh_a")).cast("double"), 4)
+          .as("c_a_in_b"),
+        round(common.cast("double") / size(col("sh_b")).cast("double"), 4)
+          .as("c_b_in_a"))
+      .where(greatest(col("c_a_in_b"), col("c_b_in_a")) >= minContainment)
+  }
+
+  // ---- AllPairs/PPJoin prefix filtering (Bayardo et al. 2007; Xiao et al.
+  // 2008) shared by the prefixFilter modes of [[ngramJaccardPairs]] and
+  // [[ngramContainmentPairs]] ----
+
+  /** Threshold scale for the exact-integer overlap bounds below. */
+  private val PfScale = 10000L
+
+  /** The similarity threshold as a WEAKENED integer numerator over
+    * [[PfScale]]: `floor(t·10⁴) − 1`. Weakened twice on purpose — once for
+    * thresholds that aren't exactly representable at 4dp (floor, never
+    * round: a too-large rational threshold would shrink prefixes below the
+    * theorem's requirement) and once more (−1) so pairs whose true score
+    * sits a hair BELOW `t` but 4dp-ROUNDS UP to it (the containment filter
+    * compares round(c, 4) ≥ t) still generate a candidate. Pruning with a
+    * weaker threshold only admits extra candidates; the full-set
+    * verification restores the exact semantics.
+    */
+  private def pfThresholdNum(t: Double): Long =
+    math.floor(t * PfScale + 1e-9).toLong - 1L
+
+  /** `⌈(n · tNum) / 10⁴⌉` as exact integer Column arithmetic — the minimum
+    * overlap a qualifying pair must reach when the bound is `t · n`. The
+    * double division is exact here: the numerator stays far below 2⁵³ and a
+    * non-integer quotient sits ≥ 1/10⁴ from the nearest integer, so `floor`
+    * cannot be perturbed by the final ulp.
+    */
+  private def pfAlpha(n: Column, tNum: Long): Column =
+    floor((n * lit(tNum) + lit(PfScale - 1)) / lit(PfScale.toDouble)).cast("int")
+
+  /** Per-document df-ordered shingle positions: one row per (doc, shingle)
+    * with `pos` = the shingle's 0-based rank in the GLOBAL
+    * (document-frequency ASC, shingle ASC) total order restricted to the
+    * doc — the canonical ordering of the prefix-filter family (rare
+    * shingles first, so a prefix holds each doc's most SELECTIVE shingles
+    * and corpus-wide boilerplate sorts to the suffix where it is never
+    * indexed). Two shuffles: the df count (by shingle) and the per-doc
+    * sort (by id, buffer bounded by the doc's own shingle count).
+    */
+  private def pfOrderedEntries(sh: DataFrame): DataFrame = {
+    val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("g"))
+    val dfreq = inv.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    inv.join(dfreq, Seq("g"))
+      .groupBy(col("id"), col("n_sh"))
+      .agg(sort_array(collect_list(struct(col("gdf"), col("g")))).as("lst"))
+      .select(col("id"), col("n_sh"),
+        posexplode(col("lst")).as(Seq("pos", "e")))
+      .select(col("id"), col("n_sh"), col("pos"), col("e.g").as("g"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs at or above `minJaccard`, via
     * posting-list buckets: explode shingles → ONE shuffle grouping the
     * (id, |set|) posting list per shingle → in-bucket pair explode with a
@@ -740,16 +815,28 @@ object Dedup {
     * id-only bucket shape [[minhashNearDupNative]] uses — and the quadratic
     * term (Σ df² pairs out of the explode) is what `maxDocFreq` bounds.
     *
-    * Architecture note, measured on the documents corpus (~52 shingles/doc):
-    * this count-based aggregation BEATS an AllPairs/PPJoin-style
-    * prefix-filter + full-set verification split (tried both lexicographic
-    * and rare-first prefix orders) — with short documents the marginal cost
-    * per co-sharing pair is one codegen'd count, cheaper than re-joining
-    * shingle arrays for candidate verification, and this corpus yields ~30×
-    * more candidates than true pairs so verification dominates. For LONG
-    * documents (thousands of shingles) the economics flip; that regime
-    * already has a dedicated operator — [[minhashNearDupNative]], whose
-    * banding is length-independent.
+    * `prefixFilter = true` switches candidate generation to AllPairs/PPJoin
+    * positional prefix filtering (Bayardo et al. 2007; Xiao et al. 2008):
+    * order every doc's shingles by global df ascending ([[pfOrderedEntries]]),
+    * index only each doc's first `n − ⌈t·n⌉ + 1` shingles, and bucket-join
+    * PREFIXES against PREFIXES — a qualifying pair must share ≥ ⌈t·max⌉
+    * shingles, so its prefixes provably intersect (no recall contract AT
+    * ALL, unlike `maxDocFreq`: the filter is exact, and survivors re-score
+    * on full sets via [[verifyExactJaccard]]). The positional bound
+    * `min(|A|−i, |B|−j) ≥ ⌈t·max⌉` prunes rows whose shared shingle sits
+    * too deep for the remaining suffixes to reach the overlap (valid at the
+    * pair's FIRST shared prefix shingle, which always survives for
+    * qualifying pairs — later shared shingles may be filtered, the distinct
+    * keeps the pair). Candidate volume drops from Σ df² to Σ prefix_df²
+    * where boilerplate shingles have prefix_df ≈ 0 — this is what replaces
+    * the df cap at corpus scale without touching semantics.
+    *
+    * Regime note, measured: at sf0.1 (1k docs, ~52 shingles/doc) the plain
+    * count-based aggregation wins — candidates are cheap counts and the
+    * prefix machinery's extra df-join/sort passes dominate (the round-3
+    * negative result). At sf10 (5M docs) the Σ df² explode is the whole
+    * cost and prefix filtering wins outright (BASELINE.md carries both
+    * numbers). Exactness is identical either way; pick by corpus size.
     *
     * `maxDocFreq > 0` drops whole buckets larger than the cap (boilerplate,
     * stop-phrases — a shingle shared by d docs contributes d² pairs) from
@@ -773,10 +860,40 @@ object Dedup {
       idCol: String = "doc_id",
       shingleSize: Int = 3,
       minJaccard: Double = 0.8,
-      maxDocFreq: Int = 0): DataFrame = {
+      maxDocFreq: Int = 0,
+      prefixFilter: Boolean = false): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1.0,
+      s"minJaccard in (0, 1]: $minJaccard")
+    require(!(prefixFilter && maxDocFreq > 0),
+      "prefixFilter is the exact replacement for the df cap — combining " +
+        "them would silently restore the capped-recall contract")
     val sh = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
+    if (prefixFilter) {
+      val tNum = pfThresholdNum(minJaccard)
+      val entries = pfOrderedEntries(sh)
+      // prefix: pos ≤ n − ⌈t·n⌉ (0-based; prefix length n − α + 1)
+      val pref = entries.where(col("pos") <= col("n_sh") - pfAlpha(col("n_sh"), tNum))
+      // one-shuffle bucket self-pairing over PREFIX posting lists (the
+      // postingBuckets shape; lists here are prefix_df-sized, not df-sized)
+      val buckets = pref.groupBy(col("g"))
+        .agg(collect_list(struct(col("id"), col("n_sh"), col("pos"))).as("members"))
+        .where(size(col("members")) > 1)
+      val cand = buckets
+        .select(explode(col("members")).as("a"), col("members"))
+        .select(col("a"), explode(col("members")).as("b"))
+        .where(col("a.id") < col("b.id") &&
+          // length filter: t·max ≤ min, exact integer form
+          lit(PfScale) * least(col("a.n_sh"), col("b.n_sh")) >=
+            lit(tNum) * greatest(col("a.n_sh"), col("b.n_sh")) &&
+          // positional filter: remaining suffixes must cover ⌈t·max⌉
+          least(col("a.n_sh") - col("a.pos"), col("b.n_sh") - col("b.pos")) >=
+            pfAlpha(greatest(col("a.n_sh"), col("b.n_sh")), tNum))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      return verifyExactJaccard(cand, sh, minJaccard)
+    }
     val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("g"))
     val buckets = postingBuckets(inv, maxDocFreq)
     val copairs = buckets
@@ -828,6 +945,19 @@ object Dedup {
     * is a lower bound on |A∩B|, hence on both containments, so the
     * pre-filter admits no false positives and survivors re-score on full
     * shingle sets (the capped-Jaccard contract, directionally applied).
+    *
+    * `prefixFilter = true` is the EXACT scale path (no recall contract,
+    * unlike the cap): a qualifying pair needs `|A∩B| ≥ ⌈t·min(|A|,|B|)⌉`,
+    * so the SMALLER doc's df-ordered prefix (its first `n − ⌈t·n⌉ + 1`
+    * rarest shingles, [[pfOrderedEntries]]) must hit the larger doc's FULL
+    * set — candidate generation is a prefix-vs-full equi-join, Σ
+    * (prefix_df · df) instead of Σ df². The larger side cannot be
+    * prefix-restricted (its valid prefix length depends on the pair's MIN
+    * size, unknown per doc — the asymmetry again), but boilerplate carries
+    * prefix_df ≈ 0, which is where the quadratic lived. The positional
+    * bound `min(|S|−i, |L|−j) ≥ ⌈t·|S|⌉` prunes per generated row (valid
+    * at the first shared shingle, which qualifying pairs always retain);
+    * survivors re-score exactly ([[verifyContainment]]).
     */
   def ngramContainmentPairs(
       docs: DataFrame,
@@ -835,13 +965,38 @@ object Dedup {
       idCol: String = "doc_id",
       shingleSize: Int = 3,
       minContainment: Double = 0.9,
-      maxDocFreq: Int = 0): DataFrame = {
+      maxDocFreq: Int = 0,
+      prefixFilter: Boolean = false): DataFrame = {
     require(minContainment > 0 && minContainment <= 1.0,
       s"minContainment in (0, 1]: $minContainment")
+    require(!(prefixFilter && maxDocFreq > 0),
+      "prefixFilter is the exact replacement for the df cap — combining " +
+        "them would silently restore the capped-recall contract")
     val sh = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
       .where(col("n_sh") > 0)
+    if (prefixFilter) {
+      val tNum = pfThresholdNum(minContainment)
+      val entries = pfOrderedEntries(sh)
+      val probe = entries
+        .where(col("pos") <= col("n_sh") - pfAlpha(col("n_sh"), tNum))
+        .select(col("id").as("id_p"), col("n_sh").as("n_p"),
+          col("pos").as("pos_p"), col("g"))
+      val index = entries.select(col("id").as("id_i"), col("n_sh").as("n_i"),
+        col("pos").as("pos_i"), col("g"))
+      // the probe doc is the pair's SMALLER side (ties broken by id so each
+      // pair is generated from exactly one perspective)
+      val cand = probe.join(index, Seq("g"))
+        .where(col("n_p") < col("n_i") ||
+          (col("n_p") === col("n_i") && col("id_p") < col("id_i")))
+        .where(least(col("n_p") - col("pos_p"), col("n_i") - col("pos_i")) >=
+          pfAlpha(col("n_p"), tNum))
+        .select(least(col("id_p"), col("id_i")).as("id_a"),
+          greatest(col("id_p"), col("id_i")).as("id_b"))
+        .distinct()
+      return verifyContainment(cand, sh, minContainment)
+    }
     val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("g"))
     val buckets = postingBuckets(inv, maxDocFreq)
     val counted = buckets
@@ -869,19 +1024,7 @@ object Dedup {
       val candidates = counted
         .where(greatest(round(ca, 4), round(cb, 4)) >= minContainment)
         .select(col("id_a"), col("id_b"))
-      val candIds = candidates.select(col("id_a").as("id"))
-        .union(candidates.select(col("id_b").as("id")))
-        .distinct()
-      val candSh = sh.join(candIds, Seq("id"), "left_semi")
-        .select(col("id"), col("sh")).dropDuplicates("id")
-      val common = size(array_intersect(col("sh_a"), col("sh_b")))
-      val (cae, cbe) = cScores(common, size(col("sh_a")), size(col("sh_b")))
-      candidates
-        .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-        .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(cae, 4).as("c_a_in_b"), round(cbe, 4).as("c_b_in_a"))
-        .where(greatest(col("c_a_in_b"), col("c_b_in_a")) >= minContainment)
+      verifyContainment(candidates, sh, minContainment)
     }
   }
 
@@ -972,6 +1115,24 @@ object Dedup {
     * change — the only semantic difference is that a pair whose EVERY
     * matching segment is capped boilerplate is not considered. Audit what a
     * cap excludes with [[editDistanceHotSegments]] — never silent.
+    *
+    * '''Rarest-segment selection''' (`nSegments`/`indexSegments`) is the
+    * EXACT hot-bucket drain (round-13; the cap above is a recall contract,
+    * this is not): partition each string into `nSegments` > d+1 segments
+    * and index only each doc's `indexSegments` ≥ d+1 segments with the
+    * LOWEST bucket document-frequency. The pigeonhole survives the
+    * generalization — d edits touch at most d of the segments (each edit
+    * lands inside exactly one), so of k ≥ d+1 indexed segments at least
+    * k − d ≥ 1 is untouched and appears EXACTLY in the partner within
+    * shift d. Position-fixed boilerplate (templated prefixes — the sf10
+    * 19k-doc buckets) sorts to each doc's UNSELECTED tail whenever the doc
+    * has anything rarer, so Σ bucket² collapses at the source instead of
+    * being capped after the fact. The probe side enumerates all
+    * `nSegments` positions (it cannot know which k the partner kept);
+    * per-doc probe rows grow ∝ nSegments while index rows stay d+1 — the
+    * trade is probe fan-out for bucket drain. `nSegments = 0` keeps the
+    * classic d+1 layout (no selection possible; segments at their longest
+    * and most selective — right for corpora without aligned boilerplate).
     */
   def editDistancePairs(
       docs: DataFrame,
@@ -979,12 +1140,35 @@ object Dedup {
       idCol: String = "doc_id",
       maxDist: Int = 5,
       prefixLen: Int = 0,
-      maxSegmentBucket: Int = 0): DataFrame = {
+      maxSegmentBucket: Int = 0,
+      nSegments: Int = 0,
+      indexSegments: Int = 0): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
     val d = maxDist
-    val m = d + 1
+    val m = if (nSegments > 0) nSegments else d + 1
+    require(m >= d + 1, s"nSegments must be >= maxDist + 1: $nSegments vs d=$d")
+    val k = if (indexSegments > 0) indexSegments else m
+    require(k >= d + 1 && k <= m,
+      s"indexSegments must be in [maxDist + 1, nSegments]: $k vs d=$d m=$m")
     val keyed = edKeyed(docs, textCol, idCol, prefixLen)
-    val indexed0 = edSegments(keyed, m)
+    val indexedAll = edSegments(keyed, m)
+    // rarest-segment selection: rank each doc's segments by their bucket's
+    // corpus-wide df (ties by segment index — total, deterministic) and
+    // keep the k rarest. Strings too short to fill every segment rank the
+    // empty-suffix segments by df like any other (an empty `sub` bucket is
+    // maximally hot, so selection naturally avoids it when possible).
+    val indexed0 =
+      if (k >= m) indexedAll
+      else {
+        val segDf = indexedAll.groupBy(col("lb"), col("i"), col("sub"))
+          .agg(count(lit(1)).as("__bdf"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id_b")).orderBy(col("__bdf"), col("i"))
+        indexedAll.join(segDf, Seq("lb", "i", "sub"))
+          .withColumn("__rk", row_number().over(w))
+          .where(col("__rk") <= k)
+          .select(col("id_b"), col("lb"), col("i"), col("sub"))
+      }
     val indexed =
       if (maxSegmentBucket <= 0) indexed0
       else {

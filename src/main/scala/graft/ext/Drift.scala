@@ -816,73 +816,6 @@ object Drift {
     * k(k−1)/2 pair rows, so the join is |V|·|S|²-bounded, never
     * corpus-sized; sizes and the pair spine are |S|-row frames.
     */
-  /** Population Stability Index between two time slices of a value
-    * distribution — the standard drift gate of ML monitoring (rule of
-    * thumb: < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 investigate).
-    * Period A is `ts < splitTs`, period B the rest; values land on a
-    * fixed-width bucket grid and
-    * `PSI = Σ (pA − pB) · ln((pA + ε)/(pB + ε))` with ε = 1e-6 smoothing
-    * both sides (a bucket present in only one period contributes a large
-    * finite term instead of ±∞ — the portable form of the textbook
-    * "drop or epsilon" caveat).
-    *
-    * Scale: one scan reduces to the bucket grid (resolution-bounded,
-    * `floor(value/width)`) with BOTH period counts in the same conditional
-    * hash aggregate — the two-period comparison costs one pass, not two.
-    * Totals re-enter via a 1-row broadcast. Per-bucket terms round to 6dp
-    * and sum FIXED-POINT (the [[sourceTokenKl]] 1e-6 convention), so the
-    * reduction order cannot diverge across engines. Output: one row
-    * (n_a, n_b, n_buckets, psi).
-    */
-  def psi(events: DataFrame, splitTs: String, valueCol: String = "value",
-      tsCol: String = "ts", bucketWidth: Double = 50.0): DataFrame = {
-    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
-    val cnt = events.select(
-        floor(col(valueCol) / bucketWidth).cast("long").as("b"),
-        (col(tsCol) < to_timestamp(lit(splitTs))).as("is_a"))
-      .groupBy(col("b"))
-      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
-        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
-    val tot = cnt.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-    val pa = col("ca").cast("double") / col("na")
-    val pb = col("cb").cast("double") / col("nb")
-    val term = round((pa - pb) * log((pa + lit(1e-6)) / (pb + lit(1e-6))), 6)
-    cnt.crossJoin(broadcast(tot))
-      .select(col("na"), col("nb"), term.as("t"))
-      .groupBy(col("na"), col("nb"))
-      .agg(count(lit(1)).as("n_buckets"),
-        round(sum(round(col("t") * lit(1000000), 0).cast("long")).cast("double")
-          / lit(1000000), 6).as("psi"))
-      .select(col("na").as("n_a"), col("nb").as("n_b"),
-        col("n_buckets"), col("psi"))
-  }
-
-  /** DuckDB mirror of [[psi]] — generated; double literals CAST explicitly
-    * (DuckDB parses bare decimals as DECIMAL — the e105 lesson), same
-    * textual float order, same 1e-6 fixed-point sum.
-    */
-  def psiSql(table: String, splitTs: String, valueCol: String = "value",
-      tsCol: String = "ts", bucketWidth: Double = 50.0): String =
-    s"""WITH c AS (
-       |  SELECT CAST(floor($valueCol / CAST($bucketWidth AS DOUBLE)) AS BIGINT) AS b,
-       |    CAST(SUM(CASE WHEN $tsCol < TIMESTAMP '$splitTs' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-       |    CAST(SUM(CASE WHEN $tsCol < TIMESTAMP '$splitTs' THEN 0 ELSE 1 END) AS BIGINT) AS cb
-       |  FROM $table GROUP BY 1
-       |), t AS (
-       |  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
-       |  FROM c
-       |), terms AS (
-       |  SELECT na, nb,
-       |    round((CAST(ca AS DOUBLE)/na - CAST(cb AS DOUBLE)/nb) *
-       |      ln((CAST(ca AS DOUBLE)/na + CAST(0.000001 AS DOUBLE)) /
-       |         (CAST(cb AS DOUBLE)/nb + CAST(0.000001 AS DOUBLE))), 6) AS tm
-       |  FROM c, t
-       |)
-       |SELECT na AS n_a, nb AS n_b, COUNT(*) AS n_buckets,
-       |  round(CAST(SUM(CAST(round(tm * 1000000, 0) AS BIGINT)) AS BIGINT)
-       |    / 1000000.0, 6) AS psi
-       |FROM terms GROUP BY na, nb""".stripMargin
-
   def vocabOverlap(docs: DataFrame, textCol: String = "text",
       sourceCol: String = "source"): DataFrame = {
     val tk = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
@@ -942,6 +875,76 @@ object Drift {
        |FROM spine s
        |LEFT JOIN inter i ON i.source_a = s.source_a AND i.source_b = s.source_b
        |ORDER BY s.source_a, s.source_b""".stripMargin
+
+  /** Population Stability Index between two time slices of a value
+    * distribution — the standard drift gate of ML monitoring (rule of
+    * thumb: < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 investigate).
+    * Period A is `ts < splitTs`, period B is `ts >= splitTs` (a NULL
+    * timestamp lands in NEITHER period, on both engines); values land on a
+    * fixed-width bucket grid and
+    * `PSI = Σ (pA − pB) · ln((pA + ε)/(pB + ε))` with ε = 1e-6 smoothing
+    * both sides (a bucket present in only one period contributes a large
+    * finite term instead of ±∞ — the portable form of the textbook
+    * "drop or epsilon" caveat).
+    *
+    * Scale: one scan reduces to the bucket grid (resolution-bounded,
+    * `floor(value/width)`) with BOTH period counts in the same conditional
+    * hash aggregate — the two-period comparison costs one pass, not two.
+    * Totals re-enter via a 1-row broadcast. Per-bucket terms round to 6dp
+    * and sum FIXED-POINT (the [[sourceTokenKl]] 1e-6 convention), so the
+    * reduction order cannot diverge across engines. Output: one row
+    * (n_a, n_b, n_buckets, psi).
+    */
+  def psi(events: DataFrame, splitTs: String, valueCol: String = "value",
+      tsCol: String = "ts", bucketWidth: Double = 50.0): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val cnt = events.select(
+        floor(col(valueCol) / bucketWidth).cast("long").as("b"),
+        (col(tsCol) < to_timestamp(lit(splitTs))).as("is_a"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+    val tot = cnt.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val pa = col("ca").cast("double") / col("na")
+    val pb = col("cb").cast("double") / col("nb")
+    val term = round((pa - pb) * log((pa + lit(1e-6)) / (pb + lit(1e-6))), 6)
+    cnt.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"), term.as("t"))
+      .groupBy(col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_buckets"),
+        round(sum(round(col("t") * lit(1000000), 0).cast("long")).cast("double")
+          / lit(1000000), 6).as("psi"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("n_buckets"), col("psi"))
+  }
+
+  /** DuckDB mirror of [[psi]] — generated; double literals CAST explicitly
+    * (DuckDB parses bare decimals as DECIMAL — the e105 lesson), same
+    * textual float order, same 1e-6 fixed-point sum. Period B tests
+    * `ts >= split` (not `NOT ts < split`): a NULL timestamp must fall out
+    * of BOTH periods, exactly as Spark's two when/otherwise branches do.
+    */
+  def psiSql(table: String, splitTs: String, valueCol: String = "value",
+      tsCol: String = "ts", bucketWidth: Double = 50.0): String =
+    s"""WITH c AS (
+       |  SELECT CAST(floor($valueCol / CAST($bucketWidth AS DOUBLE)) AS BIGINT) AS b,
+       |    CAST(SUM(CASE WHEN $tsCol < TIMESTAMP '$splitTs' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(SUM(CASE WHEN $tsCol >= TIMESTAMP '$splitTs' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM $table GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+       |  FROM c
+       |), terms AS (
+       |  SELECT na, nb,
+       |    round((CAST(ca AS DOUBLE)/na - CAST(cb AS DOUBLE)/nb) *
+       |      ln((CAST(ca AS DOUBLE)/na + CAST(0.000001 AS DOUBLE)) /
+       |         (CAST(cb AS DOUBLE)/nb + CAST(0.000001 AS DOUBLE))), 6) AS tm
+       |  FROM c, t
+       |)
+       |SELECT na AS n_a, nb AS n_b, COUNT(*) AS n_buckets,
+       |  round(CAST(SUM(CAST(round(tm * 1000000, 0) AS BIGINT)) AS BIGINT)
+       |    / 1000000.0, 6) AS psi
+       |FROM terms GROUP BY na, nb""".stripMargin
 
   /** Distinctive terms per source by smoothed log-odds z-score (Monroe,
     * Colaresi & Quinn 2008 "Fightin' Words", add-one prior): for each

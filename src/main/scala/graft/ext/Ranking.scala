@@ -204,7 +204,7 @@ object Ranking {
        |      ORDER BY round(tf.tf * ln(CAST(n_docs AS DOUBLE) / dft.df), 4) DESC,
        |               tf.term) AS INTEGER) AS rank
        |  FROM tf JOIN dft USING (term), n
-       |  WHERE dft.df >= $minDf AND dft.df <= $maxDfFrac * n_docs
+       |  WHERE dft.df >= $minDf AND dft.df <= CAST($maxDfFrac AS DOUBLE) * n_docs
        |)
        |WHERE rank <= $k""".stripMargin
 

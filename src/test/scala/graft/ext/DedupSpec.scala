@@ -221,6 +221,93 @@ class DedupSpec extends AnyFunSuite {
       s"missing=${naive.keySet -- got.keySet} extra=${got.keySet -- naive.keySet}")
   }
 
+  test("PPJoin prefixFilter jaccard ≡ default path: same pairs, same scores (exact recall)") {
+    // the round-13 scale path: df-ordered prefix + positional filtering is
+    // EXACT (no recall contract, unlike maxDocFreq) — pin it against the
+    // default path on the real doubled corpus at two thresholds
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val doubled = d.unionAll(d.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    for (t <- Seq(0.4, 0.8)) {
+      val plain = Dedup.ngramJaccardPairs(doubled, minJaccard = t)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val pf = Dedup.ngramJaccardPairs(doubled, minJaccard = t, prefixFilter = true)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(plain.nonEmpty)
+      assert(pf == plain,
+        s"t=$t missing=${plain.keySet -- pf.keySet} extra=${pf.keySet -- plain.keySet}")
+    }
+  }
+
+  test("prefixFilter keeps the boilerplate-only pair the df cap drops (exactness, not a contract)") {
+    import spark.implicits._
+    // the capped-recall-contract corpus: (100, 101) qualify ONLY via
+    // df=22 boilerplate shingles — the cap drops them BY DESIGN, the prefix
+    // filter must keep them because it is exact
+    val boiler = "please read our terms of service"
+    val corpus = ((1L to 20L).map(i => (i, s"$boiler filler$i")) ++ Seq(
+        (100L, s"$boiler appendix"),
+        (101L, s"$boiler glossary")))
+      .toDF("doc_id", "text")
+    val plain = Dedup.ngramJaccardPairs(corpus, minJaccard = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val pf = Dedup.ngramJaccardPairs(corpus, minJaccard = 0.5, prefixFilter = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pf == plain,
+      s"missing=${plain.keySet -- pf.keySet} extra=${pf.keySet -- plain.keySet}")
+    assert(pf.contains((100L, 101L)))
+    // combining the exact filter with the capped contract is refused loudly
+    assertThrows[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(corpus, minJaccard = 0.5, maxDocFreq = 5,
+        prefixFilter = true)
+    }
+  }
+
+  test("prefixFilter jaccard ≡ default on 120 randomized docs (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val base = (1L to 60L).map { i =>
+      (i, Seq.fill(4 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // plant near-copies: append one token to every third doc
+    val docs = (base ++ base.collect { case (i, t) if i % 3 == 0 =>
+      (i + 1000L, s"$t ${vocab(rnd.nextInt(vocab.size))}") }).toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.6)) {
+      val plain = Dedup.ngramJaccardPairs(docs, minJaccard = t)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val pf = Dedup.ngramJaccardPairs(docs, minJaccard = t, prefixFilter = true)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(pf == plain,
+        s"t=$t missing=${plain.keySet -- pf.keySet} extra=${pf.keySet -- plain.keySet}")
+    }
+  }
+
+  test("prefixFilter containment ≡ default path on planted excerpts (exact recall)") {
+    // the e106 shape: half-length excerpts are fully contained in their
+    // originals; prefix mode (smaller-side prefix vs full index) must land
+    // on exactly the same directional scores as the default path
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val toks = split(trim(col("text")), "\\s+")
+    val k = greatest(floor(size(toks) / 2), lit(3)).cast("int")
+    val exc = d.select((col("doc_id") + 200000L).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), k)).as("text"))
+    val corpus = d.unionAll(exc)
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    for (t <- Seq(0.7, 0.9)) {
+      val plain = collectPairs(Dedup.ngramContainmentPairs(corpus, minContainment = t))
+      val pf = collectPairs(
+        Dedup.ngramContainmentPairs(corpus, minContainment = t, prefixFilter = true))
+      assert(plain.nonEmpty)
+      assert(pf == plain,
+        s"t=$t missing=${plain.keySet -- pf.keySet} extra=${pf.keySet -- plain.keySet}")
+    }
+  }
+
   test("ngram jaccard DF cap: stop-shingles excluded from candidates, scores exact") {
     import spark.implicits._
     val boiler = "subscribe to our newsletter for daily updates today"
@@ -488,6 +575,76 @@ class DedupSpec extends AnyFunSuite {
     assert(got == brute,
       s"missing=${(brute.keySet -- got.keySet).take(5)} extra=${(got.keySet -- brute.keySet).take(5)}")
     assert(brute.nonEmpty, "seeded corpus produced no near pairs — test is vacuous")
+  }
+
+  test("rarest-segment selection ≡ brute force on the randomized corpus (exact recall)") {
+    import spark.implicits._
+    // the generalized pigeonhole: m = 8 segments, index the k = d+1 = 4
+    // rarest per doc — same pairs and distances as the classic layout and
+    // the brute-force reference, on the adversarial random corpus
+    val rnd = new scala.util.Random(1234)
+    def randStr(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      (1 to edits).foreach { _ =>
+        val op = rnd.nextInt(3)
+        val p = if (cur.isEmpty) 0 else rnd.nextInt(cur.length)
+        cur = op match {
+          case 0 if cur.nonEmpty => cur.updated(p, ('a' + rnd.nextInt(3)).toChar)
+          case 1 => cur.take(p) + ('a' + rnd.nextInt(3)).toChar + cur.drop(p)
+          case _ if cur.nonEmpty => cur.take(p) + cur.drop(p + 1)
+          case _ => cur
+        }
+      }
+      cur
+    }
+    val bases = (0 until 60).map(i => (i.toLong, randStr(5 + rnd.nextInt(20))))
+    val mutants = (0 until 20).map { j =>
+      val (_, base) = bases(rnd.nextInt(bases.size))
+      (100L + j, mutate(base, 1 + rnd.nextInt(4)))
+    }
+    val all = bases ++ mutants
+    val got = Dedup.editDistancePairs(all.toDF("doc_id", "text"), maxDist = 3,
+        nSegments = 8, indexSegments = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val brute = (for {
+      (ia, ta) <- all; (ib, tb) <- all if ia < ib
+      dd = levenshteinRef(ta, tb) if dd <= 3
+    } yield (ia, ib) -> dd.toLong).toMap
+    assert(brute.nonEmpty)
+    assert(got == brute,
+      s"missing=${(brute.keySet -- got.keySet).take(5)} extra=${(got.keySet -- brute.keySet).take(5)}")
+    // parameter validation is loud
+    assertThrows[IllegalArgumentException] {
+      Dedup.editDistancePairs(all.toDF("doc_id", "text"), maxDist = 3,
+        nSegments = 3) // < d + 1
+    }
+    assertThrows[IllegalArgumentException] {
+      Dedup.editDistancePairs(all.toDF("doc_id", "text"), maxDist = 3,
+        nSegments = 8, indexSegments = 3) // < d + 1
+    }
+  }
+
+  test("rarest-segment selection drains aligned-boilerplate hot buckets, same pairs") {
+    import spark.implicits._
+    // the e18 sf10 failure shape: every doc opens with the SAME templated
+    // prefix, so position-fixed segments land in one giant bucket. With
+    // m = 8 / k = 4 each doc indexes its distinctive tail segments instead;
+    // pairs are unchanged (pigeonhole), and the hot prefix buckets hold
+    // far fewer index entries.
+    val boiler = "common header text here " // 24 chars — covers leading segments
+    val corpus = ((1L to 40L).map(i => (i, f"$boiler${i}%03d-unique-suffix")) ++ Seq(
+      (100L, s"${boiler}payload alpha"),
+      (101L, s"${boiler}payload alphb"))) // 1 edit apart
+      .toDF("doc_id", "text")
+    val classic = Dedup.editDistancePairs(corpus, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rare = Dedup.editDistancePairs(corpus, maxDist = 2,
+        nSegments = 8, indexSegments = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(classic.contains((100L, 101L)))
+    assert(rare == classic,
+      s"missing=${classic.keySet -- rare.keySet} extra=${rare.keySet -- classic.keySet}")
   }
 
   test("nearDedupRowsFrom composes with any pair family (edit-distance source)") {
