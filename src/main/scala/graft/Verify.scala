@@ -36,6 +36,18 @@ object Verify {
           s"segment bucket $maxBucket): the oracle brute-forces all pairs, so " +
           s"the gate would hash-mismatch opaquely — re-pin the e18 cap/comment")
     }
+    // Pre-flight audit for e93_embedding_neardup: its Spark side scales LSH
+    // band bits with the corpus (Dedup.autoPlanes) while its oracle mirror
+    // is a STATIC 32-plane text — valid only while the rule lands on 32 at
+    // this corpus size. Trip loudly if regenerated test data moves it.
+    locally {
+      val n = 2L * graft.ops.Layout.parquetRowCount(spark, s"$sfDir/embeddings.parquet")
+      val np = graft.ext.Dedup.autoPlanes(n)
+      require(np == 32,
+        s"e93 autoPlanes($n) = $np but the static oracle mirror pins 32 " +
+          s"planes — regenerate the e93 mirror with the new width or re-clamp " +
+          s"autoPlanes, or the gate hash-mismatches opaquely")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

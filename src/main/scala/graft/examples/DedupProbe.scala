@@ -64,6 +64,101 @@ object DedupProbe {
           f"${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
     }
+    // ---- 0d. PPJoin prefix-filter A/B (round-13): the exact prefix path
+    // vs the declared capped path for the e11/e106 shapes, full corpus at
+    // this scale — wall + pair counts (the prefix path must emit a SUPERSET
+    // of the capped pairs: it is exact, the cap is a recall contract).
+    if (sections("ppjoin")) {
+      def timed(tag: String)(f: => Long): Unit =
+        try {
+          val t0 = System.nanoTime()
+          val n = f
+          println(f"[dedup-probe] ppjoin $tag: $n%d pairs in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        } catch {
+          case e: Throwable =>
+            println(s"[dedup-probe] ppjoin $tag FAILED: ${e.getMessage.take(120)}")
+        }
+      timed("jaccard(0.8) prefixFilter") {
+        Dedup.ngramJaccardPairs(docs, minJaccard = 0.8, prefixFilter = true).count()
+      }
+      timed("jaccard(0.8) cap=1000") {
+        Dedup.ngramJaccardPairs(docs, minJaccard = 0.8, maxDocFreq = 1000).count()
+      }
+      timed("containment(0.9) prefixFilter") {
+        Dedup.ngramContainmentPairs(docs, minContainment = 0.9, prefixFilter = true).count()
+      }
+      timed("containment(0.9) cap=2000") {
+        Dedup.ngramContainmentPairs(docs, minContainment = 0.9, maxDocFreq = 2000).count()
+      }
+    }
+
+    // ---- 0e. rarest-segment A/B for the e18 shape (round-13): classic
+    // d+1 layout + bucket cap vs m-segment rarest-k selection (exact),
+    // with the hot-bucket audit on both layouts.
+    if (sections("edseg")) {
+      // GRAFT_EDSEG_ONLY runs a single named leg — an OOM on one layout
+      // takes the whole SparkContext with it (measured), so rehearsal-scale
+      // comparisons run each leg in its own JVM
+      val onlyLeg = sys.env.get("GRAFT_EDSEG_ONLY")
+      val layouts = Seq(
+        ("classic cap=500", () => Dedup.editDistancePairs(docs, maxDist = 5,
+          prefixLen = 40, maxSegmentBucket = 500)),
+        ("m=8 k=6 rarest", () => Dedup.editDistancePairs(docs, maxDist = 5,
+          prefixLen = 40, nSegments = 8, indexSegments = 6)),
+        ("m=8 k=6 rarest cap=500", () => Dedup.editDistancePairs(docs, maxDist = 5,
+          prefixLen = 40, nSegments = 8, indexSegments = 6, maxSegmentBucket = 500)),
+        ("m=12 k=6 rarest", () => Dedup.editDistancePairs(docs, maxDist = 5,
+          prefixLen = 40, nSegments = 12, indexSegments = 6)))
+      layouts.filter(l => onlyLeg.forall(_ == l._1))
+        .takeWhile(_ => !spark.sparkContext.isStopped).foreach { case (tag, f) =>
+        try {
+          val t0 = System.nanoTime()
+          val n = f().count()
+          println(f"[dedup-probe] edseg $tag%-24s: $n%d pairs in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        } catch {
+          case e: Throwable =>
+            println(s"[dedup-probe] edseg $tag FAILED: ${e.getMessage.take(120)}")
+        }
+      }
+    }
+
+    // ---- 0f. e93 corpus-scaled banding recall (round-13): plant a
+    // perturbed near-copy of every embedding (deterministic per-dim hash
+    // noise), then measure — at the historical fixed 32 planes and at the
+    // autoPlanes(corpus) width — how many planted pairs whose TRUE 4dp
+    // cosine clears the 0.95 threshold each width recovers, and the wall.
+    // This is the measured trade behind Dedup.autoPlanes' bits rule.
+    if (sections("e93band")) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val noise = transform(col("embedding"), (_, i) =>
+        (pmod(xxhash64(col("vec_id"), i), lit(1000L)).cast("double") / lit(500.0)
+          - lit(1.0)) * lit(0.10))
+      val pert = emb.select((col("vec_id") + 200000000L).as("vec_id"),
+        zip_with(col("embedding"), noise, (a, b) => a + b).as("embedding"))
+      val corpus = emb.unionAll(pert).localCheckpoint(true)
+      val nCorpus = corpus.count()
+      // ground truth: planted pairs whose exact 4dp cosine clears 0.95
+      val planted = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        .join(pert.select((col("vec_id") - 200000000L).as("id_a"),
+          col("vec_id").as("id_b"), col("embedding").as("vb")), Seq("id_a"))
+        .select(col("id_a"), col("id_b"),
+          round(graft.ext.Similarity.cosine(col("va"), col("vb")), 4).as("cosine"))
+        .where(col("cosine") >= 0.95)
+        .localCheckpoint(true)
+      val nPlanted = planted.count()
+      val auto = Dedup.autoPlanes(nCorpus)
+      Seq(("fixed-32", 32), (s"auto-$auto", auto)).foreach { case (tag, np) =>
+        val t0 = System.nanoTime()
+        val found = Dedup.embeddingNearDupMd5(corpus, minCosine = 0.95, nPlanes = np)
+          .join(planted.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_semi")
+          .count()
+        println(f"[dedup-probe] e93band $tag%-10s: recall $found%d/$nPlanted%d " +
+          f"(${100.0 * found / math.max(1L, nPlanted)}%.1f%%) over $nCorpus%d vecs " +
+          f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+    }
+
     // ---- 0a. e18 hot-segment audit + capped timing: segment-bucket sizes
     // drive the PassJoin candidate volume (a B-doc bucket is ~B² DPs); this
     // prints the top buckets at this scale and times the capped operator —

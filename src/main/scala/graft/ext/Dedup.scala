@@ -1479,34 +1479,51 @@ object Dedup {
     * 2⁻⁶⁴ hash collision can only ever FLAG an extra span, never miss one
     * (spec-pinned equal to the exact form on real corpora).
     */
-  def repeatedSpans(docs: DataFrame, n: Int = 10, minDocs: Int = 2,
-      idCol: String = "doc_id", textCol: String = "text",
-      hashSpanKey: Boolean = false): DataFrame = {
-    require(n >= 2 && minDocs >= 2, s"need n >= 2 and minDocs >= 2: n=$n minDocs=$minDocs")
+  /** Per-doc sliding span seeds — (idCol, pos, span), pos 0-based. The
+    * seed frame every span-family consumer joins survivors back onto.
+    */
+  private def spanSeeds(docs: DataFrame, n: Int,
+      idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
       filter(split(normText(col(textCol)), "\\s+"), t => length(t) > 0).as("__toks"))
-    val spans = toks
+    toks
       .where(size(col("__toks")) >= n)
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), size(col("__toks")) - n),
         i => array_join(slice(col("__toks"), i + 1, lit(n)), " "))).as(Seq("pos", "span")))
-    // rename the grouped key: joining an aggregate back onto its own input
-    // on the SAME attribute trips Spark's ambiguous-self-join detection.
-    // Hashed mode counts over the native SpanHashes expression — the
-    // aggregate branch never materializes a span string (8-byte longs
-    // explode instead of n-token text); only the survivor branch carries
-    // text. SpanHashes ≡ xxhash64(span) bit-for-bit (DedupSpec pin).
-    val key: Column => Column =
-      if (hashSpanKey) c => xxhash64(c) else identity
+  }
+
+  /** Distinct-document counts per span key — (__span_key, n_docs), the
+    * POSTING TABLE of the span family (and what [[buildSpanStore]]
+    * persists). The key is renamed because joining an aggregate back onto
+    * its own input on the SAME attribute trips Spark's ambiguous-self-join
+    * detection. Hashed mode counts over the native SpanHashes expression —
+    * the aggregate branch never materializes a span string (8-byte longs
+    * explode instead of n-token text); only the survivor branch carries
+    * text. SpanHashes ≡ xxhash64(span) bit-for-bit (DedupSpec pin).
+    */
+  private def spanDocCounts(docs: DataFrame, n: Int, hashSpanKey: Boolean,
+      idCol: String, textCol: String): DataFrame = {
     val countSide =
       if (hashSpanKey)
         docs.select(col(idCol),
           explode(graft.functions.SpanHash.spanHashes(col(textCol), n))
             .as("__span_key"))
-      else spans.select(col(idCol), col("span").as("__span_key"))
-    val shared = countSide
+      else spanSeeds(docs, n, idCol, textCol)
+        .select(col(idCol), col("span").as("__span_key"))
+    countSide
       .groupBy(col("__span_key"))
       .agg(countDistinct(col(idCol)).as("n_docs"))
+  }
+
+  def repeatedSpans(docs: DataFrame, n: Int = 10, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text",
+      hashSpanKey: Boolean = false): DataFrame = {
+    require(n >= 2 && minDocs >= 2, s"need n >= 2 and minDocs >= 2: n=$n minDocs=$minDocs")
+    val spans = spanSeeds(docs, n, idCol, textCol)
+    val key: Column => Column =
+      if (hashSpanKey) c => xxhash64(c) else identity
+    val shared = spanDocCounts(docs, n, hashSpanKey, idCol, textCol)
       .where(col("n_docs") >= minDocs)
     spans.join(shared, key(col("span")) === col("__span_key"))
       .select(col(idCol), col("pos"), col("span"), col("n_docs"))
@@ -1587,6 +1604,123 @@ object Dedup {
                |    i -> IF(exists(__starts, s -> i >= s AND i < s + $n), NULL, __toks[i])),
                |  x -> x IS NOT NULL)""".stripMargin), " ")))
       .drop("__mask_id", "__starts", "__toks")
+  }
+
+  /** Persist a SPAN-POSTING STORE — the incremental lifecycle for the
+    * substring-dedup family (the [[buildMinHashStore]] argument applied to
+    * spans): real corpora ingest daily batches, and "which of the batch's
+    * spans already repeat across the corpus" must not recompute a
+    * corpus-sized posting table per run. `$path/posting` holds
+    * `(__span_key, n_docs)` rows APPEND-ONLY (existing part-files are never
+    * rewritten — the [[Similarity.upsertIvfIndex]] contract; a key may
+    * appear once per appended batch and readers merge by SUM, which is
+    * exact because batch doc-id sets are disjoint — the ingest contract
+    * every store here shares). `$path/meta` pins `(n, hash_span_key)` so
+    * mixed-parameter postings are impossible. Periodically fold the append
+    * rows with [[compactSpanStore]] (read-side merge cost is one extra
+    * aggregate until then).
+    *
+    * `hashSpanKey = true` (default — the at-scale posture) stores 8-byte
+    * xxhash64 keys; `false` stores span TEXT, the engine-portable form the
+    * oracle replays.
+    */
+  def buildSpanStore(docs: DataFrame, path: String, n: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text",
+      hashSpanKey: Boolean = true): Unit = {
+    val spark = docs.sparkSession
+    require(n >= 2, s"need n >= 2: $n")
+    spanDocCounts(docs, n, hashSpanKey, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$path/posting")
+    import spark.implicits._
+    Seq((n, hashSpanKey)).toDF("n", "hash_span_key")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def readSpanStoreMeta(spark: SparkSession, path: String): (Int, Boolean) = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    (r.getAs[Int]("n"), r.getAs[Boolean]("hash_span_key"))
+  }
+
+  /** Append a new batch's span counts to a [[buildSpanStore]] store —
+    * append-only part-files, parameters read from the store's own meta.
+    * Call AFTER [[spanStoreLookup]] has flagged/masked the batch.
+    */
+  def appendSpanStore(spark: SparkSession, path: String, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val (n, hashed) = readSpanStoreMeta(spark, path)
+    spanDocCounts(newDocs, n, hashed, idCol, textCol)
+      .write.mode("append").parquet(s"$path/posting")
+  }
+
+  /** Fold a store's per-batch append rows into one row per span key —
+    * read-side merges pay one aggregate per lookup until this runs (the
+    * compaction cadence is the operator's only tuning knob). Rewrites the
+    * posting table in place via a staged overwrite.
+    */
+  def compactSpanStore(spark: SparkSession, path: String): Unit = {
+    val compacted = spark.read.parquet(s"$path/posting")
+      .groupBy(col("__span_key"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+      .localCheckpoint(true) // materialize BEFORE overwriting the source
+    compacted.write.mode("overwrite").parquet(s"$path/posting")
+  }
+
+  /** Flag every batch span that repeats across the STORE'S corpus plus the
+    * batch itself: `(idCol, pos, span, n_docs)` with `n_docs` = corpus
+    * distinct docs + batch distinct docs — EXACTLY [[repeatedSpans]] over
+    * (corpus ∪ batch) restricted to batch rows (spec-pinned), at the cost
+    * of one batch-sized span pass + one join against the posting table;
+    * nothing corpus-sized is recomputed. The downstream mask/dedup tail
+    * ([[maskRepeatedSpans]]'s cover test, [[repeatedSpanRanges]]) composes
+    * on this output exactly as on [[repeatedSpans]]'s.
+    */
+  def spanStoreLookup(spark: SparkSession, path: String, batch: DataFrame,
+      minDocs: Int = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (n, hashed) = readSpanStoreMeta(spark, path)
+    // merge-on-read over the append-only postings (SUM per key is exact —
+    // disjoint batch doc-id sets)
+    val store = spark.read.parquet(s"$path/posting")
+      .groupBy(col("__span_key"))
+      .agg(sum(col("n_docs")).as("__corpus_docs"))
+    spanLookupAssemble(batch, store, n, minDocs, hashed, idCol, textCol)
+  }
+
+  /** Inline twin of [[spanStoreLookup]] for a corpus held as a DataFrame —
+    * the engine-portable form the oracle replays (the [[minhashLookupMd5]]
+    * / store pattern): the corpus side reduces to its posting table in one
+    * pass, the batch never joins corpus-sized text. Store-backed ≡ inline
+    * is spec-pinned in DedupSpec.
+    */
+  def spanLookup(batch: DataFrame, corpus: DataFrame, n: Int = 10,
+      minDocs: Int = 2, idCol: String = "doc_id", textCol: String = "text",
+      hashSpanKey: Boolean = false): DataFrame =
+    spanLookupAssemble(batch,
+      spanDocCounts(corpus, n, hashSpanKey, idCol, textCol)
+        .select(col("__span_key"), col("n_docs").as("__corpus_docs")),
+      n, minDocs, hashSpanKey, idCol, textCol)
+
+  /** Shared tail of [[spanStoreLookup]]/[[spanLookup]]: batch seeds +
+    * batch counts, LEFT-joined onto the corpus posting table (a span new
+    * to the corpus still counts its batch occurrences), thresholded on the
+    * combined distinct-doc count.
+    */
+  private def spanLookupAssemble(batch: DataFrame, corpusCounts: DataFrame,
+      n: Int, minDocs: Int, hashed: Boolean,
+      idCol: String, textCol: String): DataFrame = {
+    require(minDocs >= 2, s"need minDocs >= 2: $minDocs")
+    val key: Column => Column =
+      if (hashed) c => xxhash64(c) else identity
+    val seeds = spanSeeds(batch, n, idCol, textCol)
+    val batchCounts = spanDocCounts(batch, n, hashed, idCol, textCol)
+      .select(col("__span_key"), col("n_docs").as("__batch_docs"))
+    val shared = batchCounts
+      .join(corpusCounts, Seq("__span_key"), "left")
+      .select(col("__span_key"),
+        (coalesce(col("__corpus_docs"), lit(0L)) + col("__batch_docs")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+    seeds.join(shared, key(col("span")) === col("__span_key"))
+      .select(col(idCol), col("pos"), col("span"), col("n_docs"))
   }
 
   private[ext] def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
@@ -1674,6 +1808,28 @@ object Dedup {
         (h % 2000001L) - 1000000L
       }
     }
+
+  /** Corpus-size-scaled hyperplane count for [[embeddingNearDupMd5]] /
+    * [[embeddingNearDup]] — the e31 √n discipline applied to LSH banding.
+    * At FIXED band bits, per-band bucket occupancy is n / 2^bits, so
+    * candidate volume grows ~n²/2^bits (the e93 sf10 rehearsal measured
+    * ×34 at 100× data). Scaling bits with the corpus pins the expected
+    * bucket occupancy instead: `bits = ⌈log₂(n / 64)⌉` clamped to
+    * [minBits, maxBits], `nPlanes = bands · bits`. The trade is recall on
+    * NON-IDENTICAL near-dups (P[band match] = (1 − θ/π)^bits per band;
+    * exact copies collide at any width) — measured with the DedupProbe
+    * planted-pair harness per round; at the verify corpus (≤4k vectors)
+    * the rule lands exactly on the historical 32 planes, so the static
+    * oracle mirror stays valid and [[graft.Verify]] pre-flights that.
+    */
+  def autoPlanes(nRows: Long, bands: Int = 4, minBits: Int = 8,
+      maxBits: Int = 15): Int = {
+    require(bands > 0 && minBits > 0 && maxBits >= minBits &&
+      bands * maxBits <= 63, s"invalid banding: bands=$bands bits=[$minBits,$maxBits]")
+    val bits = math.ceil(
+      math.log(math.max(nRows, 1L).toDouble / 64.0) / math.log(2.0)).toInt
+    bands * math.min(maxBits, math.max(minBits, bits))
+  }
 
   /** ENGINE-PORTABLE embedding near-dup: the [[embeddingNearDup]] pipeline
     * (hyperplane-LSH signature → band buckets → candidate pairs → exact

@@ -285,10 +285,11 @@ object Similarity {
     *    swap forward or back to a consistent index; this method calls it
     *    first, so re-running a crashed refit also self-heals.
     *
-    * At 100 TB the same sequence runs against an object store via a
-    * pointer-file indirection (write a fresh versioned prefix, CAS the
-    * pointer) — the sandbox's local-FS rename is the same two-phase shape
-    * with the park directory standing in for the old version.
+    * Prefer the pointer-file versioned layout ([[buildIvfIndexVersioned]] /
+    * [[refitIvfIndexVersioned]] / [[ivfCurrentDir]]) for served indexes:
+    * it makes refit crash-safe with NO recovery procedure and safe under
+    * concurrent readers, which this in-place rename swap cannot offer.
+    * This form remains for indexes already laid out at a fixed root.
     *
     * `nClusters = 0` (default) keeps the current cell count; pass an
     * explicit value to resize (e.g. √n̂ from [[ivfOccupancy]] totals after
@@ -379,6 +380,148 @@ object Similarity {
       }
     fs.delete(p(tmp), true); fs.delete(p(park), true)
     replayed
+  }
+
+  // ---- pointer-file versioned IVF layout (round-13): refit becomes
+  // crash-safe AND concurrent-reader-safe, retiring recoverIvfIndex's
+  // single-writer/no-reader caveat for indexes built through this API ----
+
+  private def ivfFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+  private def ivfVersionName(n: Long): String = f"v$n%010d"
+
+  /** Published versions of a pointer-file index, ascending. A version is
+    * PUBLISHED iff its pointer entry exists under `$path/ptr/` — pointer
+    * entries are empty immutable files whose NAME is the version, created
+    * with an atomic rename-into-place, so a reader can never observe a
+    * half-written pointer and a crash mid-refit can never unpublish the
+    * current version.
+    */
+  private[graft] def ivfVersions(spark: SparkSession, path: String): Seq[String] = {
+    val fs = ivfFs(spark, path)
+    val ptr = hp(s"$path/ptr")
+    if (!fs.exists(ptr)) Seq.empty
+    else fs.listStatus(ptr).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d{10}")).sorted
+  }
+
+  /** Resolve the CURRENT versioned index root — the directory to hand to
+    * [[ivfTopKIndexed]]/[[ivfTopKBatch]]/[[upsertIvfIndex]]/[[ivfOccupancy]]
+    * and friends (they operate on any index root, versioned or not). A
+    * reader that resolves once keeps a CONSISTENT corpus+centroids pair for
+    * as long as it holds the returned path: a concurrent
+    * [[refitIvfIndexVersioned]] writes a NEW version directory and flips
+    * the pointer, never mutating a published one ([[gcIvfVersions]] is the
+    * only deleter, and it always spares the previous version precisely for
+    * in-flight readers).
+    */
+  def ivfCurrentDir(spark: SparkSession, path: String): String = {
+    val vs = ivfVersions(spark, path)
+    require(vs.nonEmpty, s"no published IVF version under $path/ptr — " +
+      s"build with buildIvfIndexVersioned first")
+    s"$path/${vs.last}"
+  }
+
+  /** Atomically publish `version`: create the pointer entry via
+    * write-temp + rename (rename to a fresh name is atomic on POSIX local
+    * FS and HDFS; on an object store the single-key PUT it maps to is
+    * atomic already).
+    */
+  private def ivfPublish(spark: SparkSession, path: String, version: String): Unit = {
+    val fs = ivfFs(spark, path)
+    fs.mkdirs(hp(s"$path/ptr"))
+    val tmp = hp(s"$path/ptr/.tmp-$version")
+    fs.create(tmp, true).close()
+    require(fs.rename(tmp, hp(s"$path/ptr/$version")),
+      s"failed publishing IVF version $version under $path/ptr")
+  }
+
+  /** Build a pointer-file versioned IVF index: the [[buildIvfIndex]] layout
+    * staged under `$path/v0000000001/` and published by pointer. Returns
+    * the resolved version root.
+    */
+  def buildIvfIndexVersioned(
+      emb: DataFrame,
+      path: String,
+      nClusters: Int = 16,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): String = {
+    val spark = emb.sparkSession
+    require(ivfVersions(spark, path).isEmpty,
+      s"$path already holds a versioned index — refit instead of rebuilding")
+    val v1 = ivfVersionName(1L)
+    buildIvfIndex(emb, s"$path/$v1", nClusters, vecCol, idCol)
+    ivfPublish(spark, path, v1)
+    s"$path/$v1"
+  }
+
+  /** Refit a versioned index — the crash-safe, concurrent-reader-safe form
+    * of [[refitIvfIndex]]: re-cluster the CURRENT version's corpus (build +
+    * upserts) into the NEXT version directory, publish the pointer, then
+    * GC versions older than the previous one. Every possible interruption
+    * leaves a consistent index with zero recovery procedure:
+    *
+    *  - crash while staging → pointer untouched, readers stay on the
+    *    current version; the orphan stage directory is swept by the next
+    *    refit/GC (unpublished versions are garbage by definition);
+    *  - crash between publish and GC → the new version is live; stale
+    *    versions are swept later.
+    *
+    * Readers that resolved [[ivfCurrentDir]] before the flip keep reading
+    * their complete old version (GC spares the previous version); new
+    * resolutions see the refit index. Refits themselves stay single-writer
+    * (two concurrent refits would race on the same next-version name — the
+    * usual maintenance-job arrangement); READERS are unrestricted, which is
+    * what the rename-swap layout could not offer. Returns (skew before,
+    * skew after).
+    */
+  def refitIvfIndexVersioned(spark: SparkSession, path: String,
+      nClusters: Int = 0,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): (Double, Double) = {
+    val cur = ivfCurrentDir(spark, path)
+    val curVer = cur.substring(cur.lastIndexOf('/') + 1)
+    val skewBefore = ivfSkew(spark, cur)
+    val occ = ivfOccupancy(spark, cur)
+    require(occ.nonEmpty, s"no IVF corpus at $cur/corpus — build the index first")
+    val k = if (nClusters > 0) nClusters else occ.size
+    val next = ivfVersionName(curVer.stripPrefix("v").toLong + 1L)
+    val fs = ivfFs(spark, path)
+    // sweep a stage left by a previous crashed refit of the SAME next
+    // version (unpublished → no reader can hold it)
+    fs.delete(hp(s"$path/$next"), true)
+    val corpus = spark.read.parquet(s"$cur/corpus").select(col(idCol), col(vecCol))
+    buildIvfIndex(corpus, s"$path/$next", k, vecCol, idCol)
+    ivfPublish(spark, path, next)
+    gcIvfVersions(spark, path)
+    (skewBefore, ivfSkew(spark, s"$path/$next"))
+  }
+
+  /** Prune a versioned index to its newest `keep` PUBLISHED versions
+    * (default: current + previous — the previous stays because an in-flight
+    * reader may have resolved it just before a flip), plus sweep any
+    * UNPUBLISHED version directories older than the current version
+    * (crashed stages). Deleting a published version removes its pointer
+    * entry FIRST, so a crash mid-GC can never leave a pointer naming a
+    * half-deleted directory as anything but non-current history.
+    */
+  def gcIvfVersions(spark: SparkSession, path: String, keep: Int = 2): Unit = {
+    require(keep >= 1, s"keep must be >= 1: $keep")
+    val fs = ivfFs(spark, path)
+    val vs = ivfVersions(spark, path)
+    if (vs.isEmpty) return
+    val current = vs.last
+    vs.dropRight(keep).foreach { v =>
+      fs.delete(hp(s"$path/ptr/$v"), false)
+      fs.delete(hp(s"$path/$v"), true)
+    }
+    // crashed stages: version-shaped dirs below current with no pointer
+    val published = ivfVersions(spark, path).toSet
+    fs.listStatus(hp(path)).toSeq.map(_.getPath.getName)
+      .filter(n => n.matches("v\\d{10}") && !published.contains(n) && n < current)
+      .foreach(n => fs.delete(hp(s"$path/$n"), true))
   }
 
   /** Query a [[buildIvfIndex]] index: rank centroids against the query on

@@ -779,6 +779,56 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Seq(1L, 2L, 3L)) // the u-block pair is below minDocs
   }
 
+  test("span store lifecycle: build -> lookup -> append -> compact, store ≡ inline ≡ repeatedSpans") {
+    import spark.implicits._
+    val block = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, s"one $block unique tail words here and more filler text"),
+      (2L, s"two opening words then $block and a different ending"),
+      (3L, "entirely unrelated document with no shared block at all today"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"fresh ingest doc containing $block somewhere in the middle"),
+      (11L, "fresh ingest doc with nothing repeated anywhere at all now truly"))
+      .toDF("doc_id", "text")
+    for (hashed <- Seq(false, true)) {
+      // ground truth: repeatedSpans over corpus ∪ batch, batch rows only
+      val want = Dedup.repeatedSpans(corpus.unionAll(batch), n = 5, minDocs = 2,
+          hashSpanKey = hashed)
+        .where(col("doc_id") >= 10L)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      assert(want.nonEmpty, "batch must share spans with the corpus")
+      val inline = Dedup.spanLookup(batch, corpus, n = 5, minDocs = 2,
+          hashSpanKey = hashed)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      assert(inline == want, s"hashed=$hashed inline != repeatedSpans(union)")
+      val dir = java.nio.file.Files.createTempDirectory("graft_spanstore").toString
+      Dedup.buildSpanStore(corpus, dir, n = 5, hashSpanKey = hashed)
+      val stored = Dedup.spanStoreLookup(spark, dir, batch, minDocs = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      assert(stored == want, s"hashed=$hashed store-backed != inline")
+      // append the batch, then a SECOND batch must see batch-1 spans as corpus
+      Dedup.appendSpanStore(spark, dir, batch)
+      val batch2 = Seq((20L, s"third wave doc also containing $block right here"))
+        .toDF("doc_id", "text")
+      val want2 = Dedup.repeatedSpans(corpus.unionAll(batch).unionAll(batch2),
+          n = 5, minDocs = 2, hashSpanKey = hashed)
+        .where(col("doc_id") === 20L)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      val stored2 = Dedup.spanStoreLookup(spark, dir, batch2, minDocs = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      assert(stored2 == want2, s"hashed=$hashed post-append lookup diverged")
+      // compaction folds append rows without changing any lookup
+      Dedup.compactSpanStore(spark, dir)
+      val stored2c = Dedup.spanStoreLookup(spark, dir, batch2, minDocs = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      assert(stored2c == stored2, s"hashed=$hashed compaction changed the lookup")
+      // one row per key after compaction
+      val posting = spark.read.parquet(s"$dir/posting")
+      assert(posting.groupBy("__span_key").count().where(col("count") > 1).isEmpty)
+    }
+  }
+
   test("repeatedSpanRanges merges overlapping hits; separated blocks stay apart") {
     import spark.implicits._
     val block1 = (1 to 12).map(i => s"t$i").mkString(" ")   // 12 shared tokens
@@ -847,6 +897,25 @@ class DedupSpec extends AnyFunSuite {
       .select(col("id_a"), col("id_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(native == got.map(t => (t._1, t._2)).toSet)
+  }
+
+  test("autoPlanes: verify-scale corpora land on the historical 32; bits clamp and grow with n") {
+    // the e93 static oracle mirror pins 32 planes — the rule must keep
+    // yielding 32 at every verify-scale corpus (Verify pre-flights this)
+    assert(Dedup.autoPlanes(1000L) == 32)   // sf0.01 doubled embeddings
+    assert(Dedup.autoPlanes(4000L) == 32)   // sf0.1 doubled embeddings
+    assert(Dedup.autoPlanes(1L) == 32)      // clamp floor
+    // growth: bits = ceil(log2(n/64)), 4 bands
+    assert(Dedup.autoPlanes(64L * 1024L) == 4 * 10)
+    assert(Dedup.autoPlanes(400000L) == 4 * 13)  // sf10 doubled embeddings
+    assert(Dedup.autoPlanes(Long.MaxValue) == 4 * 15) // clamp ceiling
+    // wider banding still finds planted exact copies (identical signatures
+    // collide at ANY band width)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val doubled = e.unionAll(e.withColumn("vec_id", col("vec_id") + 100000L))
+    val found = Dedup.embeddingNearDupMd5(doubled, minCosine = 0.95, nPlanes = 60)
+      .where(col("id_b") === col("id_a") + 100000L).count()
+    assert(found == e.count(), s"exact copies lost at 60 planes: $found")
   }
 
   test("embeddingNearDupMd5 handles an empty input frame") {

@@ -427,6 +427,60 @@ class SimilaritySpec extends AnyFunSuite {
     assert(skewAfter > 0.0 && topIds() == healthy)
   }
 
+  test("versioned IVF index: pointer flip is crash-safe with a READER active across refit") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_ptr").toString
+    val v1 = Similarity.buildIvfIndexVersioned(real, root, nClusters = 4)
+    assert(v1.endsWith("/v0000000001"))
+    assert(Similarity.ivfCurrentDir(spark, root) == v1)
+    val nRows = real.count()
+    val qv = real.where(col("vec_id") === 7L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    // exhaustive probe (all 4 cells) -> top-k is fit-independent
+    def topIds(dir: String) = Similarity.ivfTopKIndexed(spark, dir, qv, 5, nProbes = 4)
+      .collect().map(_.getLong(0)).toSeq
+    val healthy = topIds(v1)
+
+    // a reader resolves the CURRENT version, then a refit flips the pointer:
+    // the reader's resolved dir must stay complete and readable (GC spares
+    // the previous version), while fresh resolutions see the new version
+    val readerDir = Similarity.ivfCurrentDir(spark, root)
+    val (_, skewAfter) = Similarity.refitIvfIndexVersioned(spark, root)
+    assert(skewAfter > 0.0)
+    val v2 = Similarity.ivfCurrentDir(spark, root)
+    assert(v2.endsWith("/v0000000002") && v2 != readerDir)
+    assert(topIds(readerDir) == healthy, "in-flight reader lost its version")
+    assert(topIds(v2) == healthy, "refit index changed the exhaustive top-k")
+    assert(Similarity.ivfOccupancy(spark, v2).values.sum == nRows)
+
+    // crash point: a refit that dies AFTER staging but BEFORE publishing —
+    // simulate by staging v3 by hand with no pointer entry. Readers and
+    // resolution are untouched; the next refit sweeps and re-stages.
+    Similarity.buildIvfIndex(
+      spark.read.parquet(s"$v2/corpus").select(col("vec_id"), col("embedding")),
+      s"$root/v0000000003", nClusters = 4)
+    assert(Similarity.ivfCurrentDir(spark, root) == v2,
+      "unpublished stage must not become current")
+    assert(topIds(v2) == healthy)
+    val (_, skew3) = Similarity.refitIvfIndexVersioned(spark, root)
+    assert(skew3 > 0.0)
+    val v3 = Similarity.ivfCurrentDir(spark, root)
+    assert(v3.endsWith("/v0000000003") && topIds(v3) == healthy)
+
+    // GC keeps current + previous (v2, v3), drops v1; readers of v2 live on
+    assert(!new java.io.File(s"$root/v0000000001").exists, "GC kept v1")
+    assert(new java.io.File(s"$root/v0000000002").exists, "GC must spare the previous version")
+    assert(Similarity.ivfVersions(spark, root) == Seq("v0000000002", "v0000000003"))
+    // explicit deep prune to current only
+    Similarity.gcIvfVersions(spark, root, keep = 1)
+    assert(Similarity.ivfVersions(spark, root) == Seq("v0000000003"))
+    assert(topIds(Similarity.ivfCurrentDir(spark, root)) == healthy)
+    // rebuilding over a live versioned index is refused loudly
+    assertThrows[IllegalArgumentException] {
+      Similarity.buildIvfIndexVersioned(real, root, nClusters = 4)
+    }
+  }
+
   test("cosine_sim reaches SQL text via GraftExtensions") {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
