@@ -2544,6 +2544,23 @@ object ExtQueries {
         |FROM batch_spans s JOIN total t USING (span)
         |ORDER BY doc_id, pos""".stripMargin))
 
+  // E3n unigram LM quality score — the CCNet-style model-based member of
+  // the quality battery (e87's Gopher rules are the heuristic member):
+  // add-one unigram LM trained on the corpus scores every doc's mean token
+  // log-probability; rare-token soup ranks low, fluent common-vocabulary
+  // text ranks high. Self-trained here (train = score = documents), so
+  // oov_tokens is structurally 0 — the train/score split and OOV path are
+  // spec-pinned in TextStatsSpec. Integer-input 1e-6 ln fixed point,
+  // DECIMAL(38,0) accumulation, one 4dp double division (the e96
+  // discipline). SQL GENERATED (TextStats.lmScoreSql).
+  private val e117 = Q(
+    "e117_lm_score",
+    (s, dir) => {
+      val d = tp(s, dir, "documents")
+      TextStats.lmScore(d, d)
+    },
+    Some(TextStats.lmScoreSql("documents", "documents")))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
@@ -2552,5 +2569,5 @@ object ExtQueries {
     e72, e73, e74, e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86,
     e87, e88, e89, e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100,
     e101, e102, e103, e104, e105, e106, e107, e108, e109, e110, e111,
-    e112, e113, e114, e115, e116)
+    e112, e113, e114, e115, e116, e117)
 }

@@ -568,6 +568,112 @@ object TextStats {
         round((f("sy") - col("slope") * f("sx")) / kD, 4).as("intercept"))
   }
 
+  /** Unigram language-model quality score — the CCNet/KenLM-style signal
+    * beside the Gopher heuristics (e87): train add-one-smoothed unigram
+    * probabilities on `train`, score every `score` document by its mean
+    * token log-probability. Low (very negative) scores flag gibberish /
+    * rare-token soup; high scores flag fluent, common-vocabulary text.
+    * p(w) = (c(w) + 1) / (N + V) so out-of-vocabulary tokens score
+    * ln(1) − ln(N+V) instead of −∞ (reference delegates quality entirely
+    * to heuristics — `Comperhensive_bigdata_analysis-` has no LM gate; this
+    * is the standard pre-training-corpus upgrade).
+    *
+    * Determinism: every ln runs on an EXACT INTEGER input ((c+1) and (N+V)
+    * as doubles — identical values in both engines, and a 1e-6 fixed-point
+    * round makes any last-ulp libm disagreement unobservable, the e96
+    * discipline); per-doc sums accumulate c_dt·lnc1_fx in DECIMAL(38,0);
+    * ONE double division pair at the end, rounded 4dp.
+    *
+    * Scale: vocab is a |V|-row hash aggregate; the score side joins its
+    * (doc, token) counts to vocab on the token key (shuffle bounded by the
+    * token-type table, never corpus²); the (N, V) stats row broadcasts.
+    * Docs with zero tokens keep a row (n_tokens = 0, null avg_logprob)
+    * from the id spine; `idCol` must be unique per document.
+    */
+  def lmScore(train: DataFrame, score: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tk = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val vocab0 = train.select(explode(tk).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val vocab = vocab0.select(col("w"),
+      round(log((col("c") + lit(1L)).cast("double")) * lit(1000000), 0)
+        .cast("decimal(19,0)").as("lnc1_fx"))
+    val stats = vocab0.agg(sum(col("c")).as("n_train"), count(lit(1)).as("v"))
+      .select(
+        round(log((col("n_train") + col("v")).cast("double")) * lit(1000000), 0)
+          .cast("decimal(19,0)").as("lnnv_fx"))
+    val dt = score.select(col(idCol).as("doc_id"), explode(tk).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c_dt"))
+    val perDoc = dt.join(vocab, Seq("w"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c_dt")).as("n_tokens"),
+        sum(when(col("lnc1_fx").isNull, col("c_dt")).otherwise(0L))
+          .as("oov_tokens"),
+        sum(col("c_dt").cast("decimal(19,0)") *
+          coalesce(col("lnc1_fx"), lit(0).cast("decimal(19,0)"))).as("s_fx"))
+    score.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("oov_tokens"), lit(0L)).as("oov_tokens"),
+        when(col("n_tokens").isNotNull,
+          round((((col("s_fx") -
+            col("n_tokens").cast("decimal(19,0)") * col("lnnv_fx"))
+            .cast("double")) / lit(1000000.0)) /
+            col("n_tokens").cast("double"), 4)).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of [[lmScore]] — generated; same token split, same
+    * integer-input 1e-6 ln fixed point, same DECIMAL accumulation and
+    * final double association. `train`/`score` are table names or
+    * parenthesized subqueries.
+    */
+  def lmScoreSql(train: String, score: String, textCol: String = "text",
+      idCol: String = "doc_id"): String = {
+    val tk = (t: String) =>
+      s"unnest(list_filter(string_split_regex(lower(trim($t)), '\\s+'), " +
+        "t -> length(t) > 0))"
+    s"""WITH ttoks AS (
+       |  SELECT ${tk(textCol)} AS w FROM $train
+       |), vocab0 AS (
+       |  SELECT w, COUNT(*) AS c FROM ttoks GROUP BY 1
+       |), vocab AS (
+       |  SELECT w,
+       |    CAST(round(ln(CAST(c + 1 AS DOUBLE)) * 1000000, 0)
+       |      AS DECIMAL(19,0)) AS lnc1_fx
+       |  FROM vocab0
+       |), stats AS (
+       |  SELECT CAST(round(ln(CAST(SUM(c) + COUNT(*) AS DOUBLE)) * 1000000, 0)
+       |    AS DECIMAL(19,0)) AS lnnv_fx
+       |  FROM vocab0
+       |), stoks AS (
+       |  SELECT $idCol AS doc_id, ${tk(textCol)} AS w FROM $score
+       |), dt AS (
+       |  SELECT doc_id, w, COUNT(*) AS c_dt FROM stoks GROUP BY 1, 2
+       |), perdoc AS (
+       |  SELECT doc_id, CAST(SUM(c_dt) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CASE WHEN lnc1_fx IS NULL THEN c_dt ELSE 0 END) AS BIGINT)
+       |      AS oov_tokens,
+       |    SUM(CAST(c_dt AS DECIMAL(19,0)) *
+       |        COALESCE(lnc1_fx, CAST(0 AS DECIMAL(19,0)))) AS s_fx
+       |  FROM dt LEFT JOIN vocab USING (w) GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  COALESCE(p.n_tokens, 0) AS n_tokens,
+       |  COALESCE(p.oov_tokens, 0) AS oov_tokens,
+       |  CASE WHEN p.n_tokens IS NOT NULL THEN
+       |    round((CAST(p.s_fx -
+       |        CAST(p.n_tokens AS DECIMAL(19,0)) * st.lnnv_fx AS DOUBLE)
+       |      / 1000000.0) / CAST(p.n_tokens AS DOUBLE), 4)
+       |  END AS avg_logprob
+       |FROM (SELECT $idCol AS doc_id FROM $score) d
+       |LEFT JOIN perdoc p USING (doc_id)
+       |CROSS JOIN stats st
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def chunkTokens(
       docs: DataFrame,
       textCol: String = "text",

@@ -916,8 +916,84 @@ object Reference {
         |ORDER BY n_waiting DESC, suppkey
         |LIMIT 20""".stripMargin))
 
+  // --------------------------- Q33: TPC-H Q13-shaped customer distribution
+  // The ONLY TPC-H classic whose outer join must keep its filter in the ON
+  // clause: counting each customer's non-urgent orders, customers with NONE
+  // must survive with c_count = 0 (a WHERE on the nullable side would turn
+  // the outer join inner and drop them). The DataFrame side filters orders
+  // BEFORE the left join — equivalent to ON-clause filtering for the
+  // preserved side, and it lets the filter push into the orders scan. Then
+  // the histogram-of-counts: a second aggregate over the first's output
+  // (|customers| rows, then |distinct counts| rows — each strictly smaller).
+  // (custdist DESC, c_count DESC) is total: c_count is the group key.
+  private val q33 = Q(
+    "q33_q13custdist",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val o = t(s, dir, "orders")
+        .where(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some(
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT OUTER JOIN orders o
+        |    ON o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin))
+
+  // ------------------------------- Q34: TPC-H Q22-shaped "global customers"
+  // The scalar-subquery-gate + anti-join classic: customers whose balance
+  // beats the positive-balance average AND who never placed an urgent order
+  // (the testdata has no order-less customers, so the anti-join target is
+  // the urgent subset — same shape, non-empty result). The DataFrame side
+  // declares the decorrelated plan: the 1-row cut broadcasts into a
+  // crossJoin gate (never a per-row re-aggregation), the anti join prunes
+  // its right side to urgent orders' custkeys before shuffling. Averages
+  // ride the mavg fixed point so the gate threshold is the identical double
+  // in both engines.
+  private val q34 = Q(
+    "q34_q22balance",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val cut = c.where(col("c_acctbal") > lit(0.0))
+        .agg(mavg(col("c_acctbal")).as("cut"))
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(cut))
+        .where(col("c_acctbal") > col("cut"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("numcust"),
+          round(msum(col("c_acctbal")), 4).as("totacctbal"))
+        .orderBy(col("segment"))
+    },
+    Some(
+      s"""SELECT c_mktsegment AS segment, COUNT(*) AS numcust,
+         |  round(${msumSql("c_acctbal")}, 4) AS totacctbal
+         |FROM customer c
+         |WHERE c.c_acctbal > (
+         |    SELECT ${mavgSql("c2.c_acctbal")}
+         |    FROM customer c2 WHERE c2.c_acctbal > CAST(0 AS DOUBLE))
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM orders o
+         |    WHERE o.o_custkey = c.c_custkey
+         |      AND o.o_orderpriority = '1-URGENT')
+         |GROUP BY 1
+         |ORDER BY segment""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q05, q07, q08, q09, q10, q12, q13, q14, q15, q16, q17,
       q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-      q32)
+      q32, q33, q34)
 }

@@ -341,6 +341,50 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got(5L) == ((4L, 1.0, 1.0)))
   }
 
+  test("lmScore: hand-computed add-one logprobs, OOV path, empty doc") {
+    import spark.implicits._
+    // train: a=2, b=2, c=1 → N=5, V=3, p(w) = (c+1)/8
+    val train = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a a b"), // all in-vocab: avg = ln(3/8)
+      (11L, "a z z"), // two OOV:     avg = (ln(3/8) + 2·ln(1/8)) / 3
+      (12L, "")       // no tokens:   null score, zero counts
+    ).toDF("doc_id", "text")
+    val r = TextStats.lmScore(train, score).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2),
+          if (x.isNullAt(3)) Double.NaN else x.getDouble(3)))).toMap
+    assert(r(10L)._1 == 3 && r(10L)._2 == 0)
+    assert(math.abs(r(10L)._3 - math.log(3.0 / 8)) < 1e-4)
+    assert(r(11L)._1 == 3 && r(11L)._2 == 2)
+    assert(math.abs(r(11L)._3 -
+      (math.log(3.0 / 8) + 2 * math.log(1.0 / 8)) / 3) < 1e-4)
+    assert(r(12L)._1 == 0 && r(12L)._2 == 0 && r(12L)._3.isNaN)
+  }
+
+  test("lmScore ranks fluent common-vocabulary text above rare-token soup") {
+    import spark.implicits._
+    val filler = (1 to 30).map(_ => "the data table scan").mkString(" ")
+    val train = Seq((1L, filler), (2L, filler + " qzx vbn wry plm"))
+      .toDF("doc_id", "text")
+    val score = Seq((10L, "the data table scan the data"),
+      (11L, "qzx vbn wry plm")).toDF("doc_id", "text")
+    val got = TextStats.lmScore(train, score).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(got(10L) > got(11L))
+  }
+
+  test("lmScore is self-consistent and repartition-stable on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = TextStats.lmScore(docs, docs).collect().toSeq
+    val b = TextStats.lmScore(docs.repartition(7), docs.repartition(5))
+      .collect().toSeq
+    assert(a == b && a.size == docs.count())
+    // self-trained: every scored token is in vocab, scores strictly negative
+    assert(a.forall(r => r.getLong(2) == 0))
+    assert(a.forall(r => r.isNullAt(3) || r.getDouble(3) < 0))
+  }
+
   test("distinctNgrams is case-insensitive and repartition-stable on real docs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = TextStats.distinctNgrams(docs).collect().sortBy(_.getLong(0)).toSeq

@@ -48,7 +48,11 @@ class PlanGuardSpec extends AnyFunSuite {
       "e100_bootstrap_ci", "e103_mad_outliers", "e105_ndcg",
       // e109/e112/e113: 1-row corpus-stats / totals frames broadcast into
       // the scoring join — the bm25/e17 designed-BNLJ shape
-      "e109_tfidf_terms", "e112_bm25_join", "e113_psi")
+      "e109_tfidf_terms", "e112_bm25_join", "e113_psi",
+      // q34: the 1-row positive-balance-average cut frame broadcast as the
+      // decorrelated scalar-subquery gate; e117: the 1-row (N+V) LM stats
+      // frame broadcast onto the per-doc scores
+      "q34_q22balance", "e117_lm_score")
 
   test("no declared query plans a CartesianProduct; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
