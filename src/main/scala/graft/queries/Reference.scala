@@ -992,8 +992,205 @@ object Reference {
          |GROUP BY 1
          |ORDER BY segment""".stripMargin))
 
+  // --------------------------- Q35: TPC-H Q19-shaped disjunctive join filter
+  // The OR-of-ANDs classic: three (brand, size-range, quantity-range)
+  // clauses spanning BOTH join sides. Catalyst cannot fully split a
+  // cross-side disjunction, so the DataFrame form declares the per-side
+  // unions as pre-filters by hand — part rows outside every (brand, size)
+  // clause and lineitem rows outside the quantity hull [1, 30] never reach
+  // the join (at 100 TB that pre-prune IS the query; the residual OR then
+  // runs on the small joined stream). The oracle keeps the classic
+  // single-WHERE text — DuckDB derives the same per-side prunes itself.
+  private val q35 = Q(
+    "q35_q19disjunct",
+    (s, dir) => {
+      def clause(brand: String, sizeHi: Int, qLo: Double, qHi: Double) =
+        col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+          col("l_quantity").between(qLo, qHi)
+      val prt = t(s, dir, "part")
+        .where((col("p_brand") === "Brand#1" && col("p_size").between(1, 15)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 25)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35)))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val li = t(s, dir, "lineitem")
+        .where(col("l_quantity").between(1.0, 30.0))
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      li.join(prt, col("l_partkey") === col("p_partkey"))
+        .where(clause("Brand#1", 15, 1.0, 11.0) ||
+          clause("Brand#2", 25, 10.0, 20.0) ||
+          clause("Brand#3", 35, 20.0, 30.0))
+        .agg(msum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some(
+      s"""SELECT
+         |  ${msumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem, part
+         |WHERE p_partkey = l_partkey
+         |  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+         |        AND l_quantity BETWEEN CAST(1 AS DOUBLE) AND CAST(11 AS DOUBLE))
+         |    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+         |        AND l_quantity BETWEEN CAST(10 AS DOUBLE) AND CAST(20 AS DOUBLE))
+         |    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+         |        AND l_quantity BETWEEN CAST(20 AS DOUBLE) AND CAST(30 AS DOUBLE)))""".stripMargin))
+
+  // ------------------------------------ Q36: TPC-H Q15-shaped top supplier
+  // Quarterly revenue per supplier, keep the max-revenue supplier(s) — the
+  // view + scalar-MAX classic. The per-supplier revenue frame is computed
+  // ONCE and reused for both the gate and the output (TPC-H's revenue0
+  // view); the scalar max is a 1-row broadcast crossJoin gate, never a
+  // per-row re-aggregation. Revenue rides the msum fixed point, so the
+  // equality against the max compares bit-identical doubles in both
+  // engines — double equality is safe exactly BECAUSE of the fixed point.
+  private val q36 = Q(
+    "q36_q15topsupp",
+    (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(msum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("total_revenue"))
+      val cut = rev.agg(max(col("total_revenue")).as("max_rev"))
+      rev.crossJoin(broadcast(cut))
+        .where(col("total_revenue") === col("max_rev"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey").as("suppkey"), col("s_name"),
+          col("total_revenue"))
+        .orderBy(col("suppkey"))
+    },
+    Some(
+      s"""WITH revenue0 AS (
+         |  SELECT l_suppkey,
+         |    ${msumSql("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey AS suppkey, s_name, total_revenue
+         |FROM supplier, revenue0
+         |WHERE s_suppkey = l_suppkey
+         |  AND total_revenue = (SELECT max(total_revenue) FROM revenue0)
+         |ORDER BY suppkey""".stripMargin))
+
+  // ------------------------------- Q37: TPC-H Q7-shaped two-nation volume
+  // Shipping volume between two nations by year, BOTH directions — the
+  // self-joined dimension classic (nation appears twice under different
+  // roles). Each nation copy is pre-filtered to the 2-name IN set (the
+  // only per-side prune a cross-side pair-OR admits) and broadcast through
+  // supplier/customer, so the fact⋈fact join (lineitem⋈orders) is the only
+  // shuffle; the direction pair-OR runs as a residual on the joined stream.
+  private val q37 = Q(
+    "q37_q7volume",
+    (s, dir) => {
+      val names = Seq("NATION_1", "NATION_2")
+      val n1 = broadcast(t(s, dir, "nation")
+        .where(col("n_name").isin(names: _*))
+        .select(col("n_nationkey").as("supp_nkey"),
+          col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, dir, "nation")
+        .where(col("n_name").isin(names: _*))
+        .select(col("n_nationkey").as("cust_nkey"),
+          col("n_name").as("cust_nation")))
+      val sup = t(s, dir, "supplier")
+        .join(n1, col("s_nationkey") === col("supp_nkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cst = t(s, dir, "customer")
+        .join(n2, col("c_nationkey") === col("cust_nkey"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(cst, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .where((col("supp_nation") === "NATION_1" &&
+          col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(msum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    Some(
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  ${msumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+         |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+         |  AND c_custkey = o_custkey
+         |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin))
+
+  // ------------------------------- Q38: TPC-H Q8-shaped market-share ratio
+  // One nation's share of a filtered market by order year: the conditional-
+  // numerator / total-denominator aggregate. Both sums ride the msum fixed
+  // point, so the quotient divides bit-identical doubles in both engines
+  // (per-row IEEE division on identical inputs is exact-deterministic);
+  // round(…, 6) only stabilizes the PRINTED width, not the compare. The
+  // region and part prunes broadcast; orders⋈lineitem is the one shuffle.
+  private val q38 = Q(
+    "q38_q8share",
+    (s, dir) => {
+      val prt = broadcast(t(s, dir, "part")
+        .where(col("p_type") === "PROMO").select(col("p_partkey")))
+      val nr = broadcast(t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .select(col("n_nationkey").as("cust_nkey")))
+      val supN = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("supp_nkey"),
+          col("n_name").as("supp_nation")))
+      val cst = t(s, dir, "customer")
+        .join(nr, col("c_nationkey") === col("cust_nkey"))
+        .select(col("c_custkey"))
+      val sup = t(s, dir, "supplier")
+        .join(supN, col("s_nationkey") === col("supp_nkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .join(prt, col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cst, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          msum(when(col("supp_nation") === "NATION_1", vol).otherwise(lit(0.0))) /
+            msum(vol), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+    Some(
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  round(
+         |    (${msumSql("CASE WHEN n1.n_name = 'NATION_1' THEN l_extendedprice * (1.0 - l_discount) ELSE CAST(0 AS DOUBLE) END")})
+         |    / (${msumSql("l_extendedprice * (1.0 - l_discount)")}), 6) AS mkt_share
+         |FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+         |  region
+         |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+         |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
+         |  AND s_nationkey = n1.n_nationkey
+         |  AND r_name = 'ASIA' AND p_type = 'PROMO'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1
+         |ORDER BY o_year""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q05, q07, q08, q09, q10, q12, q13, q14, q15, q16, q17,
       q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-      q32, q33, q34)
+      q32, q33, q34, q35, q36, q37, q38)
 }

@@ -52,7 +52,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // q34: the 1-row positive-balance-average cut frame broadcast as the
       // decorrelated scalar-subquery gate; e117: the 1-row (N+V) LM stats
       // frame broadcast onto the per-doc scores
-      "q34_q22balance", "e117_lm_score")
+      "q34_q22balance", "e117_lm_score",
+      // q36: the 1-row max-revenue frame broadcast as the Q15 scalar gate
+      "q36_q15topsupp")
 
   test("no declared query plans a CartesianProduct; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
