@@ -159,6 +159,46 @@ object DedupProbe {
       }
     }
 
+    // ---- 0g. span-store economics (round-13): the e116 incremental
+    // lifecycle vs the one-shot e24 shape at this scale — build (one-time),
+    // 0.1%-batch lookup, append, compact, against repeatedSpans over the
+    // same corpus∪batch (what a daily run WITHOUT the store pays). The
+    // e115/#103 measurement pattern applied to spans.
+    if (sections("spanstore")) {
+      val store = s"/tmp/graft_spanstore_probe"
+      val batch = docs.where(col("doc_id") % 1000 === 0)
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          concat(col("text"), lit(" probe batch suffix tokens")).as("text"))
+        .localCheckpoint(true)
+      val nBatch = batch.count()
+      def timed(tag: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[dedup-probe] spanstore $tag%-18s: $n%d rows in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      timed(s"oneshot(union)") {
+        Dedup.repeatedSpans(docs.unionAll(batch), n = 10, minDocs = 2,
+          hashSpanKey = true)
+          .where(col("doc_id") >= 900000000L).count()
+      }
+      timed("build") {
+        Dedup.buildSpanStore(docs, store, n = 10); 0L
+      }
+      timed(s"lookup($nBatch)") {
+        Dedup.spanStoreLookup(spark, store, batch).count()
+      }
+      timed("append") {
+        Dedup.appendSpanStore(spark, store, batch); 0L
+      }
+      timed("compact") {
+        Dedup.compactSpanStore(spark, store); 0L
+      }
+      timed(s"lookup-postcompact") {
+        Dedup.spanStoreLookup(spark, store,
+          batch.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))).count()
+      }
+    }
+
     // ---- 0a. e18 hot-segment audit + capped timing: segment-bucket sizes
     // drive the PassJoin candidate volume (a B-doc bucket is ~B² DPs); this
     // prints the top buckets at this scale and times the capped operator —

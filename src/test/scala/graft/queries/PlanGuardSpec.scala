@@ -68,6 +68,23 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("q35's cross-side disjunction reaches BOTH scans as pushed OR filters") {
+    // the point of the Q19 shape: the hand-split per-side unions must land
+    // in the parquet scans (an unpushed OR means the join filters post-hoc
+    // and the scans read everything — the 100 TB failure mode)
+    val qe = graft.SparkEntry.queries("q35_q19disjunct")(spark, dir).queryExecution
+    val scans = qe.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val byTable = scans.map(f =>
+      f.relation.location.rootPaths.mkString -> f.metadata("PushedFilters"))
+    def pushedOr(table: String): Boolean = byTable.exists { case (p, filters) =>
+      p.contains(table) && filters.contains("Or(")
+    }
+    assert(pushedOr("lineitem"), s"lineitem scan lost its quantity OR: $byTable")
+    assert(pushedOr("part"), s"part scan lost its brand/size OR: $byTable")
+  }
+
   test("parquet scans stay column-pruned on the heavy queries") {
     // a scan reading every lineitem column for a narrow aggregate means
     // projection pushdown broke — check the widest-table queries
