@@ -123,7 +123,22 @@ object ScaleUp {
       val srcBytes = dataBytes(new java.io.File(s"$srcDir/$name.parquet"))
       val nFiles = math.max(cpus,
         ((srcBytes * factor) / (32L << 20) + 1).toInt)
-      fanOut(spark.read.parquet(s"$srcDir/$name.parquet"), factor, keys)
+      val src = spark.read.parquet(s"$srcDir/$name.parquet")
+      // Refuse a source that is ITSELF a ScaleUp output: chaining runs
+      // shifts ids by (c + c')·stride, and distinct (c, c') pairs with
+      // equal sums COLLIDE — duplicate keys with different contents, which
+      // silently corrupts every downstream join (measured: a chained
+      // sf1×10 corpus crashed e14 with DIVIDE_BY_ZERO because colliding
+      // doc_ids merged two documents' posting rows under one id). Always
+      // scale from the pristine testdata in one hop: factor=100, not 10×10.
+      keys.foreach { k =>
+        val mx = src.agg(max(col(k))).head.getLong(0)
+        require(mx < Stride,
+          s"$name.$k max=$mx >= stride $Stride — '$srcDir' is already a " +
+            s"ScaleUp output; chained runs collide ids ((c+c')·stride). " +
+            s"Scale from the original testdata with one larger factor.")
+      }
+      fanOut(src, factor, keys)
         .repartition(nFiles)
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[scaleup] $name x$factor written ($nFiles files)")

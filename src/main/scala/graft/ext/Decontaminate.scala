@@ -113,15 +113,29 @@ object Decontaminate {
       idCol: String = "vec_id",
       minCosine: Double = 0.99,
       broadcastBenchmark: Boolean = true): DataFrame = {
-    val b0 = benchmark.select(col(vecCol).cast("array<double>").as("__b_v"))
-    val bench = if (broadcastBenchmark) broadcast(b0) else b0
+    // The benchmark folds to ONE matrix row (a few MB for eval-suite-sized
+    // benchmarks) and the per-corpus-row max runs INSIDE one codegen'd
+    // fused loop (MaxCosineSim): the pairwise crossJoin form materialized
+    // |corpus|·|benchmark| rows through the join — 4·10⁹ rows / 494 s at
+    // the sf10 rehearsal (200k × 20k), pure row overhead — where this is
+    // |corpus| rows, no join stream and no re-aggregation exchange.
+    // Semantics are pinned equal to the pairwise form in DecontaminateSpec:
+    // same IEEE op sequence per pair, same max ordering, mismatched-length
+    // rows skipped like their null pairwise cosine, round-then-max ≡
+    // max-then-round (round is monotone), and an empty benchmark still
+    // yields an empty result (the size guard — collect_list gives []).
+    val benchRow = benchmark
+      .select(col(vecCol).cast("array<double>").as("__b_v"))
+      .agg(collect_list(col("__b_v")).as("__bm"))
+    val bench = if (broadcastBenchmark) broadcast(benchRow) else benchRow
     corpus
       .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
       .crossJoin(bench)
-      .groupBy(col("__id"))
-      .agg(max(round(Similarity.cosine(col("__v"), col("__b_v")), 4)).as("max_cosine"))
-      .select(col("__id").as(idCol), col("max_cosine"),
-        (col("max_cosine") >= minCosine).as("contaminated"))
+      .where(size(col("__bm")) > 0)
+      .select(col("__id").as(idCol),
+        round(graft.functions.CosineSim.maxCosineSim(col("__bm"), col("__v")), 4)
+          .as("max_cosine"))
+      .withColumn("contaminated", col("max_cosine") >= minCosine)
   }
 
   /** The semantically clean corpus: rows whose embedding reaches `minCosine`

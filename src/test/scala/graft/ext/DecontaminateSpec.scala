@@ -115,6 +115,40 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(clean.select("vec_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
   }
 
+  test("semanticHits fused matrix loop ≡ the pairwise crossJoin form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col, max, round}
+    // deterministic pseudo-random corpus incl. a zero vector (NaN cosine),
+    // a length-mismatched vector, and exact/near benchmark copies
+    def vec(seed: Long, dim: Int): Seq[Double] =
+      (0 until dim).map(i => ((seed * 2654435761L + i * 40503L) % 1000L).toDouble / 500.0 - 1.0)
+    val corpus = ((1L to 40L).map(i => (i, vec(i, 8))) ++
+      Seq((90L, Seq.fill(8)(0.0)), (91L, vec(3L, 5)), (92L, vec(7L, 8)))).toDF("vec_id", "embedding")
+    val bench = Seq((100L, vec(7L, 8)), (101L, vec(11L, 8)), (102L, vec(13L, 8)))
+      .toDF("vec_id", "embedding")
+    // NaN-safe row images (Double NaN != NaN under ==; bit-compare instead)
+    def img(v: Option[Any]): Option[Any] = v.map {
+      case d: Double => java.lang.Double.doubleToLongBits(d)
+      case other => other
+    }
+    // the retired pairwise formulation, inline, as the semantics oracle
+    val pairwise = corpus
+      .select(col("vec_id").as("__id"), col("embedding").cast("array<double>").as("__v"))
+      .crossJoin(broadcast(bench.select(col("embedding").cast("array<double>").as("__b_v"))))
+      .groupBy(col("__id"))
+      .agg(max(round(Similarity.cosine(col("__v"), col("__b_v")), 4)).as("max_cosine"))
+      .select(col("__id").as("vec_id"), col("max_cosine"),
+        (col("max_cosine") >= 0.99).as("contaminated"))
+      .collect().map(r => r.getLong(0) -> ((img(Option(r.get(1))), Option(r.get(2))))).toMap
+    val fused = Decontaminate.semanticHits(corpus, bench, minCosine = 0.99)
+      .collect().map(r => r.getLong(0) -> ((img(Option(r.get(1))), Option(r.get(2))))).toMap
+    assert(fused == pairwise)
+    // the length-mismatched row survives with a null max (every pair null)
+    assert(fused(91L) == ((None, None)), fused(91L).toString)
+    // empty benchmark → empty result (nothing to test against)
+    assert(Decontaminate.semanticHits(corpus, bench.limit(0)).count() == 0L)
+  }
+
   test("a doc sharing the same n-gram with MANY benchmark docs counts it once") {
     import spark.implicits._
     val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
