@@ -113,7 +113,13 @@ object ScaleUp {
   def scaleUp(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
     val cpus = spark.sparkContext.defaultParallelism
-    tables.foreach { case (name, keys) =>
+    // GRAFT_SCALEUP_TABLES=documents,embeddings builds a PARTIAL corpus —
+    // the dedup/ANN probes only read documents/embeddings, and a 5M-doc
+    // corpus at ×1000 does not need 600M lineitem rows alongside it.
+    val only = sys.env.get("GRAFT_SCALEUP_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    tables.filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, keys) =>
       // The explode fan-out is narrow: without a repartition the output
       // inherits the SOURCE file count (testdata ships one file per table),
       // and a one-file sf1 table collapses every downstream scan to one

@@ -37,19 +37,21 @@ object ExtQueries {
   private def rowCount(s: SparkSession, dir: String, name: String): Long =
     graft.ops.Layout.parquetRowCount(s, s"$dir/$name.parquet")
 
-  /** Regime boundary for the n-gram pair family, measured round 13
-    * (BASELINE.md): below it the count-based posting-bucket path wins
-    * (co-occurrence counts are cheap codegen'd aggregates; the prefix
-    * machinery's df-join + per-doc sort is pure overhead — 3.7 vs 9.4 s at
-    * 5k docs, 8.3 vs 27.3 s at 50k); at/above it the doubled-corpus Σ df²
-    * candidate explosion dominates (61-174 s and 118-170 GB of spill per
-    * query at 500k docs) and the EXACT PPJoin prefix filter wins. The two
-    * paths emit identical pairs by construction (DedupSpec pins), so the
-    * switch is pure planning — correctness never depends on it.
+  /** Strategy note for the n-gram pair family (round-13 A/B, BASELINE.md):
+    * the df-capped posting-bucket path is declared at EVERY scale. An
+    * earlier size-based switch to PPJoin prefix filtering at ≥100k docs
+    * was calibrated against a corpus built by CHAINED ScaleUp runs, whose
+    * colliding doc_ids merged distinct documents' posting rows and faked a
+    * Σ df² explosion (118–170 GB spills "at 500k docs"). Re-measured on
+    * clean corpora: the cap wins Jaccard through 5M docs (221 vs 306 s,
+    * identical 256k pairs) and the containment prefix variant exhausts
+    * 58+ GB of scratch where cap=2000 completes — its prefix bound only
+    * shortens the SMALLER side, so candidate volume stays ~Σ df².
+    * `prefixFilter = true` stays available (DedupSpec pins it ≡ naive) as
+    * the exact-recall path for df-heavy real corpora where the
+    * ngramStopShingles audit shows a cap dropping true pairs — choose by
+    * measured df skew, not corpus size.
     */
-  private val PrefixFilterMinDocs = 100000L
-  private def bigDocs(s: SparkSession, dir: String): Boolean =
-    rowCount(s, dir, "documents") >= PrefixFilterMinDocs
 
   // E1 exact dedup over a deliberately doubled documents corpus: keeper id +
   // copy count per content hash. Same shape as Dedup.exact, with md5 as the
@@ -238,16 +240,17 @@ object ExtQueries {
     (s, dir) => {
       val d = t(s, dir, "documents")
       val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L))
-      // Size-adaptive candidate strategy (footer count, no job — see
-      // PrefixFilterMinDocs). Small corpora: df-capped posting buckets
-      // (cap=1000 provably inactive at verify scale — df cannot exceed the
-      // 1000-doc doubled corpus — so the exact all-pairs oracle binds
-      // bit-for-bit). Large corpora: the EXACT PPJoin prefix filter — same
-      // pairs by construction, no recall contract, and the doubled-corpus
-      // Σ df² explosion (61 s / 118 GB spill at 500k docs) never happens.
-      val big = bigDocs(s, dir)
-      Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8,
-          maxDocFreq = if (big) 0 else 1000, prefixFilter = big)
+      // df-capped posting buckets at EVERY scale (cap=1000 provably
+      // inactive at verify scale — df cannot exceed the 1000-doc doubled
+      // corpus — so the exact all-pairs oracle binds bit-for-bit). The
+      // round-13 clean-corpus A/B (BASELINE.md) measured the cap BEATING
+      // the PPJoin prefix filter through 5M docs (221 vs 306 s, identical
+      // pairs) — the round-12 "Σ df² explosion at 500k docs" numbers came
+      // from a chained-ScaleUp corpus whose duplicate doc_ids merged
+      // posting rows. prefixFilter remains the measured-equal exact-recall
+      // path for df-heavy corpora where ngramStopShingles shows a cap
+      // dropping real pairs.
+      Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8, maxDocFreq = 1000)
         .orderBy(col("id_a"), col("id_b"))
     },
     Some(
@@ -1967,10 +1970,9 @@ object ExtQueries {
     (s, dir) => {
       val d = t(s, dir, "documents")
       val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L))
-      // same size-adaptive strategy as e11 (identical pairs either way)
-      val big = bigDocs(s, dir)
+      // same capped strategy as e11 (measured winner at every clean scale)
       val pairs = Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8,
-        maxDocFreq = if (big) 0 else 1000, prefixFilter = big)
+        maxDocFreq = 1000)
       graft.ops.Triangles.triangleCounts(pairs, "id_a", "id_b")
     },
     Some(graft.ops.Triangles.triangleCountsSql(e94Edges, e94Prelude)))
@@ -2214,11 +2216,12 @@ object ExtQueries {
   private val containmentPairsCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
   private def containmentPairsFresh(s: SparkSession, dir: String): DataFrame = {
-    // size-adaptive strategy, same boundary as e11 (identical pairs)
-    val big = bigDocs(s, dir)
+    // df-capped at every scale: the round-13 clean 5M-doc A/B measured the
+    // containment prefix filter EXHAUSTING 58+ GB of scratch (its bound
+    // only shortens the smaller side — the larger doc indexes fully, so
+    // candidate volume stays ~Σ df²) while cap=2000 completed in 570 s
     val pairs = Dedup.ngramContainmentPairs(containmentCorpus(s, dir),
-        minContainment = 0.9, maxDocFreq = if (big) 0 else 2000,
-        prefixFilter = big)
+        minContainment = 0.9, maxDocFreq = 2000)
       .localCheckpoint(true)
     containmentPairsCache.put((System.identityHashCode(s), dir), pairs)
     pairs
