@@ -148,12 +148,15 @@ object DedupProbe {
         .localCheckpoint(true)
       val nPlanted = planted.count()
       val auto = Dedup.autoPlanes(nCorpus)
-      Seq(("fixed-32", 32), (s"auto-$auto", auto)).foreach { case (tag, np) =>
+      val (rtPlanes, rtBands) = Dedup.autoBanding(minCosine = 0.95)
+      Seq(("fixed-32", 32, 4), (s"auto-$auto", auto, 4),
+        (s"recall-$rtPlanes/$rtBands", rtPlanes, rtBands)).foreach { case (tag, np, nb) =>
         val t0 = System.nanoTime()
-        val found = Dedup.embeddingNearDupMd5(corpus, minCosine = 0.95, nPlanes = np)
+        val found = Dedup.embeddingNearDupMd5(corpus, minCosine = 0.95,
+            nPlanes = np, bands = nb)
           .join(planted.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_semi")
           .count()
-        println(f"[dedup-probe] e93band $tag%-10s: recall $found%d/$nPlanted%d " +
+        println(f"[dedup-probe] e93band $tag%-14s: recall $found%d/$nPlanted%d " +
           f"(${100.0 * found / math.max(1L, nPlanted)}%.1f%%) over $nCorpus%d vecs " +
           f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       }

@@ -918,6 +918,28 @@ class DedupSpec extends AnyFunSuite {
     assert(found == e.count(), s"exact copies lost at 60 planes: $found")
   }
 
+  test("autoBanding: recall-feasible (bits, bands) inside one signature word, else loud") {
+    // minCosine 0.95 / R 0.9 → 7 bands × 9 bits (the documented frontier
+    // point: cheaper candidate mass than fixed-32 at higher recall)
+    val (np, nb) = Dedup.autoBanding(minCosine = 0.95)
+    assert((np, nb) == ((63, 7)), s"got ($np, $nb)")
+    // the returned pair actually clears the target by the LSH recall formula
+    val p = 1.0 - math.acos(0.95) / math.Pi
+    val recall = 1.0 - math.pow(1.0 - math.pow(p, np / nb), nb)
+    assert(recall >= 0.9, s"theoretical recall $recall")
+    // embeddingNearDupMd5 accepts the pair (63 % 7 == 0, fits 63 bits)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val doubled = e.unionAll(e.withColumn("vec_id", col("vec_id") + 100000L))
+    val found = Dedup.embeddingNearDupMd5(doubled, minCosine = 0.95,
+      nPlanes = np, bands = nb)
+      .where(col("id_b") === col("id_a") + 100000L).count()
+    assert(found == e.count(), s"exact copies lost at $np/$nb: $found")
+    // a loose threshold cannot reach high recall in 63 bits — refuse loudly
+    assertThrows[IllegalArgumentException] {
+      Dedup.autoBanding(minCosine = 0.5, targetRecall = 0.999)
+    }
+  }
+
   test("embeddingNearDupMd5 handles an empty input frame") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .where(lit(false))
