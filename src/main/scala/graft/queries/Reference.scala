@@ -1086,7 +1086,7 @@ object Reference {
   private val q37 = Q(
     "q37_q7volume",
     (s, dir) => {
-      val names = Seq("NATION_1", "NATION_2")
+      val names = Seq("NATION_18", "NATION_19")
       val n1 = broadcast(t(s, dir, "nation")
         .where(col("n_name").isin(names: _*))
         .select(col("n_nationkey").as("supp_nkey"),
@@ -1107,10 +1107,10 @@ object Reference {
       li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(cst, col("o_custkey") === col("c_custkey"))
         .join(sup, col("l_suppkey") === col("s_suppkey"))
-        .where((col("supp_nation") === "NATION_1" &&
-          col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" &&
-            col("cust_nation") === "NATION_1"))
+        .where((col("supp_nation") === "NATION_18" &&
+          col("cust_nation") === "NATION_19") ||
+          (col("supp_nation") === "NATION_19" &&
+            col("cust_nation") === "NATION_18"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(msum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -1125,8 +1125,8 @@ object Reference {
          |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
          |  AND c_custkey = o_custkey
          |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
-         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |  AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+         |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
          |  AND l_shipdate >= TIMESTAMP '1996-01-01'
          |  AND l_shipdate < TIMESTAMP '1998-01-01'
          |GROUP BY 1, 2, 3
