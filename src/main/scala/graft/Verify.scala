@@ -36,6 +36,18 @@ object Verify {
           s"segment bucket $maxBucket): the oracle brute-forces all pairs, so " +
           s"the gate would hash-mismatch opaquely — re-pin the e18 cap/comment")
     }
+    // Pre-flight audit for e11/e94's df cap: their comment's "cap=1000
+    // inactive" proof is that df cannot exceed the DOUBLED corpus's doc
+    // count — valid only while 2·|documents| <= 1000. Trip loudly here if
+    // regenerated testdata grows past 500 docs (ADVICE r13: the claim sat
+    // exactly on the boundary with nothing enforcing it).
+    locally {
+      val nDocs = graft.ops.Layout.parquetRowCount(spark, s"$sfDir/documents.parquet")
+      require(2L * nDocs <= 1000L,
+        s"e11/e94 maxDocFreq=1000 could be ACTIVE at verify scale (doubled " +
+          s"corpus = ${2 * nDocs} docs): the oracle is exact all-pairs, so the " +
+          s"gate would hash-mismatch opaquely — re-pin the caps")
+    }
     // Pre-flight audit for e93_embedding_neardup: its Spark side scales LSH
     // band bits with the corpus (Dedup.autoPlanes) while its oracle mirror
     // is a STATIC 32-plane text — valid only while the rule lands on 32 at

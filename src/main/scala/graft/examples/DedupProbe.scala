@@ -168,7 +168,10 @@ object DedupProbe {
     // same corpus∪batch (what a daily run WITHOUT the store pays). The
     // e115/#103 measurement pattern applied to spans.
     if (sections("spanstore")) {
-      val store = s"/tmp/graft_spanstore_probe"
+      // fresh temp dir per run — a fixed path would let concurrent probe
+      // runs corrupt each other's store (ADVICE r13)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_spanstore_probe").toString
       val batch = docs.where(col("doc_id") % 1000 === 0)
         .select((col("doc_id") + 900000000L).as("doc_id"),
           concat(col("text"), lit(" probe batch suffix tokens")).as("text"))

@@ -137,12 +137,22 @@ object ScaleUp {
       // sf1×10 corpus crashed e14 with DIVIDE_BY_ZERO because colliding
       // doc_ids merged two documents' posting rows under one id). Always
       // scale from the pristine testdata in one hop: factor=100, not 10×10.
-      keys.foreach { k =>
-        val mx = src.agg(max(col(k))).head.getLong(0)
-        require(mx < Stride,
-          s"$name.$k max=$mx >= stride $Stride — '$srcDir' is already a " +
-            s"ScaleUp output; chained runs collide ids ((c+c')·stride). " +
-            s"Scale from the original testdata with one larger factor.")
+      // ONE aggregate pass for all keys (not one scan per key), read through
+      // Option so an empty table or non-integral key column gets a clear
+      // message instead of an opaque NPE/ClassCastException (ADVICE r13)
+      if (keys.nonEmpty) {
+        val maxRow = src.agg(max(col(keys.head)).cast("long"),
+          keys.tail.map(k => max(col(k)).cast("long")): _*).head()
+        keys.zipWithIndex.foreach { case (k, i) =>
+          val mx = Option(maxRow.get(i)).map(_.asInstanceOf[Long])
+          require(mx.isDefined,
+            s"$name.$k has no max — empty source table or non-numeric key " +
+              s"column; nothing to scale at $srcDir/$name.parquet")
+          require(mx.get < Stride,
+            s"$name.$k max=${mx.get} >= stride $Stride — '$srcDir' is already " +
+              s"a ScaleUp output; chained runs collide ids ((c+c')·stride). " +
+              s"Scale from the original testdata with one larger factor.")
+        }
       }
       fanOut(src, factor, keys)
         .repartition(nFiles)

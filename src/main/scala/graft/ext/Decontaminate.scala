@@ -105,6 +105,16 @@ object Decontaminate {
     * partial-aggregated to one 12-byte row per corpus vector before the
     * exchange. An empty benchmark yields an empty result (nothing to test
     * against — callers wanting "all clean" semantics zero-fill themselves).
+    *
+    * Two edge behaviors, INTENTIONAL and spec-pinned (they diverge from the
+    * retired pairwise-join form — ADVICE r13):
+    *  - a benchmark whose embeddings are ALL NULL collapses to an empty
+    *    matrix (`collect_list` skips nulls), so the result is empty — same
+    *    as an empty benchmark, where the pairwise form emitted every corpus
+    *    row with a null `max_cosine`;
+    *  - duplicate corpus ids each keep their own output row (one row per
+    *    corpus ROW) — the pairwise form's `groupBy(id)` silently merged
+    *    them, hiding upstream key corruption this form surfaces.
     */
   def semanticHits(
       corpus: DataFrame,

@@ -240,9 +240,13 @@ object ExtQueries {
     (s, dir) => {
       val d = t(s, dir, "documents")
       val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L))
-      // df-capped posting buckets at EVERY scale (cap=1000 provably
-      // inactive at verify scale — df cannot exceed the 1000-doc doubled
-      // corpus — so the exact all-pairs oracle binds bit-for-bit). The
+      // df-capped posting buckets at EVERY scale (cap=1000 inactive at
+      // verify scale — df cannot exceed the doubled corpus's doc count,
+      // and graft.Verify pre-flights 2·|documents| <= 1000, so the claim
+      // trips loudly if testdata ever grows past 500 docs instead of
+      // surfacing as an opaque hash mismatch; the constant stays FIXED
+      // rather than corpus-derived because at rehearsal scale the cap IS
+      // the recall contract — 2·N there would un-cap Σ df²). The
       // round-13 clean-corpus A/B (BASELINE.md) measured the cap BEATING
       // the PPJoin prefix filter through 5M docs (221 vs 306 s, identical
       // pairs) — the round-12 "Σ df² explosion at 500k docs" numbers came

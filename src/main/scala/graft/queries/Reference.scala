@@ -1039,10 +1039,15 @@ object Reference {
 
   // ------------------------------------ Q36: TPC-H Q15-shaped top supplier
   // Quarterly revenue per supplier, keep the max-revenue supplier(s) — the
-  // view + scalar-MAX classic. The per-supplier revenue frame is computed
-  // ONCE and reused for both the gate and the output (TPC-H's revenue0
-  // view); the scalar max is a 1-row broadcast crossJoin gate, never a
-  // per-row re-aggregation. Revenue rides the msum fixed point, so the
+  // view + scalar-MAX classic. The per-supplier revenue frame is DECLARED
+  // once but physically computed twice (once under the max gate, once for
+  // the output branch — Spark does not share uncached subplans); that is
+  // deliberate: the aggregate is filter-pruned and supplier-sized, so two
+  // passes beat materializing it, and correctness is safe either way
+  // because msum is deterministic (a localCheckpoint is the knob if the
+  // double aggregate ever matters at scale — ADVICE r13). The scalar max
+  // is a 1-row broadcast crossJoin gate, never a per-row re-aggregation.
+  // Revenue rides the msum fixed point, so the
   // equality against the max compares bit-identical doubles in both
   // engines — double equality is safe exactly BECAUSE of the fixed point.
   private val q36 = Q(

@@ -149,6 +149,29 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(Decontaminate.semanticHits(corpus, bench.limit(0)).count() == 0L)
   }
 
+  test("semanticHits edge pins: all-null benchmark and duplicate corpus ids") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (1L, Seq(0.0, 1.0)), // DUPLICATE id, different vector
+      (2L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    // all-null benchmark embeddings collapse to an empty matrix
+    // (collect_list skips nulls) → empty result, same as an empty
+    // benchmark. INTENTIONAL divergence from the retired pairwise form,
+    // which emitted every corpus row with a null max_cosine (ADVICE r13).
+    val nullBench = Seq((100L, Option.empty[Seq[Double]]))
+      .toDF("vec_id", "embedding")
+    assert(Decontaminate.semanticHits(corpus, nullBench).count() == 0L)
+    // duplicate corpus ids each keep their own row (one output row per
+    // corpus ROW — the pairwise groupBy(id) silently merged them)
+    val bench = Seq((100L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val rows = Decontaminate.semanticHits(corpus, bench, minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(rows.length == 3, rows.mkString(","))
+    assert(rows.count(_._1 == 1L) == 2)
+    assert(rows.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(0.0, 1.0))
+  }
+
   test("a doc sharing the same n-gram with MANY benchmark docs counts it once") {
     import spark.implicits._
     val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
