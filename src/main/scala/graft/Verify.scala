@@ -48,6 +48,20 @@ object Verify {
           s"corpus = ${2 * nDocs} docs): the oracle is exact all-pairs, so the " +
           s"gate would hash-mismatch opaquely — re-pin the caps")
     }
+    // Pre-flight audit for e106/e107's prefixDfCap=2000: the capped
+    // rarest-prefix candidate path is provably exact iff NO doc's entire
+    // df-ordered prefix is over-cap shingles (Dedup.ngramContainmentAtRisk
+    // scaladoc). The DuckDB oracle brute-forces all pairs, so an active cap
+    // would surface only as an opaque hash mismatch — trip loudly here.
+    locally {
+      val atRisk = graft.ext.Dedup.ngramContainmentAtRisk(
+        graft.ext.ExtQueries.containmentCorpus(spark, sfDir),
+        minContainment = 0.9, prefixDfCap = 2000).count()
+      require(atRisk == 0L,
+        s"e106 prefixDfCap=2000 could be ACTIVE at verify scale ($atRisk " +
+          s"docs with a fully-capped prefix): the oracle brute-forces all " +
+          s"pairs — raise the cap or shrink the corpus")
+    }
     // Pre-flight audit for e93_embedding_neardup: its Spark side scales LSH
     // band bits with the corpus (Dedup.autoPlanes) while its oracle mirror
     // is a STATIC 32-plane text — valid only while the rule lands on 32 at

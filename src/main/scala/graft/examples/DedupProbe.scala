@@ -69,8 +69,14 @@ object DedupProbe {
     // this scale — wall + pair counts (the prefix path must emit a SUPERSET
     // of the capped pairs: it is exact, the cap is a recall contract).
     if (sections("ppjoin")) {
+      // GRAFT_PPJOIN_ONLY=substring[,substring…] runs matching legs only —
+      // rehearsal-scale comparisons don't re-run known-dead or known-slow
+      // legs (the containment prefixFilter leg EXHAUSTS scratch at 5M docs
+      // by measurement; re-proving that costs an hour and 58 GB)
+      val legFilter = sys.env.get("GRAFT_PPJOIN_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       def timed(tag: String)(f: => Long): Unit =
-        try {
+        if (legFilter.forall(_.exists(tag.contains))) try {
           val t0 = System.nanoTime()
           val n = f
           println(f"[dedup-probe] ppjoin $tag: $n%d pairs in ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -89,6 +95,114 @@ object DedupProbe {
       }
       timed("containment(0.9) cap=2000") {
         Dedup.ngramContainmentPairs(docs, minContainment = 0.9, maxDocFreq = 2000).count()
+      }
+      timed("containment(0.9) prefixDfCap=2000") {
+        Dedup.ngramContainmentPairs(docs, minContainment = 0.9, prefixDfCap = 2000).count()
+      }
+      timed("containment(0.9) atRisk audit (prefixDfCap=2000)") {
+        Dedup.ngramContainmentAtRisk(docs, minContainment = 0.9, prefixDfCap = 2000).count()
+      }
+    }
+
+    // ---- 0d2. containment candidate-volume diagnostics (round-14): where
+    // the Σ prefix_df·df mass of the prefixDfCap path actually sits, on the
+    // e106-shaped corpus (documents + planted half excerpts) — the numbers
+    // behind the declared cap choice.
+    if (sections("c106diag")) {
+      val toks = split(trim(col("text")), "\\s+")
+      val kk = greatest(floor(size(toks) / 2), lit(3)).cast("int")
+      val exc = docs.select((col("doc_id") + 900000000L).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), kk)).as("text"))
+      val corpus = docs.select(col("doc_id"), col("text")).unionAll(exc)
+      val sh = corpus
+        .select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
+        .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("g"))
+        .where(col("n_sh") > 0)
+      val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+      // per-doc df-ordered prefix length for t=0.9: n - ceil(n*0.8999) + 1
+      val withDf = sh.join(dfreq, Seq("g"))
+      val ranked = withDf
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+            .orderBy(col("gdf"), col("g"))))
+        .withColumn("pfx", col("rk") <=
+          col("n_sh") - ceil(col("n_sh") * 8999 / lit(10000.0)).cast("int") + 1)
+      val bands = ranked.groupBy(
+          when(col("gdf") <= 10, "a_df<=10").when(col("gdf") <= 100, "b_df<=100")
+            .when(col("gdf") <= 500, "c_df<=500").when(col("gdf") <= 2000, "d_df<=2000")
+            .otherwise("e_df>2000").as("band"))
+        .agg(count(lit(1)).as("entries"),
+          sum(when(col("pfx"), 1L).otherwise(0L)).as("prefix_entries"),
+          sum(when(col("pfx"), col("gdf")).otherwise(0L)).as("pair_mass"))
+        .orderBy(col("band")).collect()
+      bands.foreach(r => println(s"[dedup-probe] c106diag ${r.getString(0)}: " +
+        s"entries=${r.getLong(1)} prefix=${r.getLong(2)} sum_prefixdf_x_df=${r.getLong(3)}"))
+      Seq(2000, 500, 100).foreach { cap =>
+        val atRisk = Dedup.ngramContainmentAtRisk(corpus, minContainment = 0.9,
+          prefixDfCap = cap).count()
+        println(s"[dedup-probe] c106diag atRisk(cap=$cap) = $atRisk docs")
+      }
+      // staged spill accounting: which stage of the prefixDfCap path pays
+      val spill = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null) spill.addAndGet(te.taskMetrics.diskBytesSpilled)
+      })
+      def leg(tag: String)(f: => Long): Unit = {
+        val s0 = spill.get(); val t0 = System.nanoTime()
+        val n = f
+        println(f"[dedup-probe] c106diag leg $tag%-22s: $n%d rows, " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s, spill ${(spill.get() - s0) / 1000000L}%d MB")
+      }
+      leg("ranked-entries")(ranked.select(col("id"), col("gdf"), col("pfx")).count())
+      // candidate stage replicated with the operator's hashed-key window
+      // shape, to split candidate-join cost from exact-verify cost
+      locally {
+        import org.apache.spark.sql.expressions.Window
+        val sh2 = corpus
+          .select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
+          .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("g0"))
+          .where(col("n_sh") > 0)
+          .select(col("id"), col("n_sh"), xxhash64(col("g0")).as("g"))
+        val ranked2 = sh2
+          .withColumn("gdf", count(lit(1)).over(Window.partitionBy(col("g"))))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy(col("id")).orderBy(col("gdf"), col("g"))) - 1)
+          .where(col("gdf") <= 2000)
+        val alpha = ceil(col("n_sh") * 8999 / lit(10000.0)).cast("int")
+        val probe = ranked2.where(col("pos") <= col("n_sh") - alpha)
+          .select(col("id").as("id_p"), col("n_sh").as("n_p"), col("pos").as("pos_p"), col("g"))
+        val index = ranked2.select(col("id").as("id_i"), col("n_sh").as("n_i"),
+          col("pos").as("pos_i"), col("g"))
+        leg("candidates-distinct") {
+          probe.join(index, Seq("g"))
+            .where(col("n_p") < col("n_i") ||
+              (col("n_p") === col("n_i") && col("id_p") < col("id_i")))
+            .select(least(col("id_p"), col("id_i")).as("id_a"),
+              greatest(col("id_p"), col("id_i")).as("id_b"))
+            .distinct().count()
+        }
+        // witness-count histogram under an e-extended prefix: how many
+        // candidate pairs would survive a >= min(e+1, alpha) witness filter
+        for (e <- Seq(1, 2)) {
+          val probeE = ranked2.where(col("pos") <= col("n_sh") - alpha + e)
+            .select(col("id").as("id_p"), col("n_sh").as("n_p"),
+              col("pos").as("pos_p"), col("g"))
+          leg(s"witness>=min(${e + 1},alpha)") {
+            probeE.join(index, Seq("g"))
+              .where(col("n_p") < col("n_i") ||
+                (col("n_p") === col("n_i") && col("id_p") < col("id_i")))
+              .groupBy(least(col("id_p"), col("id_i")).as("id_a"),
+                greatest(col("id_p"), col("id_i")).as("id_b"))
+              .agg(count(lit(1)).as("w"), first(col("n_p")).as("n_p"))
+              .where(col("w") >= least(lit(e + 1),
+                ceil(col("n_p") * 8999 / lit(10000.0)).cast("int")))
+              .count()
+          }
+        }
+      }
+      leg("full-operator") {
+        Dedup.ngramContainmentPairs(corpus, minContainment = 0.9, prefixDfCap = 2000).count()
       }
     }
 

@@ -741,9 +741,16 @@ object Dedup {
     val candSh = sh.join(candIds, Seq("id"), "left_semi")
       .select(col("id"), col("sh")).dropDuplicates("id")
     val common = size(array_intersect(col("sh_a"), col("sh_b")))
+    // shuffle-HASH both joins: sort-merge would sort the pair stream WITH
+    // the ~1 KB shingle array attached by the first join — the round-14
+    // sf10 probe measured that as ~15 GB of external-sort spill at 17M
+    // candidates, where hashing the doc-sized build side (the arrays are
+    // build-side either way) spills nothing
     pairs
-      .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(common.cast("double") / size(col("sh_a")).cast("double"), 4)
           .as("c_a_in_b"),
@@ -758,6 +765,15 @@ object Dedup {
 
   /** Threshold scale for the exact-integer overlap bounds below. */
   private val PfScale = 10000L
+
+  /** Prefix extension for [[ngramContainmentPairs]]'s `prefixDfCap` mode:
+    * the prefix is extended by this many entries and candidates must show
+    * `min(PrefixWitnessExt + 1, α)` shared entries inside it (see the
+    * operator's scaladoc — the pigeonhole strengthens with the extension,
+    * so the requirement is exact). [[ngramContainmentAtRisk]] audits the
+    * SAME extended prefix; the two must move together.
+    */
+  private val PrefixWitnessExt = 2
 
   /** The similarity threshold as a WEAKENED integer numerator over
     * [[PfScale]]: `floor(t·10⁴) − 1`. Weakened twice on purpose — once for
@@ -787,19 +803,42 @@ object Dedup {
     * doc — the canonical ordering of the prefix-filter family (rare
     * shingles first, so a prefix holds each doc's most SELECTIVE shingles
     * and corpus-wide boilerplate sorts to the suffix where it is never
-    * indexed). Two shuffles: the df count (by shingle) and the per-doc
-    * sort (by id, buffer bounded by the doc's own shingle count).
+    * indexed).
+    *
+    * The shingle key `g` in the OUTPUT is its 8-byte xxhash64, not the
+    * text: every downstream use is an equi-join/group key, and hashing is
+    * EXACTNESS-SAFE — the prefix theorems hold for ANY deterministic
+    * per-doc subset of the right size under ANY consistent global order
+    * (a collision can only merge two buckets, i.e. add candidates and
+    * raise the merged key's df; survivors re-score on full shingle sets
+    * either way) — while the shuffles move longs instead of ~25-byte
+    * strings. Two shuffles, both window-shaped with no list buffers: the
+    * df count (by key) and the per-doc rank (by id) — the round-14 sf10
+    * probe measured the previous groupBy + `sort_array(collect_list)`
+    * formulation of the same ranking inside the aggregation spill this
+    * shape avoids.
     */
   private def pfOrderedEntries(sh: DataFrame): DataFrame = {
-    val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("g"))
-    val dfreq = inv.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
-    inv.join(dfreq, Seq("g"))
-      .groupBy(col("id"), col("n_sh"))
-      .agg(sort_array(collect_list(struct(col("gdf"), col("g")))).as("lst"))
-      .select(col("id"), col("n_sh"),
-        posexplode(col("lst")).as(Seq("pos", "e")))
-      .select(col("id"), col("n_sh"), col("pos"), col("e.g").as("g"))
+    import org.apache.spark.sql.expressions.Window
+    val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("g0"))
+      .select(col("id"), col("n_sh"), xxhash64(col("g0")).as("g"))
+    inv
+      .withColumn("gdf", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("gdf"), col("g"))) - 1)
+      .select(col("id"), col("n_sh"), col("pos"), col("g"), col("gdf"))
   }
+
+  /** The (id, |set|, set) shingle-set projection shared by
+    * [[ngramContainmentPairs]] and its [[ngramContainmentAtRisk]] audit —
+    * empty-set docs dropped (containment against an empty set is 0/0).
+    */
+  private def containmentShingleSets(docs: DataFrame, textCol: String,
+      idCol: String, shingleSize: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
+      .where(col("n_sh") > 0)
 
   /** Exact n-gram Jaccard near-dup pairs at or above `minJaccard`, via
     * posting-list buckets: explode shingles → ONE shuffle grouping the
@@ -958,6 +997,40 @@ object Dedup {
     * bound `min(|S|−i, |L|−j) ≥ ⌈t·|S|⌉` prunes per generated row (valid
     * at the first shared shingle, which qualifying pairs always retain);
     * survivors re-score exactly ([[verifyContainment]]).
+    *
+    * `prefixDfCap > 0` is the SCALE path (round 14) — rarest-prefix
+    * candidate generation under an audited bucket cap, combining the two
+    * mechanisms above one level deeper than either alone:
+    *
+    *  - '''Rarest-prefix witnesses.''' A qualifying pair needs
+    *    `|A∩B| ≥ ⌈t·|S|⌉` on its SMALLER side S, so S has at most
+    *    `|S| − ⌈t·|S|⌉` shingles outside the partner — any
+    *    `|S| − ⌈t·|S|⌉ + 1` of S's shingles must contain a shared one
+    *    (pigeonhole). Candidates are therefore generated only from bucket
+    *    rows where the designated smaller side's shingle sits in its
+    *    df-ordered PREFIX ([[pfOrderedEntries]]; ties on |set| break by id,
+    *    and equal-size pairs share their witness bound symmetrically).
+    *    This is the `prefixFilter` guarantee re-expressed in the ONE-SHUFFLE
+    *    posting-bucket shape (prefix members × all members per bucket,
+    *    `Σ prefix_df·df` instead of the capped path's `Σ df²` — and the
+    *    prefix mass concentrates on RARE shingles, which is where df is
+    *    small), instead of the entries⋈entries join that re-shuffles the
+    *    full index and was measured exhausting scratch at 5M docs.
+    *  - '''Audited df cap.''' Buckets larger than `prefixDfCap` are dropped
+    *    from candidate generation — this is what the pure prefix filter
+    *    cannot do (dropping a dense shingle might drop a pair's ONLY
+    *    witness) and what makes the hot prefix-bucket case (identical or
+    *    template docs whose RAREST shingles are still corpus-dense) bounded.
+    *    The recall contract is PER-DOC and auditable, unlike the capped
+    *    path's per-pair score contract: a pair can only be missed if its
+    *    smaller side's ENTIRE prefix is over-cap shingles.
+    *    [[ngramContainmentAtRisk]] (same arguments) lists exactly those
+    *    docs; when it returns empty the result is provably identical to
+    *    the uncapped operator's — [[graft.Verify]] pre-flights that for the
+    *    declared e106. Never silent.
+    *
+    * Survivors re-score on full sets ([[verifyContainment]]) either way, so
+    * reported scores are always exact; the knobs only shape candidates.
     */
   def ngramContainmentPairs(
       docs: DataFrame,
@@ -966,16 +1039,64 @@ object Dedup {
       shingleSize: Int = 3,
       minContainment: Double = 0.9,
       maxDocFreq: Int = 0,
-      prefixFilter: Boolean = false): DataFrame = {
+      prefixFilter: Boolean = false,
+      prefixDfCap: Int = 0): DataFrame = {
     require(minContainment > 0 && minContainment <= 1.0,
       s"minContainment in (0, 1]: $minContainment")
     require(!(prefixFilter && maxDocFreq > 0),
       "prefixFilter is the exact replacement for the df cap — combining " +
         "them would silently restore the capped-recall contract")
-    val sh = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-      .select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
-      .where(col("n_sh") > 0)
+    require(prefixDfCap <= 0 || (maxDocFreq <= 0 && !prefixFilter),
+      "prefixDfCap is a complete candidate-generation mode of its own — " +
+        "combine with neither maxDocFreq nor prefixFilter")
+    val sh = containmentShingleSets(docs, textCol, idCol, shingleSize)
+    if (prefixDfCap > 0) {
+      val tNum = pfThresholdNum(minContainment)
+      val e = PrefixWitnessExt
+      // the cap filters the hashed-key entry stream directly (one cheap
+      // projection — df is already attached per entry); candidate
+      // generation is a long-keyed equi-join of the e-EXTENDED prefix
+      // entries against the capped index, not a posting-list groupBy — no
+      // collect_list buffers to spill, and the per-key fan-out is
+      // prefix_df·df with both factors bounded by the cap.
+      //
+      // Multi-witness counting: extending the prefix by e entries
+      // strengthens the pigeonhole from "≥1 shared prefix shingle" to
+      // "≥ min(e+1, α) shared entries within the extended prefix" (the
+      // smaller side has ≤ n−α shingles outside the partner, so any
+      // min(n−α+1+e, n) of its entries contain ≥ min(e+1, α) shared ones),
+      // and those are the pair's FIRST shared shingles in the global order
+      // because the prefix is a prefix of that order. Counting join rows
+      // per pair and requiring that many witnesses is therefore EXACT —
+      // and it is the candidate-volume bound the single-witness form
+      // lacks: the round-14 sf10 probe measured 16.9M distinct candidate
+      // pairs collapse to 604k at e=2 against 602k true pairs (99.8%
+      // precision), turning the exact verify join from the operator's
+      // dominant cost into noise. The positional bound is relaxed by e
+      // (valid for the j-th shared entry, j ≤ e+1: suffixes must still
+      // cover α − e), so all counted witnesses survive it.
+      val kept = pfOrderedEntries(sh).where(col("gdf") <= prefixDfCap)
+      val probe = kept
+        .where(col("pos") <= col("n_sh") - pfAlpha(col("n_sh"), tNum) + e)
+        .select(col("id").as("id_p"), col("n_sh").as("n_p"),
+          col("pos").as("pos_p"), col("g"))
+      val index = kept.select(col("id").as("id_i"), col("n_sh").as("n_i"),
+        col("pos").as("pos_i"), col("g"))
+      val cand = probe.join(index, Seq("g"))
+        // the probe doc must be the pair's designated smaller side (ties
+        // by id): its prefix is where the pigeonhole guarantees witnesses
+        .where(col("n_p") < col("n_i") ||
+          (col("n_p") === col("n_i") && col("id_p") < col("id_i")))
+        .where(least(col("n_p") - col("pos_p"), col("n_i") - col("pos_i")) >=
+          pfAlpha(col("n_p"), tNum) - e)
+        .groupBy(least(col("id_p"), col("id_i")).as("id_a"),
+          greatest(col("id_p"), col("id_i")).as("id_b"))
+        // n_p is constant per pair — the designation is deterministic
+        .agg(count(lit(1)).as("__w"), first(col("n_p")).as("__n_p"))
+        .where(col("__w") >= least(lit(e + 1), pfAlpha(col("__n_p"), tNum)))
+        .select(col("id_a"), col("id_b"))
+      return verifyContainment(cand, sh, minContainment)
+    }
     if (prefixFilter) {
       val tNum = pfThresholdNum(minContainment)
       val entries = pfOrderedEntries(sh)
@@ -1026,6 +1147,44 @@ object Dedup {
         .select(col("id_a"), col("id_b"))
       verifyContainment(candidates, sh, minContainment)
     }
+  }
+
+  /** Audit for [[ngramContainmentPairs]]'s `prefixDfCap` mode: the docs
+    * whose RECALL GUARANTEE the cap could break, one row per doc whose
+    * EXTENDED df-ordered prefix (the operator's witness window — prefix
+    * plus [[PrefixWitnessExt]] entries) contains at least one over-cap
+    * shingle — `(id, n_prefix, n_overcap, max_df)`, most-exposed first.
+    * The pigeonhole guarantees every qualifying pair its witness quota
+    * inside its smaller side's extended prefix; a witness is lost only
+    * when its bucket was dropped, so docs with a FULLY under-cap extended
+    * prefix can never lose a pair as the smaller side. Empty result ⇒ the
+    * capped-prefix operator is provably identical to the uncapped one on
+    * this corpus (the condition is conservative: a flagged doc loses a
+    * pair only if the capped buckets eat into its witness quota). The top
+    * of this list is the template/boilerplate cluster whose members'
+    * rarest shingles are still corpus-dense — exact-dedup those upstream,
+    * or raise the cap.
+    */
+  def ngramContainmentAtRisk(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleSize: Int = 3,
+      minContainment: Double = 0.9,
+      prefixDfCap: Int = 2000): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1.0,
+      s"minContainment in (0, 1]: $minContainment")
+    require(prefixDfCap > 0, s"need a positive cap: $prefixDfCap")
+    val tNum = pfThresholdNum(minContainment)
+    pfOrderedEntries(containmentShingleSets(docs, textCol, idCol, shingleSize))
+      .where(col("pos") <=
+        col("n_sh") - pfAlpha(col("n_sh"), tNum) + PrefixWitnessExt)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_prefix"),
+        sum(when(col("gdf") > prefixDfCap, 1L).otherwise(0L)).as("n_overcap"),
+        max(col("gdf")).as("max_df"))
+      .where(col("n_overcap") > 0)
+      .orderBy(col("n_overcap").desc, col("id"))
   }
 
   /** Audit for [[ngramJaccardPairs]]'s document-frequency cap: the shingles

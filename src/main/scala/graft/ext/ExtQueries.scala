@@ -2209,7 +2209,7 @@ object ExtQueries {
   // timing stays honest); e107 reuses the latest published table, or
   // computes its own when it runs alone. Entries are pair-count-sized
   // (600 rows at sf0.01) localCheckpoints, keyed by (session, dir).
-  private def containmentCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def containmentCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val toks = split(trim(col("text")), "\\s+")
     val k = greatest(floor(size(toks) / 2), lit(3)).cast("int")
@@ -2220,12 +2220,19 @@ object ExtQueries {
   private val containmentPairsCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
   private def containmentPairsFresh(s: SparkSession, dir: String): DataFrame = {
-    // df-capped at every scale: the round-13 clean 5M-doc A/B measured the
-    // containment prefix filter EXHAUSTING 58+ GB of scratch (its bound
-    // only shortens the smaller side — the larger doc indexes fully, so
-    // candidate volume stays ~Σ df²) while cap=2000 completed in 570 s
+    // rarest-prefix candidates under an audited bucket cap at every scale
+    // (round 14): candidate volume is Σ prefix_df·df on prefix mass that
+    // concentrates on RARE shingles, vs the retired maxDocFreq path's
+    // Σ df² count-aggregation (143 GB spill at 500k docs / 570 s at 5M)
+    // and the retired entries⋈entries prefixFilter (scratch-exhausted at
+    // 5M — its full-index side re-shuffled Σ prefix_df·df rows through a
+    // string-keyed join). Recall is per-doc auditable: a pair can be lost
+    // only if the smaller side's ENTIRE rarest-prefix is over-cap shingles
+    // (Dedup.ngramContainmentAtRisk); graft.Verify pre-flights that the
+    // audit is EMPTY at verify scale, so the exact all-pairs oracle binds
+    // bit-for-bit by construction, not by luck.
     val pairs = Dedup.ngramContainmentPairs(containmentCorpus(s, dir),
-        minContainment = 0.9, maxDocFreq = 2000)
+        minContainment = 0.9, prefixDfCap = 2000)
       .localCheckpoint(true)
     containmentPairsCache.put((System.identityHashCode(s), dir), pairs)
     pairs

@@ -305,7 +305,52 @@ class DedupSpec extends AnyFunSuite {
       assert(plain.nonEmpty)
       assert(pf == plain,
         s"t=$t missing=${plain.keySet -- pf.keySet} extra=${pf.keySet -- plain.keySet}")
+      // the capped-prefix scale path: the audit is EMPTY on this corpus
+      // (every prefix shingle under the cap), so the result is provably
+      // identical to the uncapped operator's — and must be, bit for bit
+      assert(Dedup.ngramContainmentAtRisk(corpus, minContainment = t,
+        prefixDfCap = 2000).count() == 0L)
+      val capped = collectPairs(Dedup.ngramContainmentPairs(
+        corpus, minContainment = t, prefixDfCap = 2000))
+      assert(capped == plain,
+        s"t=$t missing=${plain.keySet -- capped.keySet} extra=${capped.keySet -- plain.keySet}")
     }
+  }
+
+  test("prefixDfCap containment: candidate superset under the cap, audit names every exposed doc") {
+    import spark.implicits._
+    // a 30-doc TEMPLATE CLIQUE (identical text → every shingle df=30, so
+    // each member's ENTIRE rarest-prefix is over a cap of 10 — the worst
+    // case for prefix filtering, where even the rarest shingles are dense),
+    // a 5-doc clique under the cap, and a distinct doc + its half excerpt
+    val template = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val small = "omega psi chi phi upsilon tau sigma rho pi omicron"
+    val docs = ((1L to 30L).map(i => (i, template)) ++
+      (101L to 105L).map(i => (i, small)) ++ Seq(
+        (200L, "one two three four five six seven eight nine ten eleven twelve"),
+        (201L, "one two three four five six"))).toDF("doc_id", "text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val un = pairsOf(Dedup.ngramContainmentPairs(docs, minContainment = 0.9))
+    val cap = pairsOf(Dedup.ngramContainmentPairs(docs, minContainment = 0.9,
+      prefixDfCap = 10))
+    // never a false positive: capped output ⊆ uncapped (exact re-score)
+    assert(cap.subsetOf(un), s"extra=${cap -- un}")
+    // the under-cap clique and the excerpt pair survive in full
+    assert((101L to 105L).combinations(2).map(s => (s(0), s(1))).forall(cap.contains))
+    assert(cap.contains((200L, 201L)))
+    // the over-cap clique's pairs are exactly what's lost...
+    val lost = un -- cap
+    assert(lost.nonEmpty && lost.forall { case (a, b) => a <= 30L && b <= 30L })
+    // ...and the audit names exactly the clique members, nobody else
+    val atRisk = Dedup.ngramContainmentAtRisk(docs, minContainment = 0.9,
+      prefixDfCap = 10).select("id").collect().map(_.getLong(0)).toSet
+    assert(atRisk == (1L to 30L).toSet, atRisk.toString)
+    // raising the cap above the clique df clears the audit AND the loss
+    assert(Dedup.ngramContainmentAtRisk(docs, minContainment = 0.9,
+      prefixDfCap = 30).count() == 0L)
+    assert(pairsOf(Dedup.ngramContainmentPairs(docs, minContainment = 0.9,
+      prefixDfCap = 30)) == un)
   }
 
   test("ngram jaccard DF cap: stop-shingles excluded from candidates, scores exact") {
