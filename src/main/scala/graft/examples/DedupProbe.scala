@@ -217,6 +217,10 @@ object DedupProbe {
       val layouts = Seq(
         ("classic cap=500", () => Dedup.editDistancePairs(docs, maxDist = 5,
           prefixLen = 40, maxSegmentBucket = 500)),
+        // round-14 verdict item 5: Gravano q-gram COUNT prefilter between
+        // the candidates and the banded DP — measured A/B vs the plain leg
+        ("classic cap=500 qgram=3", () => Dedup.editDistancePairs(docs,
+          maxDist = 5, prefixLen = 40, maxSegmentBucket = 500, qgramFilter = 3)),
         ("m=8 k=6 rarest", () => Dedup.editDistancePairs(docs, maxDist = 5,
           prefixLen = 40, nSegments = 8, indexSegments = 6)),
         ("m=8 k=6 rarest cap=500", () => Dedup.editDistancePairs(docs, maxDist = 5,
@@ -276,6 +280,54 @@ object DedupProbe {
       }
     }
 
+    // ---- 0f2. multi-word LSH frontier (round-14): at minCosine 0.9 with
+    // occupancy-driven minBits=12 (400k+ vectors need >= 2^12 buckets per
+    // band for drain), NO single 64-bit signature reaches 95% recall —
+    // autoBanding(maxSignatureBits=63) proves it by throwing — while the
+    // multi-word form (band keys assembled per band, signature spanning
+    // several words) reaches it. Planted pairs carry the e93band harness's
+    // 0.1-amplitude noise — on this data that puts the typical planted
+    // cosine just above 0.9, i.e. recall is measured AT the threshold,
+    // where the banding math is weakest (pairs above it only do better).
+    if (sections("e93wide")) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val noise = transform(col("embedding"), (_, i) =>
+        (pmod(xxhash64(col("vec_id"), i), lit(1000L)).cast("double") / lit(500.0)
+          - lit(1.0)) * lit(0.10))
+      val pert = emb.select((col("vec_id") + 200000000L).as("vec_id"),
+        zip_with(col("embedding"), noise, (a, b) => a + b).as("embedding"))
+      val corpus = emb.unionAll(pert).localCheckpoint(true)
+      val nCorpus = corpus.count()
+      val planted = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        .join(pert.select((col("vec_id") - 200000000L).as("id_a"),
+          col("vec_id").as("id_b"), col("embedding").as("vb")), Seq("id_a"))
+        .select(col("id_a"), col("id_b"),
+          round(graft.ext.Similarity.cosine(col("va"), col("vb")), 4).as("cosine"))
+        .where(col("cosine") >= 0.9)
+        .localCheckpoint(true)
+      val nPlanted = planted.count()
+      val singleWord = scala.util.Try(
+        Dedup.autoBanding(minCosine = 0.9, targetRecall = 0.95, minBits = 12))
+      println(s"[dedup-probe] e93wide single-word autoBanding(0.9, R=0.95, " +
+        s"minBits=12): ${singleWord.fold(e => "THROWS: " + e.getMessage.take(80),
+          r => r.toString)}")
+      val (widePlanes, wideBands) = Dedup.autoBanding(minCosine = 0.9,
+        targetRecall = 0.95, minBits = 12, maxSignatureBits = 512)
+      // best single-word fallback at the same bit floor: 4 bands x 13 bits
+      Seq(("single-52/4", 52, 4), (s"wide-$widePlanes/$wideBands", widePlanes, wideBands))
+        .foreach { case (tag, np, nb) =>
+          val t0 = System.nanoTime()
+          val found = Dedup.embeddingNearDupMd5(corpus, minCosine = 0.9,
+              nPlanes = np, bands = nb)
+            .join(planted.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_semi")
+            .count()
+          println(f"[dedup-probe] e93wide $tag%-14s: recall $found%d/$nPlanted%d " +
+            f"(${100.0 * found / math.max(1L, nPlanted)}%.1f%%) over $nCorpus%d vecs " +
+            f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        }
+    }
+
     // ---- 0g. span-store economics (round-13): the e116 incremental
     // lifecycle vs the one-shot e24 shape at this scale — build (one-time),
     // 0.1%-batch lookup, append, compact, against repeatedSpans over the
@@ -316,6 +368,66 @@ object DedupProbe {
       timed(s"lookup-postcompact") {
         Dedup.spanStoreLookup(spark, store,
           batch.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))).count()
+      }
+    }
+
+    // ---- 0h. the next-decade probe (round-14 verdict item 3): the heavy
+    // dedup families at a docs-only 1000× corpus (50M docs — one-hop
+    // ScaleUp ×10000 from sf0.1), each leg with wall + spill, run ONE LEG
+    // PER JVM via GRAFT_HEAVY_ONLY (an OOM takes the SparkContext with it).
+    // The point is to find which audited cap or store breaks FIRST and name
+    // the mechanism before a real cluster does.
+    if (sections("heavy")) {
+      val onlyLeg = sys.env.get("GRAFT_HEAVY_ONLY")
+      val spill = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null) spill.addAndGet(te.taskMetrics.diskBytesSpilled)
+      })
+      val legs: Seq[(String, () => Long)] = Seq(
+        ("e84 minhashNearDupMd5", () =>
+          Dedup.minhashNearDupMd5(docs, minJaccard = 0.8).count()),
+        ("e11 jaccard cap=1000", () =>
+          Dedup.ngramJaccardPairs(docs, minJaccard = 0.8, maxDocFreq = 1000).count()),
+        ("e106 containment prefixDfCap=2000", () =>
+          Dedup.ngramContainmentPairs(docs, minContainment = 0.9,
+            prefixDfCap = 2000).count()),
+        ("e106 atRisk audit", () =>
+          Dedup.ngramContainmentAtRisk(docs, minContainment = 0.9,
+            prefixDfCap = 2000).count()),
+        ("e18 editdist cap=500", () =>
+          Dedup.editDistancePairs(docs, maxDist = 5, prefixLen = 40,
+            maxSegmentBucket = 500).count()),
+        ("e115 spanstore build", () => {
+          val dir = java.nio.file.Files.createTempDirectory("graft_heavy_span").toString
+          sys.props.put("graft.heavy.spandir", dir)
+          Dedup.buildSpanStore(docs, dir, n = 10); 0L
+        }),
+        ("e115 spanstore 0.1%-batch lookup+append", () => {
+          val dir = sys.props.getOrElse("graft.heavy.spandir",
+            java.nio.file.Files.createTempDirectory("graft_heavy_span2").toString)
+          if (!new java.io.File(s"$dir/posting").exists)
+            Dedup.buildSpanStore(docs, dir, n = 10)
+          val batch = docs.where(pmod(xxhash64(col("doc_id")), lit(1000L)) === 0)
+            .select((col("doc_id") + 900000000000L).as("doc_id"), col("text"))
+            .localCheckpoint(true)
+          val n = Dedup.spanStoreLookup(spark, dir, batch).count()
+          Dedup.appendSpanStore(spark, dir, batch)
+          n
+        }))
+      legs.filter(l => onlyLeg.forall(_ == l._1))
+        .takeWhile(_ => !spark.sparkContext.isStopped).foreach { case (tag, f) =>
+        try {
+          val s0 = spill.get(); val t0 = System.nanoTime()
+          val n = f()
+          println(f"[dedup-probe] heavy $tag%-40s: $n%d rows in " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s, spill " +
+            f"${(spill.get() - s0) / 1000000L}%d MB")
+        } catch {
+          case e: Throwable =>
+            println(s"[dedup-probe] heavy $tag FAILED: " +
+              s"${Option(e.getMessage).getOrElse(e.getClass.getName).take(160)}")
+        }
       }
     }
 

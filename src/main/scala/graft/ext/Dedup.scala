@@ -566,6 +566,29 @@ object Dedup {
       .write.mode("append").parquet(s"$path/sigs")
   }
 
+  /** Auto-compaction trigger for [[buildMinHashStore]] stores — the file
+    * dimension only: signature rows never duplicate across appends (one
+    * row per doc), so the lookup's JOIN work is append-proof, but many
+    * small daily appends fragment the sigs table into tiny part files
+    * whose open/planning cost eventually dominates a batch lookup. One
+    * filesystem listing; no job.
+    */
+  def minHashStoreNeedsCompaction(spark: SparkSession, path: String,
+      maxPartFiles: Int = 256): Boolean =
+    storeDataFiles(spark, s"$path/sigs") > maxPartFiles
+
+  /** The compaction [[minHashStoreNeedsCompaction]] asks for: rewrite the
+    * sigs table at the session's default parallelism (no row merge exists
+    * to perform — signatures are append-disjoint; this is purely file
+    * consolidation). Staged through a localCheckpoint before the overwrite,
+    * like [[compactSpanStore]].
+    */
+  def compactMinHashStore(spark: SparkSession, path: String): Unit = {
+    val sigs = spark.read.parquet(s"$path/sigs").localCheckpoint(true)
+    sigs.repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$path/sigs")
+  }
+
   /** Dedup a new batch against a [[buildMinHashStore]] store: batch
     * signatures are computed fresh, the corpus side is READ (never
     * recomputed) — the incremental lifecycle is
@@ -1301,7 +1324,8 @@ object Dedup {
       prefixLen: Int = 0,
       maxSegmentBucket: Int = 0,
       nSegments: Int = 0,
-      indexSegments: Int = 0): DataFrame = {
+      indexSegments: Int = 0,
+      qgramFilter: Int = 0): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
     val d = maxDist
     val m = if (nSegments > 0) nSegments else d + 1
@@ -1340,18 +1364,27 @@ object Dedup {
 
     // probe side: for every corpus length within ±d (a broadcast dimension
     // of DISTINCT lengths — not a row explosion over the corpus), every
-    // segment of that length's layout, every shift |δ| ≤ d
+    // segment of that length's layout, every shift |δ| ≤ d — tightened by
+    // the multi-match-aware bound (PassJoin §4, Li, Deng & Feng 2011):
+    // an untouched segment's displacement δ is paid for by edits BEFORE it
+    // (≥ |δ|) while edits AFTER it must absorb the rest of the length
+    // change Δ = |A|−|B| (≥ |Δ−δ|), so |δ| + |Δ−δ| ≤ d. EXACT — shifts
+    // outside the bound cannot host a witness segment of any qualifying
+    // pair — and it cuts probe rows ~2× (Δ=0 allows |δ| ≤ d/2, not d),
+    // which shrinks the segment join's output, the Σ bucket² candidate
+    // stream, and the distinct exchange behind e18's rehearsal spill.
     val lengths = keyed.select(col("l").as("lb")).distinct()
     val probeSubs = array((for { i <- 0 until m; delta <- -d to d } yield {
       val p = edSegStart(col("lb"), i, m) + delta
       val len = edSegLen(col("lb"), i, m)
-      struct(lit(i).as("i"), p.as("p"), len.as("len"))
+      struct(lit(i).as("i"), p.as("p"), len.as("len"), lit(delta).as("dl"))
     }): _*)
     val probe = keyed
       .join(broadcast(lengths), abs(col("l") - col("lb")) <= d)
       .select(col("id").as("id_a"), col("k").as("k_a"), col("l").as("la"),
         col("lb"), explode(probeSubs).as("ps"))
-      .where(col("ps.p") >= 0 && col("ps.p") + col("ps.len") <= col("la"))
+      .where(col("ps.p") >= 0 && col("ps.p") + col("ps.len") <= col("la") &&
+        abs(col("ps.dl")) + abs(col("la") - col("lb") - col("ps.dl")) <= d)
       .select(col("id_a"), col("lb"), col("ps.i").as("i"),
         col("k_a").substr(col("ps.p") + 1, col("ps.len")).as("sub"))
 
@@ -1361,9 +1394,33 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct() // a pair can match via several segments/shifts
-    pairs
+    val joined = pairs
       .join(keyed.select(col("id").as("id_a"), col("k").as("k_a")), Seq("id_a"))
       .join(keyed.select(col("id").as("id_b"), col("k").as("k_b")), Seq("id_b"))
+    // qgramFilter > 0 layers Gravano-style positional q-gram COUNT
+    // filtering (Gravano et al., "Approximate String Joins in a Database
+    // (Almost) for Free", VLDB 2001) between the candidates and the DP:
+    // ed(A,B) ≤ d allows at most d·q of A's positional q-grams to miss B
+    // within shift d, so pairs with fewer than (|A|−q+1) − d·q matches are
+    // provably out — the filter can only shrink the DP set, never the
+    // result. NOTE it runs AFTER the candidate distinct (the strings are
+    // deliberately not carried through the segment join), so it bounds DP
+    // work, not the candidate exchange that dominates at rehearsal scale —
+    // kept as a measured A/B knob, off by default (the round-14 docs5m
+    // A/B is recorded in BASELINE.md).
+    val prefiltered =
+      if (qgramFilter <= 0) joined
+      else {
+        val q = qgramFilter
+        val nA = length(col("k_a")) - (q - 1)
+        val thr = nA - lit(d * q)
+        val matches = size(filter(
+          sequence(lit(1), greatest(nA, lit(1))),
+          i => exists(sequence(greatest(i - d, lit(1)), i + d),
+            j => col("k_b").substr(j, lit(q)) === col("k_a").substr(i, lit(q)))))
+        joined.where(when(thr <= 0, lit(true)).otherwise(matches >= thr))
+      }
+    prefiltered
       .select(col("id_a"), col("id_b"),
         levenshtein(col("k_a"), col("k_b"), maxDist).cast("long").as("dist"))
       .where(col("dist") >= 0)
@@ -1793,6 +1850,64 @@ object Dedup {
     import spark.implicits._
     Seq((n, hashSpanKey)).toDF("n", "hash_span_key")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeStoreStats(spark, path, s"$path/posting")
+  }
+
+  /** Record the store's row count at its last compacted state (build or
+    * compact) — the reference point [[spanStoreNeedsCompaction]] thresholds
+    * on. Footer metadata of the just-written files; no extra job.
+    */
+  private def writeStoreStats(spark: SparkSession, path: String,
+      dataDir: String): Unit = {
+    import spark.implicits._
+    Seq(graft.ops.Layout.parquetRowCount(spark, dataDir)).toDF("base_rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  private def readStoreBaseRows(spark: SparkSession, path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(s"$path/stats").head().getLong(0))
+  }
+
+  /** Parquet data-file count under a store directory — footer-free, one
+    * filesystem listing.
+    */
+  private def storeDataFiles(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val it = fs.listFiles(p, true)
+      var c = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) c += 1 }
+      c
+    }
+  }
+
+  /** Auto-compaction trigger for [[buildSpanStore]] stores — the
+    * [[Similarity.ivfNeedsRefit]] treatment for the span family (round-13
+    * verdict item 6): a long-lived daily pipeline appends forever, every
+    * lookup pays a merge-on-read aggregate over ALL posting rows, and
+    * nothing said "now" until this. Fires when the posting row count has
+    * grown past `growthFactor` × the last compacted state (the aggregate's
+    * work has grown by that factor — [[compactSpanStore]] folds it back
+    * and resets the reference), or when raw part-file count exceeds
+    * `maxPartFiles` (scan-planning/open cost, reachable through many tiny
+    * appends even at low row growth). Footer/listing metadata only — no
+    * job. Stores built before the stats file existed fall back to the
+    * file-count rule alone.
+    */
+  def spanStoreNeedsCompaction(spark: SparkSession, path: String,
+      growthFactor: Double = 2.0, maxPartFiles: Int = 256): Boolean = {
+    require(growthFactor > 1.0, s"growthFactor must exceed 1: $growthFactor")
+    val files = storeDataFiles(spark, s"$path/posting")
+    files > maxPartFiles || readStoreBaseRows(spark, path).exists { base =>
+      base > 0L &&
+        graft.ops.Layout.parquetRowCount(spark, s"$path/posting") >=
+          (growthFactor * base).toLong
+    }
   }
 
   private def readSpanStoreMeta(spark: SparkSession, path: String): (Int, Boolean) = {
@@ -1822,6 +1937,7 @@ object Dedup {
       .agg(sum(col("n_docs")).as("n_docs"))
       .localCheckpoint(true) // materialize BEFORE overwriting the source
     compacted.write.mode("overwrite").parquet(s"$path/posting")
+    writeStoreStats(spark, path, s"$path/posting") // reset the trigger base
   }
 
   /** Flag every batch span that repeats across the STORE'S corpus plus the
@@ -1917,19 +2033,27 @@ object Dedup {
       vecCol: String = "embedding",
       idCol: String = "vec_id",
       minCosine: Double = 0.95,
-      nPlanes: Int = 16): DataFrame = {
+      nPlanes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    // band keys assembled directly per band (bit j of band b = sign of
+    // plane b·bitsPerBand + j) — identical to the historical single-long
+    // pack for nPlanes ≤ 63 and unbounded above it (multi-word signatures;
+    // see [[embeddingNearDupMd5]] / [[autoBanding]])
+    require(nPlanes % bands == 0 && nPlanes / bands <= 63,
+      s"need bands | nPlanes with <= 63 bits per band: nPlanes=$nPlanes bands=$bands")
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val dimRow = v.select(size(col("v"))).limit(1).collect()
     if (dimRow.isEmpty)
       return v.select(col("id").as("id_a"), col("id").as("id_b"),
         lit(0.0).as("cosine")).where(lit(false))
     val planes = hyperplanes(nPlanes, dimRow.head.getInt(0))
-    val sig = v.select(col("id"), col("v"), hyperplaneSig(col("v"), planes).as("sig"))
-    val banded = sig.select(col("id"), col("v"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * (nPlanes / 4))
-            .bitwiseAND(lit((1L << (nPlanes / 4)) - 1)).as("key"))): _*)).as("bk"))
+    val bitsPerBand = nPlanes / bands
+    val banded = v.select(col("id"), col("v"),
+      explode(array((0 until bands).map { b =>
+        val key = hyperplaneSig(col("v"),
+          (0 until bitsPerBand).map(j => planes(b * bitsPerBand + j)))
+        struct(lit(b).as("band"), key.as("key"))
+      }: _*)).as("bk"))
     val a = banded.select(col("id").as("id_a"), col("v").as("v_a"), col("bk"))
     val b = banded.select(col("id").as("id_b"), col("v").as("v_b"), col("bk"))
     a.join(b, Seq("bk"))
@@ -2007,22 +2131,35 @@ object Dedup {
     * DedupProbe's e93band section. The frontier is corpus-size-INDEPENDENT
     * within one signature word: every option's candidate volume scales
     * ∝ n²; past ~10⁹ rows per partition-group the answer is more signature
-    * WORDS (bands beyond 63/bits), not a different split of 63 bits.
+    * WORDS (bands beyond 63/bits), not a different split of 63 bits —
+    * IMPLEMENTED (round 14): pass `maxSignatureBits > 63` and feed the
+    * resulting (nPlanes, bands) to [[embeddingNearDupMd5]] /
+    * [[embeddingNearDup]], which assemble each band's ≤63-bit key directly
+    * from its own plane subset, so a signature may span any number of
+    * words. The DedupProbe `e93wide` harness measures the frontier break:
+    * at minCosine 0.9, occupancy-driven minBits 12, NO single-word split
+    * reaches 95% recall (4×13 tops out at ~43% theoretical) while
+    * 20 bands × 12 bits (240 planes) does.
     */
   def autoBanding(minCosine: Double, targetRecall: Double = 0.9,
-      minBits: Int = 6, maxBits: Int = 15): (Int, Int) = {
+      minBits: Int = 6, maxBits: Int = 15,
+      maxSignatureBits: Int = 63): (Int, Int) = {
     require(minCosine > 0.0 && minCosine < 1.0, s"minCosine in (0,1): $minCosine")
     require(targetRecall > 0.0 && targetRecall < 1.0, s"targetRecall in (0,1): $targetRecall")
+    require(maxSignatureBits >= minBits,
+      s"maxSignatureBits < minBits: $maxSignatureBits < $minBits")
     val p = 1.0 - math.acos(minCosine) / math.Pi
     val need = math.log(1.0 / (1.0 - targetRecall))
     val options = for {
       bits <- minBits to maxBits
       bands = math.max(1, math.ceil(need / math.pow(p, bits)).toInt)
-      if bands * bits <= 63
+      if bands.toLong * bits <= maxSignatureBits
     } yield (bits, bands)
     require(options.nonEmpty,
-      s"no (bits, bands) with bands*bits <= 63 reaches recall $targetRecall " +
-        s"at minCosine $minCosine — lower the target or add signature words")
+      s"no (bits, bands) with bands*bits <= $maxSignatureBits reaches recall " +
+        s"$targetRecall at minCosine $minCosine — lower the target or raise " +
+        s"maxSignatureBits (multi-word signatures: [[embeddingNearDupMd5]] " +
+        s"assembles band keys directly, so nPlanes may exceed 63)")
     val (bits, bands) = options.minBy { case (bt, bd) => bd / math.pow(2.0, bt) }
     (bits * bands, bands)
   }
@@ -2058,8 +2195,16 @@ object Dedup {
       minCosine: Double = 0.95,
       nPlanes: Int = 32,
       bands: Int = 4): DataFrame = {
-    require(nPlanes % bands == 0 && nPlanes <= 63,
-      s"need bands | nPlanes <= 63: nPlanes=$nPlanes bands=$bands")
+    // MULTI-WORD signatures (round 14): nPlanes may exceed 63 — each band's
+    // ≤63-bit key is assembled DIRECTLY from its own plane subset (bit j of
+    // band b = sign of plane b·bitsPerBand + j), which for nPlanes ≤ 63 is
+    // bit-identical to the historical pack-into-one-long-then-shift form
+    // (the e93 DuckDB mirror still replays THAT form, so the verify gate
+    // pins the identity) and for nPlanes > 63 is the "more signature words"
+    // regime the autoBanding scaladoc names: the >10⁹-row frontier where no
+    // split of 63 bits can reach both bucket drain and target recall.
+    require(nPlanes % bands == 0 && nPlanes / bands <= 63,
+      s"need bands | nPlanes with <= 63 bits per band: nPlanes=$nPlanes bands=$bands")
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val dimRow = v.select(size(col("v"))).limit(1).collect()
     if (dimRow.isEmpty)
@@ -2067,19 +2212,20 @@ object Dedup {
         lit(0.0).as("cosine")).where(lit(false))
     val planes = hyperplanesMd5(nPlanes, dimRow.head.getInt(0))
     val vq = v.withColumn("q", transform(col("v"), x => floor(x * lit(1e6)).cast("long")))
-    val sig = vq.select(col("id"), col("v"),
-      planes.zipWithIndex.map { case (coefs, p) =>
-        val dot = aggregate(
-          zip_with(col("q"), typedLit(coefs), (x, c) => x * c),
-          lit(0L), (s, x) => s + x)
-        when(dot > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b)).as("sig"))
     val bitsPerBand = nPlanes / bands
-    val banded = sig.select(col("id"), col("v"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * bitsPerBand)
-            .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("key"))): _*)).as("bk"))
+    def signBit(coefs: Seq[Long], j: Int): Column = {
+      val dot = aggregate(
+        zip_with(col("q"), typedLit(coefs), (x, c) => x * c),
+        lit(0L), (s, x) => s + x)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    val banded = vq.select(col("id"), col("v"),
+      explode(array((0 until bands).map { b =>
+        val key = (0 until bitsPerBand)
+          .map(j => signBit(planes(b * bitsPerBand + j), j))
+          .reduce((x, y) => x.bitwiseOR(y))
+        struct(lit(b).as("band"), key.as("key"))
+      }: _*)).as("bk"))
     val a = banded.select(col("id").as("id_a"), col("v").as("v_a"), col("bk"))
     val b = banded.select(col("id").as("id_b"), col("v").as("v_b"), col("bk"))
     a.join(b, Seq("bk"))
@@ -2106,6 +2252,10 @@ object Dedup {
       nPlanes: Int = 32,
       bands: Int = 4,
       dim: Int = 64): String = {
+    // the mirror replays the HISTORICAL single-long sign-pack (sig >> b·bpb)
+    // — it exists to pin the ≤63-plane declared form, not the multi-word
+    // fast path, whose band keys are definitionally identical per band
+    require(nPlanes <= 63, s"SQL mirror pins the single-word form: $nPlanes")
     val bitsPerBand = nPlanes / bands
     s"""WITH pl AS (
        |  SELECT p, i, ((${md5Hex60Sql("m")}) % 2000001) - 1000000 AS c

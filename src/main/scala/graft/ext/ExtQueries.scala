@@ -2575,6 +2575,39 @@ object ExtQueries {
     },
     Some(TextStats.lmScoreSql("documents", "documents")))
 
+  // E2c' semantic decontamination with a FIXED-SIZE benchmark — the
+  // production twin of e37 (round-13 verdict item 4): e37's benchmark is
+  // the vec_id%10 slice of the WHOLE table, so its work grows ∝ corpus²
+  // by test construction (the one super-linear row in the 100× rehearsal).
+  // Real decontamination probes a pinned eval suite that does NOT grow
+  // with training data: this benchmark is the %10 slice of the BASE id
+  // universe only (vec_id < 10⁹ — ScaleUp copies live at copy·10⁹ and
+  // never enter it), constant across 1×/10×/100×, making the declared
+  // query's scale shape linear. Output = the flagged rows only (the list
+  // a curation pipeline consumes), so output stays benchmark-sized too.
+  private val e118 = Q(
+    "e118_decontam_fixedbench",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val bench = e.where(col("vec_id") % 10 === 0 && col("vec_id") < 1000000000L)
+      Decontaminate.semanticHits(e, bench, minCosine = 0.99)
+        .where(col("contaminated"))
+        .select(col("vec_id"), col("max_cosine"))
+        .orderBy(col("vec_id"))
+    },
+    Some(
+      """SELECT vec_id, max_cosine FROM (
+        |  SELECT c.vec_id AS vec_id,
+        |    max(round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                     CAST(b.embedding AS DOUBLE[])), 4))
+        |      AS max_cosine
+        |  FROM embeddings c,
+        |    (SELECT * FROM embeddings
+        |     WHERE vec_id % 10 = 0 AND vec_id < 1000000000) b
+        |  GROUP BY c.vec_id)
+        |WHERE max_cosine >= 0.99
+        |ORDER BY vec_id""".stripMargin))
+
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
@@ -2583,5 +2616,5 @@ object ExtQueries {
     e72, e73, e74, e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86,
     e87, e88, e89, e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100,
     e101, e102, e103, e104, e105, e106, e107, e108, e109, e110, e111,
-    e112, e113, e114, e115, e116, e117)
+    e112, e113, e114, e115, e116, e117, e118)
 }

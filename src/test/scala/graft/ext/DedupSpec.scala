@@ -538,6 +538,48 @@ class DedupSpec extends AnyFunSuite {
     assert(got.contains((1L, 2L)), "bucket-straddling pair lost")
   }
 
+  test("editDistancePairs ≡ brute force across edit mixes (multi-match shift bound)") {
+    import spark.implicits._
+    // exercise every placement the |δ|+|Δ−δ| ≤ d probe bound must survive:
+    // leading/trailing/interior insertions and deletions, pure
+    // substitutions, and mixes that push δ to both extremes
+    val base = "the quick brown fox jumps over lazy dogs"
+    val variants = Seq(
+      1L -> base,
+      2L -> ("XY" + base), //                    Δ=+2 all-before
+      3L -> (base + "XY"), //                    Δ=+2 all-after
+      4L -> base.drop(2), //                     Δ=−2 leading deletion
+      5L -> base.dropRight(2), //                Δ=−2 trailing deletion
+      6L -> (base.take(10) + "ZZ" + base.drop(10)), // interior insert
+      7L -> (base.take(10) + base.drop(12)), //  interior delete
+      8L -> base.replace('q', 'Q').replace('x', 'X'), // pure substitutions
+      9L -> ("A" + base.dropRight(1)), //        δ=+1 insert & trailing delete
+      10L -> (base.drop(1) + "B")) //            δ=−1 delete & trailing insert
+    val frame = variants.toDF("doc_id", "text")
+    val texts = variants.toMap
+    for (d <- Seq(2, 4)) {
+      val got = Dedup.editDistancePairs(frame, maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val brute = (for {
+        a <- texts.keys; b <- texts.keys if a < b
+        dist = levenshteinRef(texts(a), texts(b)) if dist <= d
+      } yield (a, b) -> dist.toLong).toMap
+      assert(got == brute, s"d=$d got $got expected $brute")
+    }
+  }
+
+  test("editDistancePairs qgramFilter is a pure DP prefilter: identical output") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def pairs(q: Int) = Dedup.editDistancePairs(docs, maxDist = 5,
+        prefixLen = 40, qgramFilter = q)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val off = pairs(0)
+    assert(off.nonEmpty)
+    assert(pairs(3) == off)
+    assert(pairs(2) == off)
+  }
+
   test("editDistanceHotSegments surfaces aligned boilerplate buckets") {
     import spark.implicits._
     // 5 docs share the identical 12-char prefix (template boilerplate)
@@ -874,6 +916,57 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("store auto-compaction triggers: row-growth for spans, file-count for minhash") {
+    import spark.implicits._
+    val corpus = (1L to 40L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i iota$i kappa$i"))
+      .toDF("doc_id", "text")
+    // --- span store: trigger = posting rows >= growthFactor x last-compact
+    val dir = java.nio.file.Files.createTempDirectory("graft_spantrig").toString
+    Dedup.buildSpanStore(corpus, dir, n = 5)
+    assert(!Dedup.spanStoreNeedsCompaction(spark, dir),
+      "fresh build must not need compaction")
+    // append disjoint-id batches until the posting rows double
+    var batchNo = 0
+    while (!Dedup.spanStoreNeedsCompaction(spark, dir) && batchNo < 4) {
+      batchNo += 1
+      Dedup.appendSpanStore(spark, dir, corpus.select(
+        (col("doc_id") + lit(batchNo * 1000L)).as("doc_id"), col("text")))
+    }
+    assert(Dedup.spanStoreNeedsCompaction(spark, dir),
+      s"trigger never fired after $batchNo corpus-sized appends")
+    // the decision rule: compaction folds rows and RESETS the reference
+    Dedup.compactSpanStore(spark, dir)
+    assert(!Dedup.spanStoreNeedsCompaction(spark, dir),
+      "compaction must clear the trigger")
+    // a pre-stats store (stats dir absent) falls back to the file rule
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/stats")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/stats"), true)
+    assert(!Dedup.spanStoreNeedsCompaction(spark, dir))
+    assert(Dedup.spanStoreNeedsCompaction(spark, dir, maxPartFiles = 0))
+    // --- minhash store: trigger = part-file fragmentation; compaction is
+    // file consolidation and must not change any lookup verdict
+    val mdir = java.nio.file.Files.createTempDirectory("graft_mhtrig").toString
+    Dedup.buildMinHashStore(corpus, mdir)
+    val batch = corpus.select((col("doc_id") + 5000L).as("doc_id"), col("text"))
+    (1 to 3).foreach { i =>
+      Dedup.appendMinHashStore(spark, mdir,
+        corpus.select((col("doc_id") + lit(i * 100L)).as("doc_id"), col("text")))
+    }
+    val before = Dedup.minHashStoreLookup(spark, mdir, batch)
+      .collect().map(_.toSeq).toSet
+    val files = spark.read.parquet(s"$mdir/sigs").inputFiles.length
+    assert(Dedup.minHashStoreNeedsCompaction(spark, mdir, maxPartFiles = files - 1))
+    assert(!Dedup.minHashStoreNeedsCompaction(spark, mdir, maxPartFiles = files))
+    Dedup.compactMinHashStore(spark, mdir)
+    assert(spark.read.parquet(s"$mdir/sigs").inputFiles.length < files)
+    // file consolidation must not change a single lookup verdict
+    val after = Dedup.minHashStoreLookup(spark, mdir, batch)
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "compaction changed lookup verdicts")
+  }
+
   test("repeatedSpanRanges merges overlapping hits; separated blocks stay apart") {
     import spark.implicits._
     val block1 = (1 to 12).map(i => s"t$i").mkString(" ")   // 12 shared tokens
@@ -982,6 +1075,40 @@ class DedupSpec extends AnyFunSuite {
     // a loose threshold cannot reach high recall in 63 bits — refuse loudly
     assertThrows[IllegalArgumentException] {
       Dedup.autoBanding(minCosine = 0.5, targetRecall = 0.999)
+    }
+  }
+
+  test("multi-word signatures: autoBanding past 63 bits, band keys span words") {
+    // the >10⁹-row regime: occupancy demands minBits=12 and NO single-word
+    // split reaches 95% recall at minCosine 0.9 — the single-word call must
+    // refuse loudly, the multi-word call must solve it
+    assertThrows[IllegalArgumentException] {
+      Dedup.autoBanding(minCosine = 0.9, targetRecall = 0.95, minBits = 12)
+    }
+    val (np, nb) = Dedup.autoBanding(minCosine = 0.9, targetRecall = 0.95,
+      minBits = 12, maxSignatureBits = 512)
+    assert(np > 63 && np % nb == 0 && np / nb >= 12, s"got ($np, $nb)")
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    val recall = 1.0 - math.pow(1.0 - math.pow(p, np / nb), nb)
+    assert(recall >= 0.95, s"theoretical recall $recall")
+    // the operator accepts >63 planes and still recovers every planted
+    // exact copy (identical vectors share every band key at any width) —
+    // and emits nothing below the verification threshold
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val doubled = e.unionAll(e.withColumn("vec_id", col("vec_id") + 100000L))
+    val wide = Dedup.embeddingNearDupMd5(doubled, minCosine = 0.95,
+        nPlanes = 80, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(wide.count(t => t._2 == t._1 + 100000L) == e.count())
+    assert(wide.forall(_._3 >= 0.95))
+    // same for the xxhash production form
+    val wideX = Dedup.embeddingNearDup(doubled, minCosine = 0.95,
+        nPlanes = 80, bands = 8)
+      .where(col("id_b") === col("id_a") + 100000L).count()
+    assert(wideX == e.count())
+    // the SQL mirror stays pinned to the single-word form it replays
+    assertThrows[IllegalArgumentException] {
+      Dedup.embeddingNearDupMd5Sql("embeddings", nPlanes = 80, bands = 8)
     }
   }
 

@@ -39,7 +39,9 @@ class PlanGuardSpec extends AnyFunSuite {
   private val bnljByDesign =
     Set("e02_cosine_topk", "e15_decontam", "e17_bm25", "e18_editdist",
       "e29_lm_score", "e30_dsir_select", "e33_pmi_bigrams", "e35_source_kl",
-      "e37_semantic_decontam", "e40_winsorize", "e43_chi_square",
+      "e37_semantic_decontam", "e118_decontam_fixedbench", // same 1-row
+      // broadcast benchmark-matrix crossJoin gate as e37
+      "e40_winsorize", "e43_chi_square",
       "e44_quantile_buckets", "e47_histogram", "e56_dq_report",
       "e60_benford", "e63_source_jsd", "e64_rrf_hybrid", "e65_mixture_plan",
       "e67_cohen_kappa", "e68_centroid_eval", "e71_calibration",
