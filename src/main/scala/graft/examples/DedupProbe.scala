@@ -415,7 +415,7 @@ object DedupProbe {
           Dedup.appendSpanStore(spark, dir, batch)
           n
         }))
-      legs.filter(l => onlyLeg.forall(_ == l._1))
+      legs.filter(l => onlyLeg.forall(l._1.contains(_)))
         .takeWhile(_ => !spark.sparkContext.isStopped).foreach { case (tag, f) =>
         try {
           val s0 = spill.get(); val t0 = System.nanoTime()

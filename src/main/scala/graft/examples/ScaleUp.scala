@@ -126,6 +126,14 @@ object ScaleUp {
       // task whose rows then explode 10x — the single-task sort-aggregate
       // spill that killed the first rehearsal. Write enough files that a
       // scan parallelizes across the cores (~32MB ceiling per file).
+      //
+      // The repartition happens on the SOURCE, before the explode (r14):
+      // repartitioning AFTER the fan-out shuffles factor× the data, and at
+      // factor 10⁴ it degenerates into ONE task generating and shuffle-
+      // writing the entire 50M-row corpus (measured: <1/3 done after
+      // 30 min). Pre-explode, the exchange moves only the source rows and
+      // every downstream stage — explode, text perturbation, parquet
+      // write — runs at full width with no post-explode shuffle at all.
       val srcBytes = dataBytes(new java.io.File(s"$srcDir/$name.parquet"))
       val nFiles = math.max(cpus,
         ((srcBytes * factor) / (32L << 20) + 1).toInt)
@@ -154,8 +162,7 @@ object ScaleUp {
               s"Scale from the original testdata with one larger factor.")
         }
       }
-      fanOut(src, factor, keys)
-        .repartition(nFiles)
+      fanOut(src.repartition(nFiles), factor, keys)
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[scaleup] $name x$factor written ($nFiles files)")
     }
