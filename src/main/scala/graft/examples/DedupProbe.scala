@@ -45,7 +45,13 @@ object DedupProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-dedup-probe")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // partitions scale with DATA, not cores: at the 1000× corpus a
+      // 32-partition layout hands each shuffle-hash build task a ~200 MB
+      // slice it cannot hold (measured: SHJ memory-acquire failure at 50M
+      // docs); the standard sizing rule applies — override upward for the
+      // heavy legs (e.g. 256 at 50M docs)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -387,6 +393,19 @@ object DedupProbe {
       val legs: Seq[(String, () => Long)] = Seq(
         ("e84 minhashNearDupMd5", () =>
           Dedup.minhashNearDupMd5(docs, minJaccard = 0.8).count()),
+        ("e84 bucket audit maxBucket=1000", () => {
+          val over = Dedup.minhashBucketOverflow(docs, maxBucket = 1000)
+            .agg(count(lit(1)), max(col("n_members")),
+              sum(col("n_members") * col("n_members"))).head
+          println(s"[dedup-probe] heavy e84 audit: overflow buckets " +
+            s"${over.getLong(0)}, largest ${if (over.isNullAt(1)) 0L else over.getLong(1)}, " +
+            s"sum members^2 over them ${if (over.isNullAt(2)) 0L else over.getLong(2)}")
+          over.getLong(0)
+        }),
+        ("e84 native cap=1000", () =>
+          Dedup.minhashNearDupNative(docs, minJaccard = 0.8, maxBucket = 1000).count()),
+        ("e84 md5 cap=1000", () =>
+          Dedup.minhashNearDupMd5(docs, minJaccard = 0.8, maxBucket = 1000).count()),
         ("e11 jaccard cap=1000", () =>
           Dedup.ngramJaccardPairs(docs, minJaccard = 0.8, maxDocFreq = 1000).count()),
         ("e106 containment prefixDfCap=2000", () =>

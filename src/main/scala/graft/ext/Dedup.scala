@@ -361,7 +361,15 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 4,
       rowsPerBand: Int = 4,
-      minJaccard: Double = 0.7): DataFrame = {
+      minJaccard: Double = 0.7,
+      maxBucket: Int = 0): DataFrame = {
+    // maxBucket mirrors [[minhashNearDupNative]]'s audited bucket cap
+    // (keep each bucket's maxBucket smallest ids — deterministic; audit
+    // with [[minhashBucketOverflow]]): the round-14 1000× probe measured
+    // the UNCAPPED form as the first dedup family to break (>70 GB scratch
+    // at 50M docs, unfinished at 35 min — Σ bucket² over band buckets).
+    // 0 (default) keeps the fully exact candidate set — the declared e84
+    // form, where the DuckDB oracle brute-forces all pairs.
     val sh = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .where(size(col("sh")) > 0)
@@ -372,11 +380,14 @@ object Dedup {
         concat_ws(",", (0 until rowsPerBand).map(r =>
           element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("key"))
     }
-    val pairs = sigs
+    val ids0 = sigs
       .select(col("id"), explode(array(bandKeys: _*)).as("bk"))
       .groupBy(col("bk"))
       .agg(array_sort(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) > 1)
+    val ids = if (maxBucket > 0) ids0.select(slice(col("ids"), 1, maxBucket).as("ids"))
+      else ids0
+    val pairs = ids
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
@@ -703,17 +714,31 @@ object Dedup {
     * operator. `dropDuplicates` guards 2×-loaded inputs (same id twice)
     * against double-counted intersections.
     */
+  /** Exact-Jaccard re-score for candidate id pairs. The candidate-ID
+    * semi-join is BROADCAST: candidates are ≪ corpus by construction
+    * (near-dups are rare and the upstream caps are audited), and the ids
+    * are bare longs (~8 B each — tens of MB even at millions of candidate
+    * docs), where the default sort-merge semi-join shuffles the CORPUS
+    * side's shingle-array table — measured as the round-14 first-to-break:
+    * ~65 GB of scratch at 50M docs, task death on a 76 GB disk, for a
+    * semi-join whose output was 1/10th of its shuffled input. The two
+    * array-attaching joins are shuffle-hash for the verifyContainment
+    * reason (sort-merge would external-sort pair streams with ~KB arrays
+    * attached).
+    */
   private def verifyExactJaccard(
       pairs: DataFrame, sh: DataFrame, minJaccard: Double): DataFrame = {
     val candIds = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id")))
       .distinct()
-    val candSh = sh.join(candIds, Seq("id"), "left_semi")
+    val candSh = sh.join(broadcast(candIds), Seq("id"), "left_semi")
       .select(col("id"), col("sh")).dropDuplicates("id")
     val common = size(array_intersect(col("sh_a"), col("sh_b")))
     pairs
-      .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (common.cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - common)).as("jaccard"))
@@ -761,7 +786,10 @@ object Dedup {
     val candIds = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id")))
       .distinct()
-    val candSh = sh.join(candIds, Seq("id"), "left_semi")
+    // broadcast semi-join — the corpus-side array table must never shuffle
+    // for a candidate-doc selection (the verifyExactJaccard lesson: ~65 GB
+    // of semi-join shuffle at 50M docs; candidate ids are bare longs)
+    val candSh = sh.join(broadcast(candIds), Seq("id"), "left_semi")
       .select(col("id"), col("sh")).dropDuplicates("id")
     val common = size(array_intersect(col("sh_a"), col("sh_b")))
     // shuffle-HASH both joins: sort-merge would sort the pair stream WITH

@@ -145,6 +145,21 @@ class DedupSpec extends AnyFunSuite {
     assert(n == 300L * 299L / 2, s"expected ${300 * 299 / 2} pairs, got $n")
   }
 
+  test("minhash md5: maxBucket mirrors the native cap (deterministic smallest ids)") {
+    import spark.implicits._
+    val clones = (1L to 120L).map(i => (i, "all work and no play makes jack a dull boy"))
+      .toDF("doc_id", "text")
+    // uncapped: the full clique
+    assert(Dedup.minhashNearDupMd5(clones, minJaccard = 0.99).count() == 120L * 119 / 2)
+    // capped: exactly C(30,2) pairs among the 30 smallest ids — the
+    // round-14 1000× probe measured the uncapped md5 form as the first
+    // family to break at 50M docs, so the cap knob must exist here too
+    val rows = Dedup.minhashNearDupMd5(clones, minJaccard = 0.99, maxBucket = 30)
+      .collect()
+    assert(rows.length == 30 * 29 / 2, s"got ${rows.length}")
+    assert(rows.forall(r => r.getLong(0) <= 30 && r.getLong(1) <= 30))
+  }
+
   test("minhash native: explicit cap is deterministic and its overflow is observable") {
     import spark.implicits._
     val clones = (1L to 300L).map(i => (i, "all work and no play makes jack a dull boy"))
