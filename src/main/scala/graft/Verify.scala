@@ -49,18 +49,36 @@ object Verify {
           s"gate would hash-mismatch opaquely — re-pin the caps")
     }
     // Pre-flight audit for e106/e107's prefixDfCap=2000: the capped
-    // rarest-prefix candidate path is provably exact iff NO doc's entire
-    // df-ordered prefix is over-cap shingles (Dedup.ngramContainmentAtRisk
-    // scaladoc). The DuckDB oracle brute-forces all pairs, so an active cap
-    // would surface only as an opaque hash mismatch — trip loudly here.
+    // rarest-prefix candidate path is provably exact iff NO doc has an
+    // over-cap entry inside its e-extended prefix witness window
+    // (Dedup.ngramContainmentAtRisk scaladoc — one over-cap shared shingle
+    // there can already cost a pair its witness quota). The DuckDB oracle
+    // brute-forces all pairs, so an active cap would surface only as an
+    // opaque hash mismatch — trip loudly here.
     locally {
       val atRisk = graft.ext.Dedup.ngramContainmentAtRisk(
         graft.ext.ExtQueries.containmentCorpus(spark, sfDir),
         minContainment = 0.9, prefixDfCap = 2000).count()
       require(atRisk == 0L,
         s"e106 prefixDfCap=2000 could be ACTIVE at verify scale ($atRisk " +
-          s"docs with a fully-capped prefix): the oracle brute-forces all " +
-          s"pairs — raise the cap or shrink the corpus")
+          s"docs with over-cap entries in the witness window): the oracle " +
+          s"brute-forces all pairs — raise the cap or shrink the corpus")
+    }
+    // Pre-flight audit for e118_decontam_fixedbench: its Spark side emits
+    // one row per corpus ROW (duplicate vec_ids intentionally kept separate
+    // — the r13 semanticHits pin) while its DuckDB mirror GROUPs BY
+    // c.vec_id, and its ORDER BY vec_id is only total under unique ids.
+    // Both are sound iff embeddings.vec_id is unique at verify scale — trip
+    // loudly here if regenerated testdata ever gains duplicate vec_ids.
+    locally {
+      import org.apache.spark.sql.functions.{col, countDistinct, count, lit}
+      val r = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .agg(count(lit(1)), countDistinct(col("vec_id"))).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"embeddings.vec_id not unique at verify scale (${r.getLong(0)} rows, " +
+          s"${r.getLong(1)} distinct): e118's row-per-corpus-row Spark side vs " +
+          s"GROUP BY mirror and its ORDER BY vec_id would hash-mismatch " +
+          s"opaquely — re-pin the e118 contract first")
     }
     // Pre-flight audit for e93_embedding_neardup: its Spark side scales LSH
     // band bits with the corpus (Dedup.autoPlanes) while its oracle mirror

@@ -96,6 +96,14 @@ object DedupProbe {
       timed("jaccard(0.8) cap=1000") {
         Dedup.ngramJaccardPairs(docs, minJaccard = 0.8, maxDocFreq = 1000).count()
       }
+      // round-15 verdict item 6: the e106 witness-counted generator on the
+      // symmetric family — A/B against the declared cap path above
+      timed("jaccard(0.8) prefixDfCap=1000") {
+        Dedup.ngramJaccardPairs(docs, minJaccard = 0.8, prefixDfCap = 1000).count()
+      }
+      timed("jaccard(0.8) atRisk audit (prefixDfCap=1000)") {
+        Dedup.ngramJaccardAtRisk(docs, minJaccard = 0.8, prefixDfCap = 1000).count()
+      }
       timed("containment(0.9) prefixFilter") {
         Dedup.ngramContainmentPairs(docs, minContainment = 0.9, prefixFilter = true).count()
       }
@@ -233,7 +241,10 @@ object DedupProbe {
           prefixLen = 40, nSegments = 8, indexSegments = 6, maxSegmentBucket = 500)),
         ("m=12 k=6 rarest", () => Dedup.editDistancePairs(docs, maxDist = 5,
           prefixLen = 40, nSegments = 12, indexSegments = 6)))
-      layouts.filter(l => onlyLeg.forall(_ == l._1))
+      // .iterator: on a strict Seq, takeWhile would evaluate its predicate
+      // for every leg BEFORE any runs — only the lazy form actually skips
+      // the remaining legs after one kills the SparkContext (ADVICE r14)
+      layouts.iterator.filter(l => onlyLeg.forall(_ == l._1))
         .takeWhile(_ => !spark.sparkContext.isStopped).foreach { case (tag, f) =>
         try {
           val t0 = System.nanoTime()
@@ -318,8 +329,12 @@ object DedupProbe {
       println(s"[dedup-probe] e93wide single-word autoBanding(0.9, R=0.95, " +
         s"minBits=12): ${singleWord.fold(e => "THROWS: " + e.getMessage.take(80),
           r => r.toString)}")
-      val (widePlanes, wideBands) = Dedup.autoBanding(minCosine = 0.9,
-        targetRecall = 0.95, minBits = 12, maxSignatureBits = 512)
+      // round-15: the ONE-CALL rule — bit floor from the corpus count, wide
+      // mode selected automatically (nothing passes maxSignatureBits)
+      val (widePlanes, wideBands) = Dedup.autoWideBanding(nCorpus,
+        minCosine = 0.9, targetRecall = 0.95)
+      println(s"[dedup-probe] e93wide autoWideBanding($nCorpus, 0.9, R=0.95) " +
+        s"picked ($widePlanes planes, $wideBands bands) unaided")
       // best single-word fallback at the same bit floor: 4 bands x 13 bits
       Seq(("single-52/4", 52, 4), (s"wide-$widePlanes/$wideBands", widePlanes, wideBands))
         .foreach { case (tag, np, nb) =>
@@ -402,12 +417,25 @@ object DedupProbe {
             s"sum members^2 over them ${if (over.isNullAt(2)) 0L else over.getLong(2)}")
           over.getLong(0)
         }),
+        ("e84 md5 bucket audit maxBucket=1000", () => {
+          val over = Dedup.minhashBucketOverflow(docs, maxBucket = 1000, md5 = true)
+            .agg(count(lit(1)), max(col("n_members")),
+              sum(col("n_members") * col("n_members"))).head
+          println(s"[dedup-probe] heavy e84 md5 audit: overflow buckets " +
+            s"${over.getLong(0)}, largest ${if (over.isNullAt(1)) 0L else over.getLong(1)}, " +
+            s"sum members^2 over them ${if (over.isNullAt(2)) 0L else over.getLong(2)}")
+          over.getLong(0)
+        }),
         ("e84 native cap=1000", () =>
           Dedup.minhashNearDupNative(docs, minJaccard = 0.8, maxBucket = 1000).count()),
         ("e84 md5 cap=1000", () =>
           Dedup.minhashNearDupMd5(docs, minJaccard = 0.8, maxBucket = 1000).count()),
         ("e11 jaccard cap=1000", () =>
           Dedup.ngramJaccardPairs(docs, minJaccard = 0.8, maxDocFreq = 1000).count()),
+        ("e11 jaccard prefixDfCap=1000", () =>
+          Dedup.ngramJaccardPairs(docs, minJaccard = 0.8, prefixDfCap = 1000).count()),
+        ("e11 jaccard atRisk audit", () =>
+          Dedup.ngramJaccardAtRisk(docs, minJaccard = 0.8, prefixDfCap = 1000).count()),
         ("e106 containment prefixDfCap=2000", () =>
           Dedup.ngramContainmentPairs(docs, minContainment = 0.9,
             prefixDfCap = 2000).count()),
@@ -434,7 +462,8 @@ object DedupProbe {
           Dedup.appendSpanStore(spark, dir, batch)
           n
         }))
-      legs.filter(l => onlyLeg.forall(l._1.contains(_)))
+      // .iterator keeps the stop-check lazy (see the edseg comment)
+      legs.iterator.filter(l => onlyLeg.forall(l._1.contains(_)))
         .takeWhile(_ => !spark.sparkContext.isStopped).foreach { case (tag, f) =>
         try {
           val s0 = spill.get(); val t0 = System.nanoTime()
@@ -463,7 +492,7 @@ object DedupProbe {
       // SparkContext with it (measured at sf10), voiding every leg after it
       val hotsegCaps = sys.env.get("GRAFT_HOTSEG_CAPS")
         .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(2000, 0))
-      hotsegCaps.takeWhile(_ => !spark.sparkContext.isStopped).foreach { cap =>
+      hotsegCaps.iterator.takeWhile(_ => !spark.sparkContext.isStopped).foreach { cap =>
         try {
           val t0 = System.nanoTime()
           val n = Dedup.editDistancePairs(docs, maxDist = 5, prefixLen = 40,

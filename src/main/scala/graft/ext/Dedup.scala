@@ -155,6 +155,28 @@ object Dedup {
     sigs.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
   }
 
+  /** Md5 twin of [[minhashBandedIds]] — the engine-portable banding used by
+    * [[minhashNearDupMd5]]: md5-derived signatures, PLAIN-TEXT band keys
+    * (the joined signature values, no second hash an engine could disagree
+    * on). Shared with [[minhashBucketOverflow]]'s `md5 = true` audit so the
+    * audited buckets are exactly the ones the md5 cap truncates.
+    */
+  private def minhashBandedIdsMd5(
+      docs: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sigs = sh.select(col("id"),
+      array(minhashSignatureMd5(col("sh"), bands * rowsPerBand): _*).as("sig"))
+    val bandKeys = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("key"))
+    }
+    sigs.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+  }
+
   /** Native MinHash-LSH near-dup pairs: signature → band keys → id-only
     * band buckets → candidate id pairs → shingle re-join for exact-Jaccard
     * verification. Same banding theory as [[minhashNearDup]] but an order of
@@ -204,7 +226,7 @@ object Dedup {
     // joined back by id.
     val sh = docs.select(col(idCol).as("id"),
       shingles(col(textCol), shingleSize).as("sh"))
-    verifyExactJaccard(pairs, sh, minJaccard)
+    verifyExactJaccard(pairs, sh, minJaccard, cappedCands = maxBucket > 0)
   }
 
   /** Overflow audit for [[minhashNearDupNative]]'s optional bucket cap:
@@ -222,8 +244,15 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 4,
       rowsPerBand: Int = 4,
-      maxBucket: Int = 256): DataFrame =
-    minhashBandedIds(docs, textCol, idCol, shingleSize, bands, rowsPerBand)
+      maxBucket: Int = 256,
+      md5: Boolean = false): DataFrame =
+    // `md5 = true` audits [[minhashNearDupMd5]]'s buckets: md5 band keys
+    // come from md5 signatures, so bucket MEMBERSHIPS differ from the
+    // native xxhash64 banding — auditing the native buckets would not
+    // enumerate what the md5 cap drops (ADVICE r14). The key column is a
+    // long (native) or the plain-text joined signature (md5).
+    (if (md5) minhashBandedIdsMd5(docs, textCol, idCol, shingleSize, bands, rowsPerBand)
+     else minhashBandedIds(docs, textCol, idCol, shingleSize, bands, rowsPerBand))
       .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
       .agg(count(lit(1)).as("n_members"))
       .where(col("n_members") > maxBucket)
@@ -365,23 +394,18 @@ object Dedup {
       maxBucket: Int = 0): DataFrame = {
     // maxBucket mirrors [[minhashNearDupNative]]'s audited bucket cap
     // (keep each bucket's maxBucket smallest ids — deterministic; audit
-    // with [[minhashBucketOverflow]]): the round-14 1000× probe measured
-    // the UNCAPPED form as the first dedup family to break (>70 GB scratch
-    // at 50M docs, unfinished at 35 min — Σ bucket² over band buckets).
-    // 0 (default) keeps the fully exact candidate set — the declared e84
-    // form, where the DuckDB oracle brute-forces all pairs.
+    // with [[minhashBucketOverflow]] passing `md5 = true`, which buckets by
+    // THESE md5 band keys — the native-signature audit has different bucket
+    // memberships and would not enumerate what this cap drops): the
+    // round-14 1000× probe measured the UNCAPPED form as the first dedup
+    // family to break (>70 GB scratch at 50M docs, unfinished at 35 min —
+    // Σ bucket² over band buckets). 0 (default) keeps the fully exact
+    // candidate set — the declared e84 form, where the DuckDB oracle
+    // brute-forces all pairs.
     val sh = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .where(size(col("sh")) > 0)
-    val sigs = sh.select(col("id"),
-      array(minhashSignatureMd5(col("sh"), bands * rowsPerBand): _*).as("sig"))
-    val bandKeys = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", (0 until rowsPerBand).map(r =>
-          element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("key"))
-    }
-    val ids0 = sigs
-      .select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+    val ids0 = minhashBandedIdsMd5(docs, textCol, idCol, shingleSize, bands, rowsPerBand)
       .groupBy(col("bk"))
       .agg(array_sort(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) > 1)
@@ -392,7 +416,7 @@ object Dedup {
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
       .distinct()
-    verifyExactJaccard(pairs, sh, minJaccard)
+    verifyExactJaccard(pairs, sh, minJaccard, cappedCands = maxBucket > 0)
   }
 
   /** Generated DuckDB mirror of [[minhashNearDupMd5]] over `idCol, textCol`
@@ -714,24 +738,31 @@ object Dedup {
     * operator. `dropDuplicates` guards 2×-loaded inputs (same id twice)
     * against double-counted intersections.
     */
-  /** Exact-Jaccard re-score for candidate id pairs. The candidate-ID
-    * semi-join is BROADCAST: candidates are ≪ corpus by construction
-    * (near-dups are rare and the upstream caps are audited), and the ids
-    * are bare longs (~8 B each — tens of MB even at millions of candidate
-    * docs), where the default sort-merge semi-join shuffles the CORPUS
-    * side's shingle-array table — measured as the round-14 first-to-break:
-    * ~65 GB of scratch at 50M docs, task death on a 76 GB disk, for a
-    * semi-join whose output was 1/10th of its shuffled input. The two
-    * array-attaching joins are shuffle-hash for the verifyContainment
-    * reason (sort-merge would external-sort pair streams with ~KB arrays
-    * attached).
+  /** Exact-Jaccard re-score for candidate id pairs. With
+    * `cappedCands = true` (an AUDITED upstream cap bounds candidate volume)
+    * the candidate-ID semi-join is force-BROADCAST: the ids are bare longs
+    * (~8 B each — tens of MB even at millions of candidate docs), where the
+    * default sort-merge semi-join shuffles the CORPUS side's shingle-array
+    * table — measured as the round-14 first-to-break: ~65 GB of scratch at
+    * 50M docs, task death on a 76 GB disk, for a semi-join whose output was
+    * 1/10th of its shuffled input. With `cappedCands = false` (no upstream
+    * cap — the exact modes) the hint is NOT forced: an explicit broadcast
+    * bypasses autoBroadcastJoinThreshold, and a degenerate uncapped corpus
+    * could turn a slow-but-completing shuffle semi-join into a driver OOM
+    * or the 8 GB broadcast hard limit (ADVICE r14); AQE still promotes the
+    * plain semi-join to broadcast at runtime whenever the id set measures
+    * small. The two array-attaching joins are shuffle-hash either way, for
+    * the verifyContainment reason (sort-merge would external-sort pair
+    * streams with ~KB arrays attached).
     */
   private def verifyExactJaccard(
-      pairs: DataFrame, sh: DataFrame, minJaccard: Double): DataFrame = {
-    val candIds = pairs.select(col("id_a").as("id"))
+      pairs: DataFrame, sh: DataFrame, minJaccard: Double,
+      cappedCands: Boolean): DataFrame = {
+    val candIds0 = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id")))
       .distinct()
-    val candSh = sh.join(broadcast(candIds), Seq("id"), "left_semi")
+    val candIds = if (cappedCands) broadcast(candIds0) else candIds0
+    val candSh = sh.join(candIds, Seq("id"), "left_semi")
       .select(col("id"), col("sh")).dropDuplicates("id")
     val common = size(array_intersect(col("sh_a"), col("sh_b")))
     pairs
@@ -782,14 +813,19 @@ object Dedup {
     * all-pairs operator.
     */
   private def verifyContainment(
-      pairs: DataFrame, sh: DataFrame, minContainment: Double): DataFrame = {
-    val candIds = pairs.select(col("id_a").as("id"))
+      pairs: DataFrame, sh: DataFrame, minContainment: Double,
+      cappedCands: Boolean): DataFrame = {
+    val candIds0 = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id")))
       .distinct()
-    // broadcast semi-join — the corpus-side array table must never shuffle
-    // for a candidate-doc selection (the verifyExactJaccard lesson: ~65 GB
-    // of semi-join shuffle at 50M docs; candidate ids are bare longs)
-    val candSh = sh.join(broadcast(candIds), Seq("id"), "left_semi")
+    // broadcast semi-join when an audited cap bounds candidates — the
+    // corpus-side array table must never shuffle for a candidate-doc
+    // selection (the verifyExactJaccard lesson: ~65 GB of semi-join shuffle
+    // at 50M docs; candidate ids are bare longs). Uncapped exact modes keep
+    // the plain semi-join (AQE promotes it when small) — a forced broadcast
+    // of an unbounded id set is a driver-OOM risk (ADVICE r14).
+    val candIds = if (cappedCands) broadcast(candIds0) else candIds0
+    val candSh = sh.join(candIds, Seq("id"), "left_semi")
       .select(col("id"), col("sh")).dropDuplicates("id")
     val common = size(array_intersect(col("sh_a"), col("sh_b")))
     // shuffle-HASH both joins: sort-merge would sort the pair stream WITH
@@ -880,6 +916,75 @@ object Dedup {
       .select(col("id"), col("n_sh"), col("pos"), col("g"), col("gdf"))
   }
 
+  /** Witness-counted rarest-prefix candidate pairs — the `prefixDfCap`
+    * candidate generator shared by [[ngramContainmentPairs]] and (round 15)
+    * [[ngramJaccardPairs]]: the designated smaller side's e-extended
+    * df-ordered prefix equi-joined against the df-capped full index, then
+    * the multi-witness pigeonhole quota (`__w ≥ min(e+1, α)` — see the
+    * containment operator's scaladoc for the exactness argument). The quota
+    * is IDENTICAL for both thresholds because each bounds a qualifying
+    * pair's overlap below by `⌈t·|S|⌉` on its designated smaller side S
+    * (containment: `|A∩B| ≥ t·min` directly; Jaccard: `|A∩B| ≥ t·|A∪B| ≥
+    * t·max ≥ t·|S|` — if anything a STRONGER bound, so the containment
+    * quota is valid and merely admits a few extra candidates).
+    * `lengthBound` adds the Jaccard size-compatibility prune
+    * (`t·larger ≤ smaller`, exact integer form — a Jaccard necessary
+    * condition with no containment analog). Recall contract and audit are
+    * the containment ones: [[ngramContainmentAtRisk]] /
+    * [[ngramJaccardAtRisk]] list the docs whose witness window holds any
+    * over-cap shingle.
+    */
+  private def prefixWitnessCands(sh: DataFrame, tNum: Long, prefixDfCap: Int,
+      lengthBound: Boolean): DataFrame = {
+    val e = PrefixWitnessExt
+    val kept = pfOrderedEntries(sh).where(col("gdf") <= prefixDfCap)
+    val probe = kept
+      .where(col("pos") <= col("n_sh") - pfAlpha(col("n_sh"), tNum) + e)
+      .select(col("id").as("id_p"), col("n_sh").as("n_p"),
+        col("pos").as("pos_p"), col("g"))
+    val index = kept.select(col("id").as("id_i"), col("n_sh").as("n_i"),
+      col("pos").as("pos_i"), col("g"))
+    val joined = probe.join(index, Seq("g"))
+      // the probe doc must be the pair's designated smaller side (ties
+      // by id): its prefix is where the pigeonhole guarantees witnesses
+      .where(col("n_p") < col("n_i") ||
+        (col("n_p") === col("n_i") && col("id_p") < col("id_i")))
+    val sized =
+      if (lengthBound) joined.where(
+        lit(PfScale) * col("n_p") >= lit(tNum) * col("n_i"))
+      else joined
+    sized
+      // positional bound relaxed by e — valid for the j-th shared entry,
+      // j ≤ e+1 (suffixes must still cover α − e), so every counted
+      // witness survives it
+      .where(least(col("n_p") - col("pos_p"), col("n_i") - col("pos_i")) >=
+        pfAlpha(col("n_p"), tNum) - e)
+      .groupBy(least(col("id_p"), col("id_i")).as("id_a"),
+        greatest(col("id_p"), col("id_i")).as("id_b"))
+      // n_p is constant per pair — the designation is deterministic
+      .agg(count(lit(1)).as("__w"), first(col("n_p")).as("__n_p"))
+      .where(col("__w") >= least(lit(e + 1), pfAlpha(col("__n_p"), tNum)))
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Shared body of [[ngramContainmentAtRisk]] / [[ngramJaccardAtRisk]]:
+    * docs with ≥1 over-cap shingle inside the e-extended prefix witness
+    * window, as `(id, n_prefix, n_overcap, max_df)` — threshold semantics
+    * enter only through `tNum` (the window is the same construction for
+    * both families; see [[prefixWitnessCands]]).
+    */
+  private def prefixWitnessAtRisk(sh: DataFrame, tNum: Long,
+      prefixDfCap: Int): DataFrame =
+    pfOrderedEntries(sh)
+      .where(col("pos") <=
+        col("n_sh") - pfAlpha(col("n_sh"), tNum) + PrefixWitnessExt)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_prefix"),
+        sum(when(col("gdf") > prefixDfCap, 1L).otherwise(0L)).as("n_overcap"),
+        max(col("gdf")).as("max_df"))
+      .where(col("n_overcap") > 0)
+      .orderBy(col("n_overcap").desc, col("id"))
+
   /** The (id, |set|, set) shingle-set projection shared by
     * [[ngramContainmentPairs]] and its [[ngramContainmentAtRisk]] audit —
     * empty-set docs dropped (containment against an empty set is 0/0).
@@ -928,6 +1033,14 @@ object Dedup {
     * cost and prefix filtering wins outright (BASELINE.md carries both
     * numbers). Exactness is identical either way; pick by corpus size.
     *
+    * `prefixDfCap > 0` (round 15) is the e106 witness-counted rarest-prefix
+    * SCALE path transferred to this symmetric family — candidates from the
+    * smaller side's e-extended prefix under an audited bucket cap with the
+    * multi-witness pigeonhole quota, plus the Jaccard length bound (see
+    * [[prefixWitnessCands]]); audit with [[ngramJaccardAtRisk]], recall
+    * contract as there. Measured A/B vs `maxDocFreq` per round in
+    * BASELINE.md; survivors re-score exactly either way.
+    *
     * `maxDocFreq > 0` drops whole buckets larger than the cap (boilerplate,
     * stop-phrases — a shingle shared by d docs contributes d² pairs) from
     * CANDIDATE GENERATION only. Candidates are first scored on their
@@ -951,15 +1064,28 @@ object Dedup {
       shingleSize: Int = 3,
       minJaccard: Double = 0.8,
       maxDocFreq: Int = 0,
-      prefixFilter: Boolean = false): DataFrame = {
+      prefixFilter: Boolean = false,
+      prefixDfCap: Int = 0): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1.0,
       s"minJaccard in (0, 1]: $minJaccard")
     require(!(prefixFilter && maxDocFreq > 0),
       "prefixFilter is the exact replacement for the df cap — combining " +
         "them would silently restore the capped-recall contract")
+    require(prefixDfCap <= 0 || (maxDocFreq <= 0 && !prefixFilter),
+      "prefixDfCap is a complete candidate-generation mode of its own — " +
+        "combine with neither maxDocFreq nor prefixFilter")
     val sh = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
+    if (prefixDfCap > 0) {
+      // round-15 (verdict item 6): the e106 witness-counted rarest-prefix
+      // generator transferred to the symmetric family — audited recall
+      // contract via [[ngramJaccardAtRisk]], candidates additionally
+      // pruned by the Jaccard length bound (see [[prefixWitnessCands]]).
+      val cand = prefixWitnessCands(sh, pfThresholdNum(minJaccard),
+        prefixDfCap, lengthBound = true)
+      return verifyExactJaccard(cand, sh, minJaccard, cappedCands = true)
+    }
     if (prefixFilter) {
       val tNum = pfThresholdNum(minJaccard)
       val entries = pfOrderedEntries(sh)
@@ -982,7 +1108,7 @@ object Dedup {
             pfAlpha(greatest(col("a.n_sh"), col("b.n_sh")), tNum))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .distinct()
-      return verifyExactJaccard(cand, sh, minJaccard)
+      return verifyExactJaccard(cand, sh, minJaccard, cappedCands = false)
     }
     val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("g"))
     val buckets = postingBuckets(inv, maxDocFreq)
@@ -1014,7 +1140,7 @@ object Dedup {
         .where(col("common").cast("double") /
           (col("n_a") + col("n_b") - col("common")) >= minJaccard)
         .select(col("id_a"), col("id_b"))
-      verifyExactJaccard(pairs, sh, minJaccard)
+      verifyExactJaccard(pairs, sh, minJaccard, cappedCands = true)
     }
   }
 
@@ -1073,12 +1199,16 @@ object Dedup {
     *    witness) and what makes the hot prefix-bucket case (identical or
     *    template docs whose RAREST shingles are still corpus-dense) bounded.
     *    The recall contract is PER-DOC and auditable, unlike the capped
-    *    path's per-pair score contract: a pair can only be missed if its
-    *    smaller side's ENTIRE prefix is over-cap shingles.
-    *    [[ngramContainmentAtRisk]] (same arguments) lists exactly those
-    *    docs; when it returns empty the result is provably identical to
-    *    the uncapped operator's — [[graft.Verify]] pre-flights that for the
-    *    declared e106. Never silent.
+    *    path's per-pair score contract: a pair can be missed as soon as
+    *    over-cap buckets eat into the `min(e+1, α)` witness quota of the
+    *    smaller side's e-extended prefix — a SINGLE over-cap shared
+    *    shingle in that window can already drop a qualifying pair below
+    *    quota; only a fully under-cap extended prefix is provably safe.
+    *    [[ngramContainmentAtRisk]] (same arguments) lists exactly the docs
+    *    with ANY over-cap entry in that window; when it returns empty the
+    *    result is provably identical to the uncapped operator's —
+    *    [[graft.Verify]] pre-flights that for the declared e106. Never
+    *    silent.
     *
     * Survivors re-score on full sets ([[verifyContainment]]) either way, so
     * reported scores are always exact; the knobs only shape candidates.
@@ -1102,8 +1232,6 @@ object Dedup {
         "combine with neither maxDocFreq nor prefixFilter")
     val sh = containmentShingleSets(docs, textCol, idCol, shingleSize)
     if (prefixDfCap > 0) {
-      val tNum = pfThresholdNum(minContainment)
-      val e = PrefixWitnessExt
       // the cap filters the hashed-key entry stream directly (one cheap
       // projection — df is already attached per entry); candidate
       // generation is a long-keyed equi-join of the e-EXTENDED prefix
@@ -1123,30 +1251,10 @@ object Dedup {
       // lacks: the round-14 sf10 probe measured 16.9M distinct candidate
       // pairs collapse to 604k at e=2 against 602k true pairs (99.8%
       // precision), turning the exact verify join from the operator's
-      // dominant cost into noise. The positional bound is relaxed by e
-      // (valid for the j-th shared entry, j ≤ e+1: suffixes must still
-      // cover α − e), so all counted witnesses survive it.
-      val kept = pfOrderedEntries(sh).where(col("gdf") <= prefixDfCap)
-      val probe = kept
-        .where(col("pos") <= col("n_sh") - pfAlpha(col("n_sh"), tNum) + e)
-        .select(col("id").as("id_p"), col("n_sh").as("n_p"),
-          col("pos").as("pos_p"), col("g"))
-      val index = kept.select(col("id").as("id_i"), col("n_sh").as("n_i"),
-        col("pos").as("pos_i"), col("g"))
-      val cand = probe.join(index, Seq("g"))
-        // the probe doc must be the pair's designated smaller side (ties
-        // by id): its prefix is where the pigeonhole guarantees witnesses
-        .where(col("n_p") < col("n_i") ||
-          (col("n_p") === col("n_i") && col("id_p") < col("id_i")))
-        .where(least(col("n_p") - col("pos_p"), col("n_i") - col("pos_i")) >=
-          pfAlpha(col("n_p"), tNum) - e)
-        .groupBy(least(col("id_p"), col("id_i")).as("id_a"),
-          greatest(col("id_p"), col("id_i")).as("id_b"))
-        // n_p is constant per pair — the designation is deterministic
-        .agg(count(lit(1)).as("__w"), first(col("n_p")).as("__n_p"))
-        .where(col("__w") >= least(lit(e + 1), pfAlpha(col("__n_p"), tNum)))
-        .select(col("id_a"), col("id_b"))
-      return verifyContainment(cand, sh, minContainment)
+      // dominant cost into noise. Shared generator: [[prefixWitnessCands]].
+      val cand = prefixWitnessCands(sh, pfThresholdNum(minContainment),
+        prefixDfCap, lengthBound = false)
+      return verifyContainment(cand, sh, minContainment, cappedCands = true)
     }
     if (prefixFilter) {
       val tNum = pfThresholdNum(minContainment)
@@ -1167,7 +1275,7 @@ object Dedup {
         .select(least(col("id_p"), col("id_i")).as("id_a"),
           greatest(col("id_p"), col("id_i")).as("id_b"))
         .distinct()
-      return verifyContainment(cand, sh, minContainment)
+      return verifyContainment(cand, sh, minContainment, cappedCands = false)
     }
     val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("g"))
     val buckets = postingBuckets(inv, maxDocFreq)
@@ -1196,7 +1304,7 @@ object Dedup {
       val candidates = counted
         .where(greatest(round(ca, 4), round(cb, 4)) >= minContainment)
         .select(col("id_a"), col("id_b"))
-      verifyContainment(candidates, sh, minContainment)
+      verifyContainment(candidates, sh, minContainment, cappedCands = true)
     }
   }
 
@@ -1226,16 +1334,30 @@ object Dedup {
     require(minContainment > 0 && minContainment <= 1.0,
       s"minContainment in (0, 1]: $minContainment")
     require(prefixDfCap > 0, s"need a positive cap: $prefixDfCap")
-    val tNum = pfThresholdNum(minContainment)
-    pfOrderedEntries(containmentShingleSets(docs, textCol, idCol, shingleSize))
-      .where(col("pos") <=
-        col("n_sh") - pfAlpha(col("n_sh"), tNum) + PrefixWitnessExt)
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_prefix"),
-        sum(when(col("gdf") > prefixDfCap, 1L).otherwise(0L)).as("n_overcap"),
-        max(col("gdf")).as("max_df"))
-      .where(col("n_overcap") > 0)
-      .orderBy(col("n_overcap").desc, col("id"))
+    prefixWitnessAtRisk(
+      containmentShingleSets(docs, textCol, idCol, shingleSize),
+      pfThresholdNum(minContainment), prefixDfCap)
+  }
+
+  /** Audit for [[ngramJaccardPairs]]'s `prefixDfCap` mode — the Jaccard
+    * twin of [[ngramContainmentAtRisk]] (same witness window, same
+    * contract: empty result ⇒ the capped operator is provably identical
+    * to the exact one; any listed doc could be missing pairs).
+    */
+  def ngramJaccardAtRisk(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleSize: Int = 3,
+      minJaccard: Double = 0.7,
+      prefixDfCap: Int = 2000): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1.0,
+      s"minJaccard in (0, 1]: $minJaccard")
+    require(prefixDfCap > 0, s"need a positive cap: $prefixDfCap")
+    val sh = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
+    prefixWitnessAtRisk(sh, pfThresholdNum(minJaccard), prefixDfCap)
   }
 
   /** Audit for [[ngramJaccardPairs]]'s document-frequency cap: the shingles
@@ -1401,18 +1523,34 @@ object Dedup {
     // pair — and it cuts probe rows ~2× (Δ=0 allows |δ| ≤ d/2, not d),
     // which shrinks the segment join's output, the Σ bucket² candidate
     // stream, and the distinct exchange behind e18's rehearsal spill.
+    //
+    // When EVERY segment is indexed (the classic k = m layout), the bound
+    // tightens further with the SEGMENT INDEX (round 15 — the paper's full
+    // multi-match-aware selection): take the FIRST untouched segment i of
+    // the indexed side as the witness. Its i earlier segments are then all
+    // touched, and each edit position lies in exactly one of them, so the
+    // edits strictly before the witness number ≥ max(i, |δ|) (the same
+    // early edits pay both the touches and the displacement) while the
+    // edits after still number ≥ |Δ−δ| — disjoint sets, so
+    // max(i, |δ|) + |Δ−δ| ≤ d. EXACT for k = m: if an earlier segment is
+    // untouched, the pair is generated from THAT segment's probe row
+    // (whose own bound holds by the same argument — induction on i). Under
+    // rarest-k selection (k < m) the probe cannot know which earlier
+    // segments the partner indexed, so only the index-free bound applies.
     val lengths = keyed.select(col("l").as("lb")).distinct()
     val probeSubs = array((for { i <- 0 until m; delta <- -d to d } yield {
       val p = edSegStart(col("lb"), i, m) + delta
       val len = edSegLen(col("lb"), i, m)
       struct(lit(i).as("i"), p.as("p"), len.as("len"), lit(delta).as("dl"))
     }): _*)
+    val beforeEdits =
+      if (k >= m) greatest(col("ps.i"), abs(col("ps.dl"))) else abs(col("ps.dl"))
     val probe = keyed
       .join(broadcast(lengths), abs(col("l") - col("lb")) <= d)
       .select(col("id").as("id_a"), col("k").as("k_a"), col("l").as("la"),
         col("lb"), explode(probeSubs).as("ps"))
       .where(col("ps.p") >= 0 && col("ps.p") + col("ps.len") <= col("la") &&
-        abs(col("ps.dl")) + abs(col("la") - col("lb") - col("ps.dl")) <= d)
+        beforeEdits + abs(col("la") - col("lb") - col("ps.dl")) <= d)
       .select(col("id_a"), col("lb"), col("ps.i").as("i"),
         col("k_a").substr(col("ps.p") + 1, col("ps.len")).as("sub"))
 
@@ -2176,6 +2314,20 @@ object Dedup {
     require(targetRecall > 0.0 && targetRecall < 1.0, s"targetRecall in (0,1): $targetRecall")
     require(maxSignatureBits >= minBits,
       s"maxSignatureBits < minBits: $maxSignatureBits < $minBits")
+    val best = bandingOption(minCosine, targetRecall, minBits, maxBits, maxSignatureBits)
+    require(best.nonEmpty,
+      s"no (bits, bands) with bands*bits <= $maxSignatureBits reaches recall " +
+        s"$targetRecall at minCosine $minCosine — lower the target or raise " +
+        s"maxSignatureBits (multi-word signatures: [[embeddingNearDupMd5]] " +
+        s"assembles band keys directly, so nPlanes may exceed 63)")
+    val (bits, bands) = best.get
+    (bits * bands, bands)
+  }
+
+  /** Cheapest feasible (bits, bands) for [[autoBanding]]'s enumeration, or
+    * None when no split under `maxSignatureBits` reaches the target. */
+  private def bandingOption(minCosine: Double, targetRecall: Double,
+      minBits: Int, maxBits: Int, maxSignatureBits: Int): Option[(Int, Int)] = {
     val p = 1.0 - math.acos(minCosine) / math.Pi
     val need = math.log(1.0 / (1.0 - targetRecall))
     val options = for {
@@ -2183,12 +2335,46 @@ object Dedup {
       bands = math.max(1, math.ceil(need / math.pow(p, bits)).toInt)
       if bands.toLong * bits <= maxSignatureBits
     } yield (bits, bands)
-    require(options.nonEmpty,
-      s"no (bits, bands) with bands*bits <= $maxSignatureBits reaches recall " +
-        s"$targetRecall at minCosine $minCosine — lower the target or raise " +
-        s"maxSignatureBits (multi-word signatures: [[embeddingNearDupMd5]] " +
-        s"assembles band keys directly, so nPlanes may exceed 63)")
-    val (bits, bands) = options.minBy { case (bt, bd) => bd / math.pow(2.0, bt) }
+    if (options.isEmpty) None
+    else Some(options.minBy { case (bt, bd) => bd / math.pow(2.0, bt) })
+  }
+
+  /** ONE-CALL production banding (round 15 — the wide mode selected
+    * automatically, not passed in): derives the occupancy bit floor from
+    * the CORPUS SIZE (the [[autoPlanes]] rule: `bits ≥ ⌈log₂(n/64)⌉`, so
+    * expected per-band bucket occupancy stays ≲64), then
+    *
+    *  1. stays within ONE 64-bit signature word whenever some split
+    *     reaches `targetRecall` there (the round-13-measured regime:
+    *     7×9 = 63 hit 95.1% recall strictly dominating fixed-32), and
+    *  2. widens to multi-word signatures ONLY in the genuine >63-bit
+    *     regime — when NO single-word split at the occupancy floor can
+    *     reach the target (the round-14 e93wide measurement: at 400k
+    *     vectors, minCosine 0.9, R 0.95, the best single word tops out at
+    *     ~50% recall; this rule lands on 31 bands × 15 bits = 465 planes,
+    *     measured 97.8% recall) — under a `wideBudgetBits` sanity ceiling
+    *     (default 512 = 8 words; feasibility there is pinned by spec, and
+    *     a target so aggressive it bursts 8 words is a parameter error,
+    *     not a corpus property).
+    *
+    * Feed the result to [[embeddingNearDup]] / [[embeddingNearDupMd5]] —
+    * both assemble per-band keys directly, so nPlanes may exceed 63.
+    * Callers: pass the corpus row count (cheap metadata — parquet
+    * footers / store stats), NOT a default; the floor is the point.
+    */
+  def autoWideBanding(nRows: Long, minCosine: Double,
+      targetRecall: Double = 0.9, minBits: Int = 6, maxBits: Int = 15,
+      wideBudgetBits: Int = 512): (Int, Int) = {
+    val occ = math.ceil(
+      math.log(math.max(nRows, 1L).toDouble / 64.0) / math.log(2.0)).toInt
+    val floor = math.min(maxBits, math.max(minBits, occ))
+    val pick = bandingOption(minCosine, targetRecall, floor, maxBits, 63)
+      .orElse(bandingOption(minCosine, targetRecall, floor, maxBits, wideBudgetBits))
+    require(pick.nonEmpty,
+      s"no (bits, bands) within $wideBudgetBits signature bits reaches " +
+        s"recall $targetRecall at minCosine $minCosine (bit floor $floor " +
+        s"from $nRows rows) — lower the target")
+    val (bits, bands) = pick.get
     (bits * bands, bands)
   }
 

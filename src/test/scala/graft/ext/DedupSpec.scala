@@ -158,6 +158,18 @@ class DedupSpec extends AnyFunSuite {
       .collect()
     assert(rows.length == 30 * 29 / 2, s"got ${rows.length}")
     assert(rows.forall(r => r.getLong(0) <= 30 && r.getLong(1) <= 30))
+    // the md5-scheme audit enumerates exactly this cap's overflow (md5 band
+    // keys ≠ native band keys, so the native audit would count different
+    // bucket memberships — ADVICE r14): 4 bands × one 120-clone bucket,
+    // keyed by the plain-text joined signature
+    val overflow = Dedup.minhashBucketOverflow(clones, maxBucket = 30, md5 = true)
+      .collect()
+    assert(overflow.length == 4, s"expected 4 overflowing md5 band buckets, got ${overflow.length}")
+    overflow.foreach { r =>
+      assert(r.getAs[Long]("n_members") == 120L)
+      assert(r.getAs[Long]("n_dropped") == 90L)
+      assert(r.getAs[String]("key").nonEmpty)
+    }
   }
 
   test("minhash native: explicit cap is deterministic and its overflow is observable") {
@@ -296,6 +308,51 @@ class DedupSpec extends AnyFunSuite {
         .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
       assert(pf == plain,
         s"t=$t missing=${plain.keySet -- pf.keySet} extra=${pf.keySet -- plain.keySet}")
+    }
+  }
+
+  test("prefixDfCap jaccard ≡ default when the audit is empty; template-clique loss audited") {
+    import spark.implicits._
+    // round-15: the e106 witness-counted generator on the symmetric family.
+    // (a) equivalence where the audit is empty — real doubled corpus and
+    // the seeded randomized corpus, two thresholds each
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val doubled = d.unionAll(d.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    for (t <- Seq(0.4, 0.8)) {
+      assert(Dedup.ngramJaccardAtRisk(doubled, minJaccard = t,
+        prefixDfCap = 2000).count() == 0L)
+      val plain = Dedup.ngramJaccardPairs(doubled, minJaccard = t)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val capped = Dedup.ngramJaccardPairs(doubled, minJaccard = t, prefixDfCap = 2000)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(plain.nonEmpty)
+      assert(capped == plain,
+        s"t=$t missing=${plain.keySet -- capped.keySet} extra=${capped.keySet -- plain.keySet}")
+    }
+    // (b) the worst case — a template clique whose rarest shingles are
+    // still over-cap: losses confined to the clique, audit names exactly
+    // its members, raising the cap clears both
+    val template = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val small = "omega psi chi phi upsilon tau sigma rho pi omicron"
+    val docs = ((1L to 30L).map(i => (i, template)) ++
+      (101L to 105L).map(i => (i, small))).toDF("doc_id", "text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val un = pairsOf(Dedup.ngramJaccardPairs(docs, minJaccard = 0.9))
+    val cap = pairsOf(Dedup.ngramJaccardPairs(docs, minJaccard = 0.9, prefixDfCap = 10))
+    assert(cap.subsetOf(un), s"extra=${cap -- un}")
+    assert((101L to 105L).combinations(2).map(s => (s(0), s(1))).forall(cap.contains))
+    val lost = un -- cap
+    assert(lost.nonEmpty && lost.forall { case (a, b) => a <= 30L && b <= 30L })
+    val atRisk = Dedup.ngramJaccardAtRisk(docs, minJaccard = 0.9, prefixDfCap = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(atRisk == (1L to 30L).toSet, atRisk.toString)
+    assert(Dedup.ngramJaccardAtRisk(docs, minJaccard = 0.9, prefixDfCap = 30).count() == 0L)
+    assert(pairsOf(Dedup.ngramJaccardPairs(docs, minJaccard = 0.9, prefixDfCap = 30)) == un)
+    // mode exclusivity is refused loudly, as in the containment family
+    assertThrows[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, minJaccard = 0.9, prefixDfCap = 10, maxDocFreq = 5)
     }
   }
 
@@ -581,6 +638,52 @@ class DedupSpec extends AnyFunSuite {
       } yield (a, b) -> dist.toLong).toMap
       assert(got == brute, s"d=$d got $got expected $brute")
     }
+  }
+
+  test("editDistancePairs ≡ brute force when only a LATE segment survives (index-aware bound)") {
+    import spark.implicits._
+    // the round-15 max(i,|δ|)+|Δ−δ| ≤ d refinement prunes probe rows by
+    // SEGMENT INDEX (the "first untouched segment" argument) — stress the
+    // exactness where it bites hardest: every early segment touched, so the
+    // only witness is a late segment carrying the full displacement, plus a
+    // seeded random edit mix for breadth
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789ABCD" // 41 chars, d=5 → m=6
+    val rnd = new scala.util.Random(15)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      (0 until edits).foreach { _ =>
+        val p = rnd.nextInt(math.max(cur.length, 1))
+        rnd.nextInt(3) match {
+          case 0 if cur.nonEmpty => cur = cur.take(p) + cur.drop(p + 1) // delete
+          case 1 => cur = cur.take(p) + alpha(rnd.nextInt(26)) + cur.drop(p) // insert
+          case _ if cur.nonEmpty => // substitute
+            cur = cur.take(p) + alpha(rnd.nextInt(26)) + cur.drop(p + 1)
+          case _ => cur = cur + alpha(rnd.nextInt(26))
+        }
+      }
+      cur
+    }
+    val adversarial = Seq(
+      // one substitution at the START of each of segments 0..4 (touching
+      // every early segment), segment 5 untouched, δ = Δ = 0
+      111L -> Seq(0, 7, 14, 21, 28).foldLeft(base)((s, p) => s.updated(p, 'X')),
+      // 5 leading inserts: first untouched segment shifted by δ=5=d
+      112L -> ("ZZZZZ" + base),
+      // 5 leading deletes: δ=−5
+      113L -> base.drop(5))
+    val variants = (1L to 40L).map(i => i -> mutate(base, rnd.nextInt(7))) ++
+      adversarial :+ (0L -> base)
+    val frame = variants.toDF("doc_id", "text")
+    val texts = variants.toMap
+    val got = Dedup.editDistancePairs(frame, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val brute = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      dist = levenshteinRef(texts(a), texts(b)) if dist <= 5
+    } yield (a, b) -> dist.toLong).toMap
+    assert(got == brute,
+      s"missing=${brute.keySet -- got.keySet} extra=${got.keySet -- brute.keySet}")
   }
 
   test("editDistancePairs qgramFilter is a pure DP prefilter: identical output") {
@@ -1125,6 +1228,30 @@ class DedupSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Dedup.embeddingNearDupMd5Sql("embeddings", nPlanes = 80, bands = 8)
     }
+  }
+
+  test("autoWideBanding: one call — single word when feasible, wide only past the frontier") {
+    // verify-scale corpus (4k vecs): occupancy floor 6 bits; a single-word
+    // split reaches the target, so the rule must NOT widen — it returns the
+    // round-13-measured 7×9=63 frontier point
+    assert(Dedup.autoWideBanding(4000L, minCosine = 0.95) == ((63, 7)))
+    // the round-14 e93wide corpus (400k vecs, minCosine 0.9, R 0.95):
+    // occupancy floor 13 bits, NO single-word split reaches the target →
+    // the rule widens UNAIDED to the measured 31 bands × 15 bits = 465
+    // planes (97.8% recall at 400k planted-pair vectors)
+    assert(Dedup.autoWideBanding(400000L, minCosine = 0.9, targetRecall = 0.95)
+      == ((465, 31)))
+    // >10⁹ rows: the floor clamps at maxBits and the rule still solves it
+    val (np, nb) = Dedup.autoWideBanding(2000000000L, minCosine = 0.95)
+    assert(np / nb == 15 && np > 63, s"got ($np, $nb)")
+    val p = 1.0 - math.acos(0.95) / math.Pi
+    assert(1.0 - math.pow(1.0 - math.pow(p, np / nb), nb) >= 0.9)
+    // a target no 8-word signature reaches is a parameter error — loud
+    assertThrows[IllegalArgumentException] {
+      Dedup.autoWideBanding(400000L, minCosine = 0.5, targetRecall = 0.9999)
+    }
+    // the picked pair is always consumable by the operators
+    assert(np % nb == 0)
   }
 
   test("embeddingNearDupMd5 handles an empty input frame") {
