@@ -36,17 +36,29 @@ object Verify {
           s"segment bucket $maxBucket): the oracle brute-forces all pairs, so " +
           s"the gate would hash-mismatch opaquely — re-pin the e18 cap/comment")
     }
-    // Pre-flight audit for e11/e94's df cap: their comment's "cap=1000
-    // inactive" proof is that df cannot exceed the DOUBLED corpus's doc
-    // count — valid only while 2·|documents| <= 1000. Trip loudly here if
-    // regenerated testdata grows past 500 docs (ADVICE r13: the claim sat
-    // exactly on the boundary with nothing enforcing it).
+    // Pre-flight audit for the e11 family's prefixDfCap=1000 (e11/e14/e94/
+    // e99 — round 15 switched them to the witness-counted rarest-prefix
+    // path): the boundary proof is that df cannot exceed the DOUBLED
+    // corpus's doc count — valid only while 2·|documents| <= 1000 — and
+    // the direct contract is an empty ngramJaccardAtRisk on the doubled
+    // corpus. Check BOTH: the boundary trips on testdata growth, the audit
+    // on any witness-window exposure (ADVICE r13 / verdict r14 item 6).
     locally {
       val nDocs = graft.ops.Layout.parquetRowCount(spark, s"$sfDir/documents.parquet")
       require(2L * nDocs <= 1000L,
-        s"e11/e94 maxDocFreq=1000 could be ACTIVE at verify scale (doubled " +
+        s"e11/e94 prefixDfCap=1000 could be ACTIVE at verify scale (doubled " +
           s"corpus = ${2 * nDocs} docs): the oracle is exact all-pairs, so the " +
           s"gate would hash-mismatch opaquely — re-pin the caps")
+      import org.apache.spark.sql.functions.col
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L))
+      val atRisk = graft.ext.Dedup.ngramJaccardAtRisk(doubled,
+        minJaccard = 0.8, prefixDfCap = 1000).count()
+      require(atRisk == 0L,
+        s"e11 prefixDfCap=1000 could be ACTIVE at verify scale ($atRisk docs " +
+          s"with over-cap entries in the witness window) — raise the cap or " +
+          s"shrink the corpus")
     }
     // Pre-flight audit for e106/e107's prefixDfCap=2000: the capped
     // rarest-prefix candidate path is provably exact iff NO doc has an

@@ -479,6 +479,60 @@ object DedupProbe {
       }
     }
 
+    // ---- 0i. store-lifecycle rehearsal (round-15 verdict item 5): drive
+    // the round-14 compaction triggers through a realistic many-batch
+    // append loop — compact WHEN TRIGGERED (not on a guessed cadence),
+    // measuring lookup cost right before and right after each compaction,
+    // so the trigger rule is validated by measurement, not only by spec.
+    if (sections("lifecycle")) {
+      val nBatches = sys.env.getOrElse("GRAFT_LIFECYCLE_BATCHES", "20").toInt
+      val spanDir = java.nio.file.Files.createTempDirectory("graft_lc_span").toString
+      val mhDir = java.nio.file.Files.createTempDirectory("graft_lc_mh").toString
+      // base = 10% of the corpus, batches 2% each (disjoint hash slices,
+      // ids shifted per batch): posting rows cross the 2× growth trigger
+      // near batch 5; part files cross 256 around batch 7 — both trigger
+      // dimensions get exercised in a 20-batch run
+      val slot = pmod(xxhash64(col("doc_id")), lit(50L))
+      val base = docs.where(slot < 5)
+      def timed[T](f: => T): (T, Double) =
+        { val t = System.nanoTime(); val r = f; (r, (System.nanoTime() - t) / 1e9) }
+      val (_, tBuild) = timed {
+        Dedup.buildSpanStore(base, spanDir, n = 10)
+        Dedup.buildMinHashStore(base, mhDir)
+      }
+      println(f"[dedup-probe] lifecycle build span+mh over ${base.count()}%d docs " +
+        f"in $tBuild%.1f s")
+      (1 to nBatches).iterator.takeWhile(_ => !spark.sparkContext.isStopped)
+        .foreach { b =>
+        val batch = docs.where(slot === lit(4L + b))
+          .select((col("doc_id") + b * 1000000000000L).as("doc_id"), col("text"))
+          .localCheckpoint(true)
+        val (nSpan, tSpan) = timed(Dedup.spanStoreLookup(spark, spanDir, batch).count())
+        val (nMh, tMh) = timed(Dedup.minHashStoreLookup(spark, mhDir, batch).count())
+        val (_, tApp) = timed {
+          Dedup.appendSpanStore(spark, spanDir, batch)
+          Dedup.appendMinHashStore(spark, mhDir, batch)
+        }
+        val spanTrig = Dedup.spanStoreNeedsCompaction(spark, spanDir)
+        val mhTrig = Dedup.minHashStoreNeedsCompaction(spark, mhDir)
+        println(f"[dedup-probe] lifecycle batch $b%02d: span lookup $tSpan%5.1f s " +
+          f"($nSpan%d rows), mh lookup $tMh%5.1f s ($nMh%d rows), append $tApp%4.1f s, " +
+          f"trigger span=$spanTrig mh=$mhTrig")
+        if (spanTrig) {
+          val (_, tc) = timed(Dedup.compactSpanStore(spark, spanDir))
+          val (_, ta) = timed(Dedup.spanStoreLookup(spark, spanDir, batch).count())
+          println(f"[dedup-probe] lifecycle batch $b%02d: span COMPACT $tc%.1f s, " +
+            f"lookup $tSpan%.1f -> $ta%.1f s")
+        }
+        if (mhTrig) {
+          val (_, tc) = timed(Dedup.compactMinHashStore(spark, mhDir))
+          val (_, ta) = timed(Dedup.minHashStoreLookup(spark, mhDir, batch).count())
+          println(f"[dedup-probe] lifecycle batch $b%02d: mh COMPACT $tc%.1f s, " +
+            f"lookup $tMh%.1f -> $ta%.1f s")
+        }
+      }
+    }
+
     // ---- 0a. e18 hot-segment audit + capped timing: segment-bucket sizes
     // drive the PassJoin candidate volume (a B-doc bucket is ~B² DPs); this
     // prints the top buckets at this scale and times the capped operator —

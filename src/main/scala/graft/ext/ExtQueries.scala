@@ -240,21 +240,20 @@ object ExtQueries {
     (s, dir) => {
       val d = t(s, dir, "documents")
       val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L))
-      // df-capped posting buckets at EVERY scale (cap=1000 inactive at
-      // verify scale — df cannot exceed the doubled corpus's doc count,
-      // and graft.Verify pre-flights 2·|documents| <= 1000, so the claim
-      // trips loudly if testdata ever grows past 500 docs instead of
-      // surfacing as an opaque hash mismatch; the constant stays FIXED
-      // rather than corpus-derived because at rehearsal scale the cap IS
-      // the recall contract — 2·N there would un-cap Σ df²). The
-      // round-13 clean-corpus A/B (BASELINE.md) measured the cap BEATING
-      // the PPJoin prefix filter through 5M docs (221 vs 306 s, identical
-      // pairs) — the round-12 "Σ df² explosion at 500k docs" numbers came
-      // from a chained-ScaleUp corpus whose duplicate doc_ids merged
-      // posting rows. prefixFilter remains the measured-equal exact-recall
-      // path for df-heavy corpora where ngramStopShingles shows a cap
-      // dropping real pairs.
-      Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8, maxDocFreq = 1000)
+      // witness-counted rarest-prefix candidates at EVERY scale (round-15
+      // A/B at 5M docs: 133.0 s vs the round-13 winner maxDocFreq=1000's
+      // 222.6 s, IDENTICAL 256k pairs, ngramJaccardAtRisk empty — the e106
+      // generator transferred to the symmetric family). cap=1000 is
+      // inactive at verify scale — df cannot exceed the doubled corpus's
+      // doc count, graft.Verify pre-flights both 2·|documents| <= 1000 AND
+      // an empty ngramJaccardAtRisk, so the claim trips loudly if testdata
+      // grows instead of surfacing as an opaque hash mismatch; the
+      // constant stays FIXED rather than corpus-derived because at
+      // rehearsal scale the cap IS the recall contract. maxDocFreq remains
+      // the small-corpus default (count-based aggregation wins under ~10k
+      // docs — the round-3 regime note); prefixFilter remains the exact-
+      // recall escape hatch for df-heavy corpora.
+      Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8, prefixDfCap = 1000)
         .orderBy(col("id_a"), col("id_b"))
     },
     Some(
@@ -347,9 +346,10 @@ object ExtQueries {
     (s, dir) => {
       val d = t(s, dir, "documents")
       val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L))
-      // same df cap as e11 — inactive at verify scale, see e11's note
+      // same witness-counted path as e11 — cap inactive at verify scale,
+      // see e11's note
       val pairs = Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8,
-          maxDocFreq = 1000)
+          prefixDfCap = 1000)
         .select(col("id_a"), col("id_b"))
       Dedup.dupGroups(doubled.select(col("doc_id")), pairs).orderBy(col("doc_id"))
     },
@@ -1974,9 +1974,9 @@ object ExtQueries {
     (s, dir) => {
       val d = t(s, dir, "documents")
       val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L))
-      // same capped strategy as e11 (measured winner at every clean scale)
+      // same witness-counted path as e11 (measured winner at 5M docs)
       val pairs = Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8,
-        maxDocFreq = 1000)
+        prefixDfCap = 1000)
       graft.ops.Triangles.triangleCounts(pairs, "id_a", "id_b")
     },
     Some(graft.ops.Triangles.triangleCountsSql(e94Edges, e94Prelude)))
@@ -2032,9 +2032,10 @@ object ExtQueries {
     (s, dir) => {
       val d = t(s, dir, "documents")
       val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L))
-      // same df cap as e11 — inactive at verify scale, see e11's note
+      // same witness-counted path as e11 — cap inactive at verify scale,
+      // see e11's note
       val pairs = Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8,
-        maxDocFreq = 1000)
+        prefixDfCap = 1000)
       graft.ops.Triangles.adamicAdar(pairs, "id_a", "id_b",
         includeExisting = true)
     },
