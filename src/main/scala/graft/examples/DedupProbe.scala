@@ -28,6 +28,11 @@ import org.apache.spark.sql.functions._
   */
 object DedupProbe {
 
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
+    f.delete(): Unit
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
@@ -240,7 +245,13 @@ object DedupProbe {
         ("m=8 k=6 rarest cap=500", () => Dedup.editDistancePairs(docs, maxDist = 5,
           prefixLen = 40, nSegments = 8, indexSegments = 6, maxSegmentBucket = 500)),
         ("m=12 k=6 rarest", () => Dedup.editDistancePairs(docs, maxDist = 5,
-          prefixLen = 40, nSegments = 12, indexSegments = 6)))
+          prefixLen = 40, nSegments = 12, indexSegments = 6)),
+        // round-15: bounded-live-scratch slices — same pairs, the candidate
+        // exchange split into K sequential materialized sub-jobs (the 5M-doc
+        // guard-kill is LIVE shuffle scratch, not candidate volume)
+        ("classic cap=500 slices=8", () => Dedup.editDistancePairs(docs,
+          maxDist = 5, prefixLen = 40, maxSegmentBucket = 500,
+          candidateSlices = 8)))
       // .iterator: on a strict Seq, takeWhile would evaluate its predicate
       // for every leg BEFORE any runs — only the lazy form actually skips
       // the remaining legs after one kills the SparkContext (ADVICE r14)
@@ -434,17 +445,35 @@ object DedupProbe {
           Dedup.ngramJaccardPairs(docs, minJaccard = 0.8, maxDocFreq = 1000).count()),
         ("e11 jaccard prefixDfCap=1000", () =>
           Dedup.ngramJaccardPairs(docs, minJaccard = 0.8, prefixDfCap = 1000).count()),
+        // round-15: stage-checkpointed witness path — the 50M-doc
+        // first-to-break was the ranking windows' + candidate join's
+        // shuffle files live TOGETHER; staging serializes the stages
+        ("e11 jaccard prefixDfCap=1000 staged", () => {
+          val dir = java.nio.file.Files.createTempDirectory("graft_stage11").toString
+          try Dedup.ngramJaccardPairs(docs, minJaccard = 0.8,
+            prefixDfCap = 1000, stageDir = dir).count()
+          finally rmrf(new java.io.File(dir))
+        }),
         ("e11 jaccard atRisk audit", () =>
           Dedup.ngramJaccardAtRisk(docs, minJaccard = 0.8, prefixDfCap = 1000).count()),
         ("e106 containment prefixDfCap=2000", () =>
           Dedup.ngramContainmentPairs(docs, minContainment = 0.9,
             prefixDfCap = 2000).count()),
+        ("e106 containment prefixDfCap=2000 staged", () => {
+          val dir = java.nio.file.Files.createTempDirectory("graft_stage106").toString
+          try Dedup.ngramContainmentPairs(docs, minContainment = 0.9,
+            prefixDfCap = 2000, stageDir = dir).count()
+          finally rmrf(new java.io.File(dir))
+        }),
         ("e106 atRisk audit", () =>
           Dedup.ngramContainmentAtRisk(docs, minContainment = 0.9,
             prefixDfCap = 2000).count()),
         ("e18 editdist cap=500", () =>
           Dedup.editDistancePairs(docs, maxDist = 5, prefixLen = 40,
             maxSegmentBucket = 500).count()),
+        ("e18 editdist cap=500 slices=16", () =>
+          Dedup.editDistancePairs(docs, maxDist = 5, prefixLen = 40,
+            maxSegmentBucket = 500, candidateSlices = 16).count()),
         ("e115 spanstore build", () => {
           val dir = java.nio.file.Files.createTempDirectory("graft_heavy_span").toString
           sys.props.put("graft.heavy.spandir", dir)

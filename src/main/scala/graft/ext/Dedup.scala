@@ -638,6 +638,60 @@ object Dedup {
       spark.read.parquet(s"$path/sigs"), b, r, minEstJaccard)
   }
 
+  /** One ingest step of the continuous-dedup lifecycle, as a single call:
+    * dedup `batch` against a [[buildMinHashStore]] store AND against
+    * itself, return the survivors, and (by default) append the survivors'
+    * signatures so the NEXT batch dedups against them too. The serving
+    * gate [[graft.streaming.EventStream.dedupStreamWithStore]] runs this
+    * per micro-batch.
+    *
+    *  - '''Store matches''': batch docs with estimated Jaccard ≥
+    *    `minEstJaccard` against any stored signature are dropped.
+    *    Same-id matches are excluded — a batch replayed after its append
+    *    (the at-least-once restart case) must not flag its own docs as
+    *    duplicates of themselves, so the step is replay-idempotent:
+    *    re-running it after its own append returns the same survivors.
+    *  - '''Within-batch matches''': GREEDY lowest-id-wins — a doc is
+    *    dropped iff some LOWER-id doc in the same batch estimates ≥ the
+    *    threshold against it directly (the serving-gate convention; the
+    *    cluster-transitive form is [[nearDedupRows]] — a gate must not
+    *    drop a doc because of a chain through an already-dropped one
+    *    unless that link itself clears the threshold).
+    *  - Docs with zero shingles have no resemblance to estimate: they
+    *    always survive and are never appended (no signature exists).
+    *
+    * Scale shape: batch signatures are computed once and pinned
+    * (localCheckpoint); the store side is READ, never recomputed; the only
+    * corpus-sized traffic is the band-key equi-join of
+    * [[minHashStoreLookup]].
+    */
+  def minHashStoreIngest(spark: SparkSession, path: String, batch: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      minEstJaccard: Double = 0.5,
+      appendSurvivors: Boolean = true): DataFrame = {
+    val (sh, b, r, portable) = readStoreMeta(spark, path)
+    val bs = minhashSigsMd5(batch, textCol, idCol, sh, b * r, portable)
+      .localCheckpoint(true)
+    val storeFlagged = lookupSigs(bs, spark.read.parquet(s"$path/sigs"),
+        b, r, minEstJaccard)
+      .where(col("corpus_id") =!= col("batch_id")) // replay idempotence
+      .select(col("batch_id").as("__drop_id"))
+    val intraFlagged = lookupSigs(bs, bs, b, r, minEstJaccard)
+      .where(col("corpus_id") < col("batch_id")) // greedy lowest-id-wins
+      .select(col("batch_id").as("__drop_id"))
+    val survivors = batch.join(
+      storeFlagged.unionAll(intraFlagged).distinct().hint("broadcast"),
+      col(idCol) === col("__drop_id"), "left_anti")
+    if (appendSurvivors) {
+      // append from the pinned signature frame — nothing recomputed, and
+      // unshingleable docs are naturally absent
+      bs.join(survivors.select(col(idCol).as("id")).hint("broadcast"),
+          Seq("id"), "left_semi")
+        .write.mode("append").parquet(s"$path/sigs")
+    }
+    survivors
+  }
+
   /** Generated DuckDB mirror of [[minhashLookupMd5]]: `batchSql` is a
     * parenthesized subquery producing (idCol, textCol) for the batch side;
     * same shingles, md5 permutation hashes, band keys, and slot-agreement
@@ -933,11 +987,34 @@ object Dedup {
     * the containment ones: [[ngramContainmentAtRisk]] /
     * [[ngramJaccardAtRisk]] list the docs whose witness window holds any
     * over-cap shingle.
+    *
+    * `stageDir` (round 15) bounds LIVE shuffle scratch on a single box by
+    * materializing the two natural stage boundaries to parquet and
+    * releasing the upstream shuffle files before the next stage runs. The
+    * measured 50M-doc single-box first-to-break (BASELINE.md round-15
+    * table) is NOT candidate volume — it is the ranking windows' and the
+    * candidate join's full-index shuffle files being live SIMULTANEOUSLY
+    * (~2–3× the index vs the box's free scratch). Staging splits the
+    * pipeline into sequential jobs — (1) rank + cap the entries →
+    * `$dir/entries`, (2) witness join → `$dir/cands` (witness-bounded,
+    * tiny), (3) exact verify — so peak live scratch is ONE stage's, not
+    * their sum. EAGER when set (the writes run at call time); leave unset
+    * on a cluster, where the one-job plan pipelines and hash-partitions
+    * perfectly.
     */
   private def prefixWitnessCands(sh: DataFrame, tNum: Long, prefixDfCap: Int,
-      lengthBound: Boolean): DataFrame = {
+      lengthBound: Boolean, stageDir: Option[String] = None): DataFrame = {
     val e = PrefixWitnessExt
-    val kept = pfOrderedEntries(sh).where(col("gdf") <= prefixDfCap)
+    val kept0 = pfOrderedEntries(sh).where(col("gdf") <= prefixDfCap)
+    val kept = stageDir match {
+      case Some(dir) =>
+        kept0.write.mode("overwrite").parquet(s"$dir/entries")
+        // hand the ranking windows' now-unreachable shuffle files to the
+        // ContextCleaner before the join stage claims its own scratch
+        System.gc()
+        sh.sparkSession.read.parquet(s"$dir/entries")
+      case None => kept0
+    }
     val probe = kept
       .where(col("pos") <= col("n_sh") - pfAlpha(col("n_sh"), tNum) + e)
       .select(col("id").as("id_p"), col("n_sh").as("n_p"),
@@ -953,7 +1030,7 @@ object Dedup {
       if (lengthBound) joined.where(
         lit(PfScale) * col("n_p") >= lit(tNum) * col("n_i"))
       else joined
-    sized
+    val cand = sized
       // positional bound relaxed by e — valid for the j-th shared entry,
       // j ≤ e+1 (suffixes must still cover α − e), so every counted
       // witness survives it
@@ -965,6 +1042,13 @@ object Dedup {
       .agg(count(lit(1)).as("__w"), first(col("n_p")).as("__n_p"))
       .where(col("__w") >= least(lit(e + 1), pfAlpha(col("__n_p"), tNum)))
       .select(col("id_a"), col("id_b"))
+    stageDir match {
+      case Some(dir) =>
+        cand.write.mode("overwrite").parquet(s"$dir/cands")
+        System.gc() // release the witness join's shuffle files pre-verify
+        sh.sparkSession.read.parquet(s"$dir/cands")
+      case None => cand
+    }
   }
 
   /** Shared body of [[ngramContainmentAtRisk]] / [[ngramJaccardAtRisk]]:
@@ -1065,7 +1149,8 @@ object Dedup {
       minJaccard: Double = 0.8,
       maxDocFreq: Int = 0,
       prefixFilter: Boolean = false,
-      prefixDfCap: Int = 0): DataFrame = {
+      prefixDfCap: Int = 0,
+      stageDir: String = ""): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1.0,
       s"minJaccard in (0, 1]: $minJaccard")
     require(!(prefixFilter && maxDocFreq > 0),
@@ -1074,6 +1159,8 @@ object Dedup {
     require(prefixDfCap <= 0 || (maxDocFreq <= 0 && !prefixFilter),
       "prefixDfCap is a complete candidate-generation mode of its own — " +
         "combine with neither maxDocFreq nor prefixFilter")
+    require(stageDir.isEmpty || prefixDfCap > 0,
+      "stageDir bounds the witness path's live scratch — it requires prefixDfCap")
     val sh = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
@@ -1083,7 +1170,8 @@ object Dedup {
       // contract via [[ngramJaccardAtRisk]], candidates additionally
       // pruned by the Jaccard length bound (see [[prefixWitnessCands]]).
       val cand = prefixWitnessCands(sh, pfThresholdNum(minJaccard),
-        prefixDfCap, lengthBound = true)
+        prefixDfCap, lengthBound = true,
+        stageDir = Option(stageDir).filter(_.nonEmpty))
       return verifyExactJaccard(cand, sh, minJaccard, cappedCands = true)
     }
     if (prefixFilter) {
@@ -1221,7 +1309,8 @@ object Dedup {
       minContainment: Double = 0.9,
       maxDocFreq: Int = 0,
       prefixFilter: Boolean = false,
-      prefixDfCap: Int = 0): DataFrame = {
+      prefixDfCap: Int = 0,
+      stageDir: String = ""): DataFrame = {
     require(minContainment > 0 && minContainment <= 1.0,
       s"minContainment in (0, 1]: $minContainment")
     require(!(prefixFilter && maxDocFreq > 0),
@@ -1230,6 +1319,8 @@ object Dedup {
     require(prefixDfCap <= 0 || (maxDocFreq <= 0 && !prefixFilter),
       "prefixDfCap is a complete candidate-generation mode of its own — " +
         "combine with neither maxDocFreq nor prefixFilter")
+    require(stageDir.isEmpty || prefixDfCap > 0,
+      "stageDir bounds the witness path's live scratch — it requires prefixDfCap")
     val sh = containmentShingleSets(docs, textCol, idCol, shingleSize)
     if (prefixDfCap > 0) {
       // the cap filters the hashed-key entry stream directly (one cheap
@@ -1253,7 +1344,8 @@ object Dedup {
       // precision), turning the exact verify join from the operator's
       // dominant cost into noise. Shared generator: [[prefixWitnessCands]].
       val cand = prefixWitnessCands(sh, pfThresholdNum(minContainment),
-        prefixDfCap, lengthBound = false)
+        prefixDfCap, lengthBound = false,
+        stageDir = Option(stageDir).filter(_.nonEmpty))
       return verifyContainment(cand, sh, minContainment, cappedCands = true)
     }
     if (prefixFilter) {
@@ -1465,6 +1557,31 @@ object Dedup {
     * trade is probe fan-out for bucket drain. `nSegments = 0` keeps the
     * classic d+1 layout (no selection possible; segments at their longest
     * and most selective — right for corpora without aligned boilerplate).
+    *
+    * '''Bounded live scratch''' (`candidateSlices`, round 15): the family's
+    * measured single-box ceiling is not candidate VOLUME (the cap bounds
+    * that) but the candidate exchange being ONE shuffle — at 5M docs the
+    * Σ bucket² pair stream's join + distinct hold >62 GB of live shuffle
+    * files and the box dies before any executor does. `candidateSlices = K`
+    * partitions the SEGMENT-BUCKET keyspace by hash into K slices and runs
+    * the join → distinct → DP pipeline once per slice, materializing each
+    * slice's verified pairs (tiny — true-pair-sized) and releasing the
+    * slice's shuffle files before the next slice starts, so peak live
+    * scratch is ~1/K of the exchange. EXACT: a bucket lives wholly in one
+    * slice, so every candidate pair is generated in the slice(s) of its
+    * matching bucket(s) and the final `dropDuplicates` collapses the pairs
+    * that matched in buckets of different slices (their DP distances are
+    * identical by determinism). The bucket cap composes unchanged (a
+    * bucket's count is computed inside its own slice — the same rows the
+    * global computation would see). NOTE `candidateSlices > 1` EXECUTES
+    * EAGERLY (K sequential jobs; the returned frame reads their
+    * materialized results) and requires the classic all-indexed layout
+    * (`indexSegments = nSegments`): rarest-segment selection ranks each
+    * doc's segments across ALL buckets, which a bucket-hash slice cannot
+    * see. On a cluster, prefer `candidateSlices = 1` — the one-shuffle plan
+    * hash-partitions perfectly; slicing trades wall-clock (K passes over
+    * the corpus-side segment generation) for bounded scratch on a single
+    * fat box.
     */
   def editDistancePairs(
       docs: DataFrame,
@@ -1475,7 +1592,8 @@ object Dedup {
       maxSegmentBucket: Int = 0,
       nSegments: Int = 0,
       indexSegments: Int = 0,
-      qgramFilter: Int = 0): DataFrame = {
+      qgramFilter: Int = 0,
+      candidateSlices: Int = 1): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
     val d = maxDist
     val m = if (nSegments > 0) nSegments else d + 1
@@ -1483,26 +1601,41 @@ object Dedup {
     val k = if (indexSegments > 0) indexSegments else m
     require(k >= d + 1 && k <= m,
       s"indexSegments must be in [maxDist + 1, nSegments]: $k vs d=$d m=$m")
+    require(candidateSlices >= 1, s"candidateSlices must be >= 1: $candidateSlices")
+    require(candidateSlices == 1 || k >= m,
+      "candidateSlices composes with the classic all-indexed layout only " +
+        s"(indexSegments = nSegments): got k=$k m=$m")
     val keyed = edKeyed(docs, textCol, idCol, prefixLen)
     val indexedAll = edSegments(keyed, m)
+    // slice restriction on the segment-bucket key (lb, i, sub) — None is
+    // the whole keyspace (the classic one-shuffle plan). A bucket's every
+    // row lands in the same slice, so per-slice bucket counts (the cap) and
+    // per-slice candidate generation see exactly the rows the global
+    // computation would.
+    def inSlice(df: DataFrame, s: Option[Int]): DataFrame = s match {
+      case Some(i) => df.where(pmod(xxhash64(col("lb"), col("i"), col("sub")),
+        lit(candidateSlices.toLong)) === i)
+      case None => df
+    }
     // rarest-segment selection: rank each doc's segments by their bucket's
     // corpus-wide df (ties by segment index — total, deterministic) and
     // keep the k rarest. Strings too short to fill every segment rank the
     // empty-suffix segments by df like any other (an empty `sub` bucket is
     // maximally hot, so selection naturally avoids it when possible).
-    val indexed0 =
-      if (k >= m) indexedAll
-      else {
-        val segDf = indexedAll.groupBy(col("lb"), col("i"), col("sub"))
-          .agg(count(lit(1)).as("__bdf"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("id_b")).orderBy(col("__bdf"), col("i"))
-        indexedAll.join(segDf, Seq("lb", "i", "sub"))
-          .withColumn("__rk", row_number().over(w))
-          .where(col("__rk") <= k)
-          .select(col("id_b"), col("lb"), col("i"), col("sub"))
-      }
-    val indexed =
+    def indexedOf(s: Option[Int]): DataFrame = {
+      val base = inSlice(indexedAll, s)
+      val indexed0 =
+        if (k >= m) base
+        else {
+          val segDf = base.groupBy(col("lb"), col("i"), col("sub"))
+            .agg(count(lit(1)).as("__bdf"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("id_b")).orderBy(col("__bdf"), col("i"))
+          base.join(segDf, Seq("lb", "i", "sub"))
+            .withColumn("__rk", row_number().over(w))
+            .where(col("__rk") <= k)
+            .select(col("id_b"), col("lb"), col("i"), col("sub"))
+        }
       if (maxSegmentBucket <= 0) indexed0
       else {
         val hot = indexed0.groupBy(col("lb"), col("i"), col("sub"))
@@ -1511,6 +1644,7 @@ object Dedup {
           .select(col("lb"), col("i"), col("sub"))
         indexed0.join(hot, Seq("lb", "i", "sub"), "left_anti")
       }
+    }
 
     // probe side: for every corpus length within ±d (a broadcast dimension
     // of DISTINCT lengths — not a row explosion over the corpus), every
@@ -1545,24 +1679,18 @@ object Dedup {
     }): _*)
     val beforeEdits =
       if (k >= m) greatest(col("ps.i"), abs(col("ps.dl"))) else abs(col("ps.dl"))
-    val probe = keyed
-      .join(broadcast(lengths), abs(col("l") - col("lb")) <= d)
-      .select(col("id").as("id_a"), col("k").as("k_a"), col("l").as("la"),
-        col("lb"), explode(probeSubs).as("ps"))
-      .where(col("ps.p") >= 0 && col("ps.p") + col("ps.len") <= col("la") &&
-        beforeEdits + abs(col("la") - col("lb") - col("ps.dl")) <= d)
-      .select(col("id_a"), col("lb"), col("ps.i").as("i"),
-        col("k_a").substr(col("ps.p") + 1, col("ps.len")).as("sub"))
+    def probeOf(lengthsDf: DataFrame, s: Option[Int]): DataFrame = inSlice(
+      keyed
+        .join(broadcast(lengthsDf), abs(col("l") - col("lb")) <= d)
+        .select(col("id").as("id_a"), col("k").as("k_a"), col("l").as("la"),
+          col("lb"), explode(probeSubs).as("ps"))
+        .where(col("ps.p") >= 0 && col("ps.p") + col("ps.len") <= col("la") &&
+          beforeEdits + abs(col("la") - col("lb") - col("ps.dl")) <= d)
+        .select(col("id_a"), col("lb"), col("ps.i").as("i"),
+          col("k_a").substr(col("ps.p") + 1, col("ps.len")).as("sub")), s)
 
     // id-only candidate pairs; keys re-join AFTER the distinct, so the
-    // multi-segment/multi-shift duplication never carries string payloads
-    val pairs = probe.join(indexed, Seq("lb", "i", "sub"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct() // a pair can match via several segments/shifts
-    val joined = pairs
-      .join(keyed.select(col("id").as("id_a"), col("k").as("k_a")), Seq("id_a"))
-      .join(keyed.select(col("id").as("id_b"), col("k").as("k_b")), Seq("id_b"))
+    // multi-segment/multi-shift duplication never carries string payloads.
     // qgramFilter > 0 layers Gravano-style positional q-gram COUNT
     // filtering (Gravano et al., "Approximate String Joins in a Database
     // (Almost) for Free", VLDB 2001) between the candidates and the DP:
@@ -1574,22 +1702,54 @@ object Dedup {
     // work, not the candidate exchange that dominates at rehearsal scale —
     // kept as a measured A/B knob, off by default (the round-14 docs5m
     // A/B is recorded in BASELINE.md).
-    val prefiltered =
-      if (qgramFilter <= 0) joined
-      else {
-        val q = qgramFilter
-        val nA = length(col("k_a")) - (q - 1)
-        val thr = nA - lit(d * q)
-        val matches = size(filter(
-          sequence(lit(1), greatest(nA, lit(1))),
-          i => exists(sequence(greatest(i - d, lit(1)), i + d),
-            j => col("k_b").substr(j, lit(q)) === col("k_a").substr(i, lit(q)))))
-        joined.where(when(thr <= 0, lit(true)).otherwise(matches >= thr))
-      }
-    prefiltered
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("k_a"), col("k_b"), maxDist).cast("long").as("dist"))
-      .where(col("dist") >= 0)
+    def verified(probe: DataFrame, indexed: DataFrame): DataFrame = {
+      val pairs = probe.join(indexed, Seq("lb", "i", "sub"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct() // a pair can match via several segments/shifts
+      val joined = pairs
+        .join(keyed.select(col("id").as("id_a"), col("k").as("k_a")), Seq("id_a"))
+        .join(keyed.select(col("id").as("id_b"), col("k").as("k_b")), Seq("id_b"))
+      val prefiltered =
+        if (qgramFilter <= 0) joined
+        else {
+          val q = qgramFilter
+          val nA = length(col("k_a")) - (q - 1)
+          val thr = nA - lit(d * q)
+          val matches = size(filter(
+            sequence(lit(1), greatest(nA, lit(1))),
+            i => exists(sequence(greatest(i - d, lit(1)), i + d),
+              j => col("k_b").substr(j, lit(q)) === col("k_a").substr(i, lit(q)))))
+          joined.where(when(thr <= 0, lit(true)).otherwise(matches >= thr))
+        }
+      prefiltered
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("k_a"), col("k_b"), maxDist).cast("long").as("dist"))
+        .where(col("dist") >= 0)
+    }
+
+    if (candidateSlices == 1) verified(probeOf(lengths, None), indexedOf(None))
+    else {
+      // eager sequential slices: each slice's verified pairs are
+      // materialized (true-pair-sized blocks), then the slice's join /
+      // distinct shuffle files — unreachable once the checkpoint exists —
+      // are handed to the ContextCleaner via an explicit GC so the next
+      // slice starts with the scratch back. The corpus-side inputs are
+      // persisted across slices (keyed is narrow: id + the comparison key).
+      keyed.persist()
+      val lengthsCk = lengths.localCheckpoint(true)
+      try {
+        val parts = (0 until candidateSlices).map { s =>
+          val out = verified(probeOf(lengthsCk, Some(s)), indexedOf(Some(s)))
+            .localCheckpoint(true)
+          System.gc()
+          out
+        }
+        // a pair that matched in buckets of DIFFERENT slices appears once
+        // per slice with identical (deterministic) distances — collapse
+        parts.reduce(_ unionAll _).dropDuplicates("id_a", "id_b")
+      } finally keyed.unpersist()
+    }
   }
 
   /** Audit for [[editDistancePairs]]'s candidate volume: segment buckets

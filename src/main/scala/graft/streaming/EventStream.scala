@@ -368,6 +368,55 @@ object EventStream {
        |QUALIFY sid < MAX(sid) OVER (PARTITION BY user_id)
        |ORDER BY user_id, session_start""".stripMargin
 
+  /** Continuous-ingestion near-dup gate: every micro-batch of documents is
+    * deduped against a persisted [[graft.ext.Dedup.buildMinHashStore]]
+    * signature store — matches at the store's pinned MinHash parameters
+    * are dropped, survivors go to `sink` AND their signatures are appended,
+    * so later batches (and later docs in the SAME batch — greedy
+    * lowest-id-wins) dedup against everything ingested so far. This is the
+    * e115 incremental-dedup lifecycle as a stream.
+    *
+    * `foreachBatch` is the supported Structured Streaming shape for this
+    * operator: the lookup's candidate-distinct + signature re-join would be
+    * a disallowed stream-stream self-join in pure streaming form, while
+    * inside `foreachBatch` the exact batch operator
+    * ([[graft.ext.Dedup.minHashStoreIngest]]) runs per trigger — streaming
+    * ≡ batch is pinned in EventStreamSpec.
+    *
+    * Restart semantics: `foreachBatch` is at-least-once, so a batch id can
+    * replay after a crash. Appends are guarded by a per-batch marker dir
+    * (`$store/_stream/<queryName>_<batchId>`, created AFTER the append): a
+    * replayed batch recomputes and re-emits the SAME survivors (the ingest
+    * step excludes same-id store matches, so a batch never flags its own
+    * appended signatures) and never double-appends once the marker exists.
+    * A crash between append and marker re-appends duplicate signature ROWS
+    * — harmless to lookup semantics (duplicate candidates collapse in the
+    * match distinct; flags are id sets) and reclaimed by the next
+    * [[graft.ext.Dedup.compactMinHashStore]].
+    */
+  def dedupStreamWithStore(docs: DataFrame, storePath: String,
+      queryName: String, minEstJaccard: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id")
+      (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          java.net.URI.create(storePath),
+          spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$storePath/_stream/${queryName}_$batchId")
+        val alreadyAppended = fs.exists(marker)
+        val survivors = graft.ext.Dedup.minHashStoreIngest(spark, storePath,
+          batch, textCol, idCol, minEstJaccard,
+          appendSurvivors = !alreadyAppended)
+        sink(survivors)
+        if (!alreadyAppended) fs.mkdirs(marker): Unit
+      }
+      .start()
+
   /** Run a streaming frame to completion against the files currently in the
     * source directory, collecting results via the memory sink — the local
     * smoke-loop (spark_guide: memory format + processAllAvailable).

@@ -356,6 +356,39 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("stageDir: staged witness path ≡ in-memory on both families; requires prefixDfCap") {
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val doubled = d.unionAll(d.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    def jm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def cm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    val j = jm(Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8, prefixDfCap = 2000))
+    assert(j.nonEmpty)
+    assert(jm(Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8, prefixDfCap = 2000,
+      stageDir = s"$dir/j")) == j)
+    val c = cm(Dedup.ngramContainmentPairs(doubled, minContainment = 0.9,
+      prefixDfCap = 2000))
+    assert(c.nonEmpty)
+    assert(cm(Dedup.ngramContainmentPairs(doubled, minContainment = 0.9,
+      prefixDfCap = 2000, stageDir = s"$dir/c")) == c)
+    // both stage boundaries were actually materialized
+    assert(new java.io.File(s"$dir/j/entries").exists &&
+      new java.io.File(s"$dir/j/cands").exists)
+    // staging is a property of the witness path only — refused elsewhere
+    assertThrows[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8, stageDir = s"$dir/x")
+    }
+    assertThrows[IllegalArgumentException] {
+      Dedup.ngramContainmentPairs(doubled, minContainment = 0.9,
+        prefixFilter = true, stageDir = s"$dir/y")
+    }
+  }
+
   test("prefixFilter containment ≡ default path on planted excerpts (exact recall)") {
     // the e106 shape: half-length excerpts are fully contained in their
     // originals; prefix mode (smaller-side prefix vs full index) must land
@@ -696,6 +729,30 @@ class DedupSpec extends AnyFunSuite {
     assert(off.nonEmpty)
     assert(pairs(3) == off)
     assert(pairs(2) == off)
+  }
+
+  test("editDistancePairs candidateSlices: identical pairs, cap composes, rarest-k refuses") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val plain = pairs(Dedup.editDistancePairs(docs, maxDist = 5, prefixLen = 40))
+    assert(plain.nonEmpty)
+    // sliced ≡ unsliced — every bucket lands in exactly one slice, and the
+    // final dropDuplicates collapses pairs that matched across slices
+    assert(pairs(Dedup.editDistancePairs(docs, maxDist = 5, prefixLen = 40,
+      candidateSlices = 4)) == plain)
+    // the audited cap composes: per-slice bucket counts see the same rows
+    val capped = pairs(Dedup.editDistancePairs(docs, maxDist = 5,
+      prefixLen = 40, maxSegmentBucket = 500))
+    assert(pairs(Dedup.editDistancePairs(docs, maxDist = 5, prefixLen = 40,
+      maxSegmentBucket = 500, candidateSlices = 3)) == capped)
+    // rarest-segment selection ranks across ALL buckets — a bucket-hash
+    // slice cannot see that, so the combination refuses loudly
+    assertThrows[IllegalArgumentException] {
+      Dedup.editDistancePairs(docs, maxDist = 5, prefixLen = 40,
+        nSegments = 8, indexSegments = 6, candidateSlices = 2)
+    }
   }
 
   test("editDistanceHotSegments surfaces aligned boilerplate buckets") {

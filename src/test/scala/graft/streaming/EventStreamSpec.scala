@@ -335,4 +335,56 @@ class EventStreamSpec extends AnyFunSuite {
       assert(got == batch, s"stream $got vs batch $batch")
     } finally q.stop()
   }
+
+  test("dedupStreamWithStore: store + within-batch + cross-batch gate, replay-idempotent appends") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_store").toString
+    val storedText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val base = Seq((1L, storedText),
+      (2L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.buildMinHashStore(base, dir)
+
+    val freshText = "completely novel first fresh document text arriving right here"
+    val twinText = "twin payload shared verbatim by two docs of the same batch"
+    val ms = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = EventStream.dedupStreamWithStore(
+      ms.toDF().toDF("doc_id", "text"), dir, "gate1") { sv =>
+      val ids = sv.select("doc_id").collect().map(_.getLong(0))
+      seen.synchronized { seen ++= ids }
+    }
+    try {
+      // batch 0: 10 duplicates a STORED doc (dropped); 11 is fresh (kept);
+      // 12/13 duplicate EACH OTHER (greedy lowest-id: 12 kept, 13 dropped)
+      ms.addData((10L, storedText), (11L, freshText),
+        (12L, twinText), (13L, twinText))
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.sorted.toSeq) == Seq(11L, 12L))
+      // batch 1: 20 duplicates batch 0's SURVIVOR 11 — the cross-batch
+      // case only the appended signatures can catch; 21 is fresh
+      ms.addData((20L, freshText),
+        (21L, "another different unrelated brand new closing document"))
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.sorted.toSeq) == Seq(11L, 12L, 21L))
+    } finally q.stop()
+    // the store holds base + each survivor exactly once (no double-append)
+    val sigIds = spark.read.parquet(s"$dir/sigs")
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigIds == Map(1L -> 1L, 2L -> 1L, 11L -> 1L, 12L -> 1L, 21L -> 1L))
+    // per-batch markers guard the appends
+    assert(new java.io.File(s"$dir/_stream/gate1_0").exists &&
+      new java.io.File(s"$dir/_stream/gate1_1").exists)
+    // replay idempotence of the ingest step itself: rerunning batch 0
+    // AFTER its survivors were appended returns the same survivors — a
+    // doc never flags its own appended signature (same-id exclusion)
+    val replay = graft.ext.Dedup.minHashStoreIngest(spark, dir,
+      Seq((10L, storedText), (11L, freshText), (12L, twinText),
+        (13L, twinText)).toDF("doc_id", "text"),
+      appendSurvivors = false)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(replay == Seq(11L, 12L))
+  }
 }
