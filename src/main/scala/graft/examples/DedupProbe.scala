@@ -255,12 +255,19 @@ object DedupProbe {
       // .iterator: on a strict Seq, takeWhile would evaluate its predicate
       // for every leg BEFORE any runs — only the lazy form actually skips
       // the remaining legs after one kills the SparkContext (ADVICE r14)
+      val edSpill = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null) edSpill.addAndGet(te.taskMetrics.diskBytesSpilled)
+      })
       layouts.iterator.filter(l => onlyLeg.forall(_ == l._1))
         .takeWhile(_ => !spark.sparkContext.isStopped).foreach { case (tag, f) =>
         try {
-          val t0 = System.nanoTime()
+          val s0 = edSpill.get(); val t0 = System.nanoTime()
           val n = f().count()
-          println(f"[dedup-probe] edseg $tag%-24s: $n%d pairs in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+          println(f"[dedup-probe] edseg $tag%-24s: $n%d pairs in " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s, spill " +
+            f"${(edSpill.get() - s0) / 1000000L}%d MB")
         } catch {
           case e: Throwable =>
             println(s"[dedup-probe] edseg $tag FAILED: ${e.getMessage.take(120)}")
@@ -491,8 +498,12 @@ object DedupProbe {
           Dedup.appendSpanStore(spark, dir, batch)
           n
         }))
-      // .iterator keeps the stop-check lazy (see the edseg comment)
-      legs.iterator.filter(l => onlyLeg.forall(l._1.contains(_)))
+      // .iterator keeps the stop-check lazy (see the edseg comment).
+      // EXACT name match wins when the env value names a leg verbatim —
+      // several legs are substring-prefixes of their staged/sliced twins,
+      // and an A/B control must be runnable alone in its own JVM
+      legs.iterator.filter(l => onlyLeg.forall(o =>
+          if (legs.exists(_._1 == o)) l._1 == o else l._1.contains(o)))
         .takeWhile(_ => !spark.sparkContext.isStopped).foreach { case (tag, f) =>
         try {
           val s0 = spill.get(); val t0 = System.nanoTime()

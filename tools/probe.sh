@@ -18,6 +18,11 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# Co-tenant VM pauses on this box can stall the in-process RPC loop long
+# enough (>10 s ask timeout, 60 missed heartbeats) to kill the local-mode
+# executor mid-leg — measured round 15. Long timeouts ride the pauses out.
 exec java $OPENS -Xmx"${PROBE_MEM:-96g}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Dspark.network.timeout=600s -Dspark.executor.heartbeatInterval=120s \
+  -Dspark.rpc.askTimeout=600s -Dspark.rpc.lookupTimeout=600s \
   -cp "$CP" "$@"
