@@ -121,6 +121,23 @@ object DedupProbe {
       timed("containment(0.9) atRisk audit (prefixDfCap=2000)") {
         Dedup.ngramContainmentAtRisk(docs, minContainment = 0.9, prefixDfCap = 2000).count()
       }
+      // round-15 optimization A/B: the witness CANDIDATE GENERATOR alone
+      // (the verify stage downstream is shared and identical), df attached
+      // by the legacy full-index window vs the fused groupBy+shuffle_hash
+      // join with the cap pushed before the rank shuffle
+      val shJ = docs
+        .select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
+        .select(col("id"), col("sh"), size(col("sh")).as("n_sh"))
+      // GRAFT_WITNESSGEN_ORDER reverses the leg order — the order-bias
+      // control for the A/B (the last leg runs warmest)
+      val stratOrder = Seq("postFilter", "cappedWindow", "dfJoin")
+      (if (sys.env.contains("GRAFT_WITNESSGEN_ORDER")) stratOrder.reverse
+       else stratOrder).foreach { strat =>
+        timed(s"jaccard(0.8) witnessgen cap=1000 dfStrategy=$strat") {
+          Dedup.prefixWitnessCands(shJ, 7999L, prefixDfCap = 1000,
+            lengthBound = true, dfStrategy = strat).count()
+        }
+      }
     }
 
     // ---- 0d2. containment candidate-volume diagnostics (round-14): where

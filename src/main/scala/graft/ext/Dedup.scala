@@ -167,8 +167,12 @@ object Dedup {
     val sh = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .where(size(col("sh")) > 0)
+    // native one-pass digest fold — bit-identical to the HOF
+    // minhashSignatureMd5 (DedupSpec pin), ~k interpreted array traversals
+    // with hex-string decoding collapsed into whole-stage codegen
     val sigs = sh.select(col("id"),
-      array(minhashSignatureMd5(col("sh"), bands * rowsPerBand): _*).as("sig"))
+      graft.functions.MinHashMd5.minhashSigMd5(col("sh"),
+        bands * rowsPerBand).as("sig"))
     val bandKeys = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until rowsPerBand).map(r =>
@@ -527,12 +531,15 @@ object Dedup {
   private[graft] def minhashSigsMd5(docs: DataFrame, textCol: String,
       idCol: String, shingleSize: Int, k: Int,
       portable: Boolean = true): DataFrame = {
-    val sigCols =
-      if (portable) minhashSignatureMd5(col("sh"), k)
-      else minhashSignature(col("sh"), k)
+    // portable path: native one-pass md5 digest fold, bit-identical to the
+    // HOF minhashSignatureMd5 (DedupSpec pin)
+    val sigCol =
+      if (portable)
+        graft.functions.MinHashMd5.minhashSigMd5(col("sh"), k)
+      else array(minhashSignature(col("sh"), k): _*)
     docs.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .where(size(col("sh")) > 0)
-      .select(col("id"), array(sigCols: _*).as("sig"))
+      .select(col("id"), sigCol.as("sig"))
   }
 
   private def sigBandKeys(bands: Int, rowsPerBand: Int): Seq[Column] =
@@ -961,10 +968,67 @@ object Dedup {
     */
   private def pfOrderedEntries(sh: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("g0"))
-      .select(col("id"), col("n_sh"), xxhash64(col("g0")).as("g"))
+    val inv = pfHashedInv(sh)
     inv
       .withColumn("gdf", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("gdf"), col("g"))) - 1)
+      .select(col("id"), col("n_sh"), col("pos"), col("g"), col("gdf"))
+  }
+
+  /** The hashed inverted index shared by [[pfOrderedEntries]] and
+    * [[pfCappedEntries]]: one (id, n_sh, g) row per (doc, shingle), `g` the
+    * shingle's xxhash64 (see [[pfOrderedEntries]] for the exactness
+    * argument).
+    */
+  private def pfHashedInv(sh: DataFrame): DataFrame =
+    sh.select(col("id"), col("n_sh"), explode(col("sh")).as("g0"))
+      .select(col("id"), col("n_sh"), xxhash64(col("g0")).as("g"))
+
+  /** `pfOrderedEntries(sh).where(gdf <= cap)` with the cap pushed BETWEEN
+    * the two windows (round-15 optimization, guide §2.3): the df window
+    * runs as before (one source pass), but over-cap entries are dropped
+    * BEFORE the per-doc rank shuffle instead of after it — the rank
+    * window's exchange and sort never see the corpus-dense boilerplate
+    * entries the cap exists to exclude.
+    *
+    * EXACTNESS: identical rows to the post-filter form. Every over-cap
+    * entry has `gdf > cap >= gdf(kept)`, so in the per-doc
+    * (gdf ASC, g ASC) order every over-cap entry sorts STRICTLY AFTER
+    * every kept entry — removing them first cannot shift any kept entry's
+    * `pos`. (Entries tied on (gdf, g) are byte-identical rows, so their
+    * arbitrary row_number assignment is unobservable downstream.)
+    * The probe/index/audit WINDOW semantics (`pos <= n_sh − α + e` with
+    * `n_sh` = the FULL shingle count) are untouched — the audits
+    * ([[prefixWitnessAtRisk]]) keep the uncapped [[pfOrderedEntries]] form
+    * because they must SEE over-cap entries inside the window.
+    *
+    * A groupBy+shuffle_hash-join df attachment (no sort by `g`, narrow df
+    * shuffle) was A/B'd at 500k docs and REJECTED: it re-scans and
+    * re-shingles the corpus for the df table, and the second source pass
+    * costs more than the avoided sort (49.2 s window vs 50.8 s join,
+    * identical 26,916 candidates — see OPTIMIZATION_r15.md).
+    */
+  private def pfCappedEntries(sh: DataFrame, prefixDfCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    pfHashedInv(sh)
+      .withColumn("gdf", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .where(col("gdf") <= prefixDfCap)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("gdf"), col("g"))) - 1)
+      .select(col("id"), col("n_sh"), col("pos"), col("g"), col("gdf"))
+  }
+
+  /** The rejected groupBy+join df attachment kept ONLY for the DedupProbe
+    * A/B (see [[pfCappedEntries]] scaladoc).
+    */
+  private[graft] def pfCappedEntriesDfJoin(sh: DataFrame,
+      prefixDfCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = pfHashedInv(sh)
+    val dfTbl = inv.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+      .where(col("gdf") <= prefixDfCap)
+    inv.join(dfTbl.hint("shuffle_hash"), Seq("g"))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("gdf"), col("g"))) - 1)
       .select(col("id"), col("n_sh"), col("pos"), col("g"), col("gdf"))
@@ -1002,10 +1066,22 @@ object Dedup {
     * on a cluster, where the one-job plan pipelines and hash-partitions
     * perfectly.
     */
-  private def prefixWitnessCands(sh: DataFrame, tNum: Long, prefixDfCap: Int,
-      lengthBound: Boolean, stageDir: Option[String] = None): DataFrame = {
+  private[graft] def prefixWitnessCands(sh: DataFrame, tNum: Long,
+      prefixDfCap: Int, lengthBound: Boolean,
+      stageDir: Option[String] = None,
+      dfStrategy: String = "cappedWindow"): DataFrame = {
     val e = PrefixWitnessExt
-    val kept0 = pfOrderedEntries(sh).where(col("gdf") <= prefixDfCap)
+    // dfStrategy selects the entry-ranking formulation purely for A/B
+    // probing (DedupProbe): "cappedWindow" (default — cap pushed between
+    // the windows), "postFilter" (pre-round-15 form), "dfJoin" (rejected
+    // groupBy+join form). All three emit IDENTICAL rows.
+    val kept0 = dfStrategy match {
+      case "cappedWindow" => pfCappedEntries(sh, prefixDfCap)
+      case "postFilter" => pfOrderedEntries(sh).where(col("gdf") <= prefixDfCap)
+      case "dfJoin" => pfCappedEntriesDfJoin(sh, prefixDfCap)
+      case other => throw new IllegalArgumentException(
+        s"unknown dfStrategy: $other")
+    }
     val kept = stageDir match {
       case Some(dir) =>
         kept0.write.mode("overwrite").parquet(s"$dir/entries")

@@ -26,6 +26,15 @@ object ExtQueries {
     * blanket repair). See [[graft.ops.Layout.repairScanParallelism]] — a
     * well-split input passes through untouched, so this is a no-op at real
     * scale.
+    *
+    * Round-15 sweep (OPTIMIZATION_r15.md): every declared load was A/B'd
+    * under the full bench. The repair pays only where saved map-side work
+    * exceeds the ~0.3–0.5 s round-robin exchange + AQE round it adds —
+    * kept for the regex/shingle/digest and exact-DECIMAL-moment queries
+    * (e87 2.9→1.1 s, e103 3.5→2.3 s, e35/e63/e75/e100 −0.3..−0.7 s) and
+    * the doubled/excerpt unions (e11/e14/e94/e99/e106 — repaired after
+    * the union); REVERTED on ~30 light queries where it measured as pure
+    * tax (e31 +1.0 s, e47 +0.9 s, e92 +0.9 s, e56/e60/e61/e66 +0.3–0.6 s).
     */
   private def tp(s: SparkSession, dir: String, name: String): DataFrame =
     graft.ops.Layout.repairScanParallelism(t(s, dir, name))
@@ -184,7 +193,7 @@ object ExtQueries {
   private val e07 = Q(
     "e07_lang_id",
     (s, dir) =>
-      t(s, dir, "documents")
+      tp(s, dir, "documents")
         .withColumn("votes", TextStats.langVotes(col("text")))
         .select(col("lang"),
           TextStats.langIdFromVotes(col("votes"), col("text")).as("lang_pred"))
@@ -215,7 +224,7 @@ object ExtQueries {
       // guarded exact form (the oracle needs exactness): Percentiles.exact
       // refuses above its row guard — at real scale the approx twin
       // (Percentiles.approx, error-bound-tested in SketchSpec) is the path
-      Percentiles.exact(t(s, dir, "lineitem"),
+      Percentiles.exact(tp(s, dir, "lineitem"),
           Seq("l_quantity" -> Seq(0.5, 0.9), "l_extendedprice" -> Seq(0.25, 0.75)))
         .select(
           round(element_at(col("l_quantity_pcts"), 1), 4).as("median_qty"),
@@ -239,7 +248,10 @@ object ExtQueries {
     "e11_ngram_jaccard",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L))
+      // repair AFTER doubling: the 2-branch union of single-row-group scans
+      // caps the shingle stage at 2 tasks (see [[tp]])
+      val doubled = graft.ops.Layout.repairScanParallelism(
+        d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L)))
       // witness-counted rarest-prefix candidates at EVERY scale (round-15
       // A/B at 5M docs: 133.0 s vs the round-13 winner maxDocFreq=1000's
       // 222.6 s, IDENTICAL 256k pairs, ngramJaccardAtRisk empty — the e106
@@ -345,7 +357,9 @@ object ExtQueries {
     "e14_dup_clusters",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L))
+      // repair AFTER doubling — see e11's note
+      val doubled = graft.ops.Layout.repairScanParallelism(
+        d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L)))
       // same witness-counted path as e11 — cap inactive at verify scale,
       // see e11's note
       val pairs = Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8,
@@ -849,7 +863,7 @@ object ExtQueries {
   private val e33 = Q(
     "e33_pmi_bigrams",
     (s, dir) =>
-      Collocations.pmiBigrams(t(s, dir, "documents"), minCount = 5L, topK = 100),
+      Collocations.pmiBigrams(tp(s, dir, "documents"), minCount = 5L, topK = 100),
     Some(Collocations.pmiBigramsSql("documents", minCount = 5L, topK = 100)))
 
   // E1d snapshot diff between pipeline runs: the "new" snapshot is a
@@ -900,7 +914,7 @@ object ExtQueries {
   // the same formula/association/fixed-point scale (Drift.sourceTokenKlSql).
   private val e35 = Q(
     "e35_source_kl",
-    (s, dir) => Drift.sourceTokenKl(t(s, dir, "documents")),
+    (s, dir) => Drift.sourceTokenKl(tp(s, dir, "documents")),
     Some(Drift.sourceTokenKlSql("documents")))
 
   // E5c daily volume anomaly z-scores per event type (trailing-14-day ROWS
@@ -1063,7 +1077,7 @@ object ExtQueries {
     "e44_quantile_buckets",
     (s, dir) =>
       graft.ops.Normalize.quantileBuckets(
-          t(s, dir, "lineitem")
+          tp(s, dir, "lineitem")
             .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
           "l_extendedprice", k = 4)
         // l_extendedprice completes the total order (e40's note); the
@@ -1424,7 +1438,7 @@ object ExtQueries {
   // integer counts exactly once and round at 4dp on both engines.
   private val e62 = Q(
     "e62_distinct_ngrams",
-    (s, dir) => TextStats.distinctNgrams(t(s, dir, "documents"))
+    (s, dir) => TextStats.distinctNgrams(tp(s, dir, "documents"))
       .orderBy(col("doc_id")),
     Some(
       """WITH toksed AS (
@@ -1448,7 +1462,7 @@ object ExtQueries {
   // GENERATED from the same association order (Drift.sourceJsdSql).
   private val e63 = Q(
     "e63_source_jsd",
-    (s, dir) => Drift.sourceJsd(t(s, dir, "documents")),
+    (s, dir) => Drift.sourceJsd(tp(s, dir, "documents")),
     Some(Drift.sourceJsdSql("documents")))
 
   // E2d reciprocal-rank fusion of a single-term BM25 lexical top-20 with
@@ -1458,9 +1472,9 @@ object ExtQueries {
   private val e64 = Q(
     "e64_rrf_hybrid",
     (s, dir) => {
-      val lex = Ranking.bm25(t(s, dir, "documents"), Seq("spark"))
+      val lex = Ranking.bm25(tp(s, dir, "documents"), Seq("spark"))
         .select(col("doc_id"), col("score"))
-      val sem = Similarity.bruteForceTopK(t(s, dir, "embeddings"), queryId = 0L, k = 20)
+      val sem = Similarity.bruteForceTopK(tp(s, dir, "embeddings"), queryId = 0L, k = 20)
         .withColumnRenamed("vec_id", "doc_id")
       Ranking.rrfFuse(
         Ranking.rankByScore(lex, "score", "doc_id", 20),
@@ -1553,7 +1567,7 @@ object ExtQueries {
   private val e69 = Q(
     "e69_auc",
     (s, dir) => graft.ops.Stats.aucBinary(
-      t(s, dir, "orders").select(col("o_totalprice").as("score"),
+      tp(s, dir, "orders").select(col("o_totalprice").as("score"),
         (col("o_orderstatus") === "F").as("y")),
       "score", "y", decimals = -2),
     Some("""WITH scored AS (
@@ -1631,7 +1645,7 @@ object ExtQueries {
   // detector beside e63's JSD. SQL GENERATED (Drift.vocabOverlapSql).
   private val e75 = Q(
     "e75_vocab_overlap",
-    (s, dir) => Drift.vocabOverlap(t(s, dir, "documents")),
+    (s, dir) => Drift.vocabOverlap(tp(s, dir, "documents")),
     Some(Drift.vocabOverlapSql("documents")))
 
   // E-corpus distinctive terms per source: Monroe et al. smoothed
@@ -1640,7 +1654,7 @@ object ExtQueries {
   // GENERATED (Drift.logOddsTermsSql).
   private val e76 = Q(
     "e76_log_odds",
-    (s, dir) => Drift.logOddsTerms(t(s, dir, "documents")),
+    (s, dir) => Drift.logOddsTerms(tp(s, dir, "documents")),
     Some(Drift.logOddsTermsSql("documents")))
 
   // E-stats mutual information source × lang on documents: the effect-size
@@ -1780,7 +1794,7 @@ object ExtQueries {
   // TextStats.gopherReportSql, same constants + stopword list).
   private val e87 = Q(
     "e87_gopher_rules",
-    (s, dir) => TextStats.gopherReport(t(s, dir, "documents")),
+    (s, dir) => TextStats.gopherReport(tp(s, dir, "documents")),
     Some(TextStats.gopherReportSql("documents")))
 
   // E2c int8 embedding quantization under the hash oracle (was spec-only):
@@ -1924,7 +1938,7 @@ object ExtQueries {
   private val e93 = Q(
     "e93_embedding_neardup",
     (s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = tp(s, dir, "embeddings")
       val doubled = e.unionAll(e.withColumn("vec_id", col("vec_id") + 100000L))
       // Corpus-scaled banding (Dedup.autoPlanes, footer count × 2 — no
       // job): at fixed band bits LSH bucket occupancy grows ∝ corpus
@@ -1973,7 +1987,9 @@ object ExtQueries {
     "e94_triangles",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L))
+      // repair AFTER doubling — see e11's note
+      val doubled = graft.ops.Layout.repairScanParallelism(
+        d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L)))
       // same witness-counted path as e11 (measured winner at 5M docs)
       val pairs = Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8,
         prefixDfCap = 1000)
@@ -2031,7 +2047,9 @@ object ExtQueries {
     "e99_adamic_adar",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L))
+      // repair AFTER doubling — see e11's note
+      val doubled = graft.ops.Layout.repairScanParallelism(
+        d.unionAll(d.withColumn("doc_id", col("doc_id") + 100000L)))
       // same witness-counted path as e11 — cap inactive at verify scale,
       // see e11's note
       val pairs = Dedup.ngramJaccardPairs(doubled, minJaccard = 0.8,
@@ -2049,7 +2067,7 @@ object ExtQueries {
   // (Stats.bootstrapMeanCiSql: same md5 noise, same threshold literals).
   private val e100 = Q(
     "e100_bootstrap_ci",
-    (s, dir) => graft.ops.Stats.bootstrapMeanCi(t(s, dir, "documents"),
+    (s, dir) => graft.ops.Stats.bootstrapMeanCi(tp(s, dir, "documents"),
       "n_chars", "doc_id", b = 100),
     Some(graft.ops.Stats.bootstrapMeanCiSql("documents",
       "n_chars", "doc_id", b = 100)))
@@ -2216,7 +2234,10 @@ object ExtQueries {
     val k = greatest(floor(size(toks) / 2), lit(3)).cast("int")
     val exc = d.select((col("doc_id") + 200000L).as("doc_id"),
       concat_ws(" ", slice(toks, lit(1), k)).as("text"))
-    d.select(col("doc_id"), col("text")).unionAll(exc)
+    // repair AFTER the union — the 2-branch single-row-group scan caps the
+    // shingle stage at 2 tasks (see [[tp]] / e11's note)
+    graft.ops.Layout.repairScanParallelism(
+      d.select(col("doc_id"), col("text")).unionAll(exc))
   }
   private val containmentPairsCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
@@ -2386,7 +2407,7 @@ object ExtQueries {
   // to e102's z-scores. SQL GENERATED (Normalize.madOutliersSql).
   private val e103 = Q(
     "e103_mad_outliers",
-    (s, dir) => graft.ops.Normalize.madOutliers(t(s, dir, "orders"),
+    (s, dir) => graft.ops.Normalize.madOutliers(tp(s, dir, "orders"),
       "o_totalprice"),
     Some(graft.ops.Normalize.madOutliersSql("orders", "o_totalprice")))
 

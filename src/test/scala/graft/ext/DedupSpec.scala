@@ -126,6 +126,28 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("native MinHashSigMd5 expression is bit-identical to the HOF md5 fold") {
+    import spark.implicits._
+    // real docs + edges: unicode multibyte shingles (the digest runs over
+    // raw UTF-8 bytes), single-shingle doc, long doc — plus the sf0.001
+    // corpus for breadth. Empty-shingle docs are filtered upstream by every
+    // caller; the expression itself folds an empty array to MaxValue like
+    // the HOF aggregate's init.
+    val corpus = docs.select(col("text"))
+      .unionAll(Seq("one two three", "héllo wörld ünïcode ţest",
+        "a b c d e f g h i j k l m n o p q r s t").toDF("text"))
+      .unionAll(spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("text")))
+    val withSh = corpus.select(Dedup.shingles(col("text"), 3).as("sh"))
+    val both = withSh.select(
+      array(Dedup.minhashSignatureMd5(col("sh"), 16): _*).as("sig_hof"),
+      graft.functions.MinHashMd5.minhashSigMd5(col("sh"), 16).as("sig_native"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"HOF ${r.getSeq[Long](0)} != native ${r.getSeq[Long](1)}")
+    }
+  }
+
   test("native minhash LSH finds exact/near duplicates with verified jaccard") {
     val pairs = Dedup.minhashNearDupNative(docs, minJaccard = 0.3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
