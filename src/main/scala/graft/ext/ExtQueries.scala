@@ -224,7 +224,10 @@ object ExtQueries {
       // guarded exact form (the oracle needs exactness): Percentiles.exact
       // refuses above its row guard — at real scale the approx twin
       // (Percentiles.approx, error-bound-tested in SketchSpec) is the path
-      Percentiles.exact(tp(s, dir, "lineitem"),
+      // grid form (round 15): identical values (SketchSpec pin), but the
+      // single task holds one long per DISTINCT value instead of every row
+      // value — the 1.4 s single-task merge became a grid window (§1.2)
+      Percentiles.exactGrid(tp(s, dir, "lineitem"),
           Seq("l_quantity" -> Seq(0.5, 0.9), "l_extendedprice" -> Seq(0.25, 0.75)))
         .select(
           round(element_at(col("l_quantity_pcts"), 1), 4).as("median_qty"),

@@ -33,10 +33,13 @@ object Normalize {
       exact: Boolean = true, knownRows: Long = -1L): DataFrame = {
     require(0.0 <= pLow && pLow < pHigh && pHigh <= 1.0,
       s"need 0 <= pLow < pHigh <= 1, got ($pLow, $pHigh)")
+    // exact=true routes through the GRID form (round 15): identical
+    // values to Percentiles.exact (SketchSpec pin) with the single-task
+    // state bounded by DISTINCT values instead of rows — knownRows is no
+    // longer consulted (kept for source compatibility)
     val pcts =
       if (exact)
-        graft.ext.Percentiles.exact(df, Seq(valueCol -> Seq(pLow, pHigh)),
-          knownRows = knownRows)
+        graft.ext.Percentiles.exactGrid(df, Seq(valueCol -> Seq(pLow, pHigh)))
       else
         graft.ext.Percentiles.approx(df, Seq(valueCol -> Seq(pLow, pHigh)))
     pcts.select(
@@ -75,9 +78,9 @@ object Normalize {
       exact: Boolean = true, knownRows: Long = -1L): DataFrame = {
     require(k >= 2, s"quantileBuckets needs k >= 2 buckets, got $k")
     val probs = (1 until k).map(_.toDouble / k)
+    // grid form — see clipBounds' note
     val pcts =
-      if (exact) graft.ext.Percentiles.exact(df, Seq(valueCol -> probs),
-        knownRows = knownRows)
+      if (exact) graft.ext.Percentiles.exactGrid(df, Seq(valueCol -> probs))
       else graft.ext.Percentiles.approx(df, Seq(valueCol -> probs))
     val cuts = pcts.select(
       (1 until k).map(i =>
@@ -193,9 +196,9 @@ object Normalize {
   def madOutliers(df: DataFrame, valueCol: String, k: Double = 3.0,
       exact: Boolean = true, knownRows: Long = -1L): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    // grid form — see clipBounds' note
     val medF =
-      if (exact) graft.ext.Percentiles.exact(df, Seq(valueCol -> Seq(0.5)),
-        knownRows = knownRows)
+      if (exact) graft.ext.Percentiles.exactGrid(df, Seq(valueCol -> Seq(0.5)))
       else graft.ext.Percentiles.approx(df, Seq(valueCol -> Seq(0.5)))
     val med = medF.select(
       round(element_at(col(s"${valueCol}_pcts"), 1), 4).as("__med"))
@@ -203,8 +206,7 @@ object Normalize {
       .where(col(valueCol).isNotNull)
       .select(col("__med"), abs(col(valueCol) - col("__med")).as("__dev"))
     val madF =
-      if (exact) graft.ext.Percentiles.exact(dev, Seq("__dev" -> Seq(0.5)),
-        knownRows = knownRows)
+      if (exact) graft.ext.Percentiles.exactGrid(dev, Seq("__dev" -> Seq(0.5)))
       else graft.ext.Percentiles.approx(dev, Seq("__dev" -> Seq(0.5)))
     val mad = madF.select(round(element_at(col("__dev_pcts"), 1), 4).as("__mad"))
     dev.crossJoin(broadcast(mad))

@@ -28,6 +28,38 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("exactGrid is bit-identical to exact (Spark percentile) incl. edges") {
+    import spark.implicits._
+    val pcts = Seq("l_quantity" -> Seq(0.0, 0.25, 0.5, 0.9, 1.0),
+      "l_extendedprice" -> Seq(0.1, 0.5, 0.75))
+    val ex = Percentiles.exact(li, pcts).head()
+    val gr = Percentiles.exactGrid(li, pcts).head()
+    pcts.indices.foreach { c =>
+      val (e, g) = (ex.getSeq[Double](c), gr.getSeq[Double](c))
+      assert(e == g, s"col $c: exact $e vs grid $g")
+    }
+    // heavy ties + nulls + a single row + interpolation off the tie runs
+    val tied = ((Seq.fill(7)(1.0) ++ Seq.fill(3)(2.0) ++ Seq(5.5))
+      .map(v => Tuple1(Option(v))) :+ Tuple1(Option.empty[Double])).toDF("v")
+    val p2 = Seq("v" -> Seq(0.0, 0.3, 0.65, 0.95, 1.0))
+    assert(Percentiles.exact(tied, p2).head().getSeq[Double](0) ==
+      Percentiles.exactGrid(tied, p2).head().getSeq[Double](0))
+    val one = Seq(Tuple1(42.0)).toDF("v")
+    assert(Percentiles.exactGrid(one, Seq("v" -> Seq(0.0, 0.5, 1.0)))
+      .head().getSeq[Double](0) == Seq(42.0, 42.0, 42.0))
+    // empty/all-null input -> NULL array, the percentile contract
+    val empty = Seq.empty[Tuple1[java.lang.Double]].toDF("v")
+    assert(Percentiles.exactGrid(empty, Seq("v" -> Seq(0.5))).head().isNullAt(0))
+    assert(Percentiles.exact(empty, Seq("v" -> Seq(0.5))).head().isNullAt(0))
+  }
+
+  test("exactGrid refuses a frame above its grid-cell guard") {
+    intercept[IllegalArgumentException] {
+      Percentiles.exactGrid(li, Seq("l_extendedprice" -> Seq(0.5)),
+        maxGridCells = 100)
+    }
+  }
+
   test("Percentiles.approx twin lands within error bounds of the exact answer") {
     val pcts = Seq("l_quantity" -> Seq(0.5, 0.9), "l_extendedprice" -> Seq(0.25, 0.75))
     val ex = Percentiles.exact(li, pcts).head()
