@@ -498,6 +498,15 @@ object DedupProbe {
         ("e18 editdist cap=500 slices=16", () =>
           Dedup.editDistancePairs(docs, maxDist = 5, prefixLen = 40,
             maxSegmentBucket = 500, candidateSlices = 16).count()),
+        // round-16: candidate-distinct staging (the e11 stageDir discipline
+        // ported to PassJoin) — one materialized boundary instead of 16
+        // corpus re-reads
+        ("e18 editdist cap=500 staged", () => {
+          val dir = java.nio.file.Files.createTempDirectory("graft_stage18").toString
+          try Dedup.editDistancePairs(docs, maxDist = 5, prefixLen = 40,
+            maxSegmentBucket = 500, stageDir = Some(dir)).count()
+          finally rmrf(new java.io.File(dir))
+        }),
         ("e115 spanstore build", () => {
           val dir = java.nio.file.Files.createTempDirectory("graft_heavy_span").toString
           sys.props.put("graft.heavy.spandir", dir)

@@ -1658,6 +1658,13 @@ object Dedup {
     * hash-partitions perfectly; slicing trades wall-clock (K passes over
     * the corpus-side segment generation) for bounded scratch on a single
     * fat box.
+    *
+    * `stageDir` (round 16) is the lighter single-box scratch bound — the
+    * [[prefixWitnessCands]] staging discipline ported to this family: ONE
+    * materialization of the candidate-distinct boundary (id pairs only,
+    * parquet) releases the Σ bucket² segment-join/distinct shuffle files
+    * before the verify joins run, without the K-pass corpus re-reads of
+    * slicing. Mutually exclusive with `candidateSlices > 1`.
     */
   def editDistancePairs(
       docs: DataFrame,
@@ -1669,8 +1676,12 @@ object Dedup {
       nSegments: Int = 0,
       indexSegments: Int = 0,
       qgramFilter: Int = 0,
-      candidateSlices: Int = 1): DataFrame = {
+      candidateSlices: Int = 1,
+      stageDir: Option[String] = None): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    require(stageDir.isEmpty || candidateSlices == 1,
+      "stageDir and candidateSlices are alternative scratch bounds — " +
+        "slices already materialize per-slice; set one or the other")
     val d = maxDist
     val m = if (nSegments > 0) nSegments else d + 1
     require(m >= d + 1, s"nSegments must be >= maxDist + 1: $nSegments vs d=$d")
@@ -1779,13 +1790,33 @@ object Dedup {
     // kept as a measured A/B knob, off by default (the round-14 docs5m
     // A/B is recorded in BASELINE.md).
     def verified(probe: DataFrame, indexed: DataFrame): DataFrame = {
-      val pairs = probe.join(indexed, Seq("lb", "i", "sub"))
+      val pairs0 = probe.join(indexed, Seq("lb", "i", "sub"))
         .where(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"))
         .distinct() // a pair can match via several segments/shifts
+      // stageDir (round 16 — the prefixWitnessCands discipline ported to
+      // the PassJoin family): materialize the candidate-distinct boundary
+      // to parquet and release the segment join's + distinct's shuffle
+      // files before the verify joins claim their own scratch, so peak
+      // LIVE shuffle scratch on one box is a single stage's. EAGER when
+      // set; leave unset on a cluster (the one-job plan pipelines).
+      val pairs = stageDir match {
+        case Some(dir) =>
+          pairs0.write.mode("overwrite").parquet(s"$dir/edcands")
+          System.gc()
+          docs.sparkSession.read.parquet(s"$dir/edcands")
+        case None => pairs0
+      }
+      // shuffle-HASH the two key-attach joins (round 16 — the
+      // verifyContainment discipline): sort-merge would external-sort the
+      // candidate pair stream TWICE with the comparison key attached; the
+      // build side is the corpus-sized (id, key) table, which hashes per
+      // partition in ~tens of MB at any rehearsed scale
       val joined = pairs
-        .join(keyed.select(col("id").as("id_a"), col("k").as("k_a")), Seq("id_a"))
-        .join(keyed.select(col("id").as("id_b"), col("k").as("k_b")), Seq("id_b"))
+        .join(keyed.select(col("id").as("id_a"), col("k").as("k_a"))
+          .hint("shuffle_hash"), Seq("id_a"))
+        .join(keyed.select(col("id").as("id_b"), col("k").as("k_b"))
+          .hint("shuffle_hash"), Seq("id_b"))
       val prefiltered =
         if (qgramFilter <= 0) joined
         else {

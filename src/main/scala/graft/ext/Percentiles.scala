@@ -97,11 +97,15 @@ object Percentiles {
     * of buffering every VALUE of the column in one final-aggregation task
     * (Spark's `percentile` — the 1.4 s single-task merge the round-15
     * StageProf measured on 600k rows, and the reason [[exact]] carries a
-    * row-count guard), group by value (map-side partial aggregation), run
-    * ONE single-task cumulative-count window over the GRID (bounded by
-    * DISTINCT values, not rows — the `boundedGrid` discipline from
-    * ops.Stats), and read each requested rank off the cumulative counts
-    * with Spark's own interpolation formula:
+    * row-count guard), group by value (map-side partial aggregation —
+    * fully parallel), range-partition the DISTINCT-VALUE grid, and turn the
+    * cumulative count into a DISTRIBUTED two-pass prefix sum (round 16;
+    * guide §2/§5): pass 1 collects the per-range subtotals (one long per
+    * partition), pass 2 adds each partition's broadcast prefix offset to a
+    * PARTITION-LOCAL running sum — no single-task window anywhere; the
+    * largest task holds ~cells/parallelism grid rows. Each requested rank
+    * is read off the cumulative counts with Spark's own interpolation
+    * formula:
     *
     *   position = p · (N − 1);  lower = ⌊position⌋;  higher = ⌈position⌉
     *   value(r) = min v with cum(v) ≥ r + 1
@@ -111,58 +115,97 @@ object Percentiles {
     *
     * — the identical doubles `PercentileBase.getPercentile` produces (same
     * operands, same order), so callers' 4dp-rounded contracts are
-    * unchanged. Scale posture: heavy work (scan + per-value counts) is
-    * fully parallel; the single task holds one long per DISTINCT value —
-    * `maxGridCells` guards that, and the guard count doubles as the grid's
-    * cache materialization. Rows with null values are excluded (percentile
-    * semantics); an empty/all-null column yields a NULL array like
-    * `percentile` itself.
+    * unchanged.
+    *
+    * EAGER (round 16): the grid jobs run at CALL time and the returned
+    * frame is one literal-backed row — so the per-column scratch cache
+    * lives only inside this call (persist → compute → unpersist; nothing
+    * outlives the call, and repeated invocations recompute from source),
+    * and no crossJoin/broadcast appears in the caller's plan. `maxGridCells`
+    * still guards total grid size (executor memory for the cached grid +
+    * the rank aggregate); per-task state is now `cells / parallelism`.
+    * Rows with null values are excluded (percentile semantics); an
+    * empty/all-null column yields a NULL array like `percentile` itself.
     */
   def exactGrid(
       df: DataFrame,
       pcts: Seq[(String, Seq[Double])],
       maxGridCells: Long = 50000000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(maxGridCells > 0, s"maxGridCells must be positive: $maxGridCells")
-    val parts = pcts.map { case (c, ps) =>
-      val grid = df.select(col(c).cast("double").as("v"))
-        .where(col("v").isNotNull)
-        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cells = grid.count()
+    val outCols = pcts.map { case (c, ps) =>
+      exactGridValues(df, c, ps, maxGridCells) match {
+        case None => lit(null).cast("array<double>").as(s"${c}_pcts")
+        case Some(vs) => array(vs.map(v => lit(v)): _*).as(s"${c}_pcts")
+      }
+    }
+    df.sparkSession.range(1).select(outCols: _*)
+  }
+
+  /** Value-level core of [[exactGrid]]: the exact percentile doubles for
+    * one column (None on an empty/all-null column). Runs the distributed
+    * grid jobs eagerly — see [[exactGrid]] for the shape and the exactness
+    * argument. Exposed so value-level callers (ops.Normalize) can embed the
+    * results as literals instead of re-joining a one-row frame.
+    */
+  private[graft] def exactGridValues(df: DataFrame, c: String,
+      ps: Seq[Double], maxGridCells: Long = 50000000L): Option[Seq[Double]] = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val par = math.max(1, spark.sparkContext.defaultParallelism)
+    // range partitioning makes partition id a monotone function of v, so a
+    // partition-local running count + the previous partitions' subtotal is
+    // the GLOBAL cumulative count. pid is frozen by the persist (the
+    // partitioner is built once in the RDD lineage, so even a recomputed
+    // block keeps its id); unpersisted before returning — nothing escapes.
+    val staged = df.select(col(c).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .repartitionByRange(par, col("v"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cells = staged.count()
       require(cells <= maxGridCells,
         s"exactGrid: $cells distinct values of '$c' exceed maxGridCells=" +
-          s"$maxGridCells (the cumulative window runs in ONE task bounded " +
-          "by grid size). Use Percentiles.approx at this cardinality.")
-      val wCum = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val wAll = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val g = grid
-        .withColumn("cum", sum(col("cnt")).over(wCum))
-        .withColumn("n", sum(col("cnt")).over(wAll))
-      val aggs = ps.zipWithIndex.flatMap { case (p, i) =>
-        val pos = lit(p) * (col("n") - 1L).cast("double")
-        val lo = floor(pos)
-        val hi = ceil(pos)
-        Seq(
-          min(when(col("cum").cast("double") >= lo + 1d, col("v"))).as(s"__vl$i"),
-          min(when(col("cum").cast("double") >= hi + 1d, col("v"))).as(s"__vh$i"),
-          first(pos).as(s"__p$i"), first(lo).as(s"__l$i"),
-          first(hi).as(s"__h$i"))
+          s"$maxGridCells (the grid is cached and rank-scanned whole). " +
+          "Use Percentiles.approx at this cardinality.")
+      if (cells == 0L) None
+      else {
+        // pass 1: per-range subtotals → driver prefix offsets (par longs)
+        val subs = staged.groupBy(col("pid")).agg(sum(col("cnt")).as("t"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val offs = new Array[Long](par)
+        var acc = 0L
+        for (i <- 0 until par) { offs(i) = acc; acc += subs.getOrElse(i, 0L) }
+        val n = acc
+        // Spark's PercentileBase rank decomposition per probability
+        val ranks = ps.map { q =>
+          val pos = q * (n - 1).toDouble
+          (pos, math.floor(pos), math.ceil(pos))
+        }
+        val need = ranks
+          .flatMap { case (_, lo, hi) => Seq(lo.toLong + 1L, hi.toLong + 1L) }
+          .distinct.sorted
+        // pass 2: partition-local running sum + broadcast prefix offset =
+        // global cum; value(r) = min v with cum(v) ≥ r, one conditional min
+        // per needed rank in a single parallel aggregate
+        val wLoc = Window.partitionBy(col("pid")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offset = element_at(array(offs.map(o => lit(o)): _*), col("pid") + 1)
+        val withCum = staged.select(col("v"),
+          (sum(col("cnt")).over(wLoc) + offset).as("cum"))
+        val aggs = need.map(r => min(when(col("cum") >= r, col("v"))).as(s"r$r"))
+        val row = withCum.agg(aggs.head, aggs.tail: _*).head()
+        val byRank = need.zipWithIndex.map { case (r, i) =>
+          r -> row.getDouble(i)
+        }.toMap
+        Some(ranks.map { case (pos, lo, hi) =>
+          val vl = byRank(lo.toLong + 1L)
+          if (lo == hi) vl
+          else (hi - pos) * vl + (pos - lo) * byRank(hi.toLong + 1L)
+        })
       }
-      val interp = ps.indices.map { i =>
-        when(col(s"__h$i") === col(s"__l$i"), col(s"__vl$i"))
-          .otherwise((col(s"__h$i") - col(s"__p$i")) * col(s"__vl$i") +
-            (col(s"__p$i") - col(s"__l$i")) * col(s"__vh$i"))
-      }
-      g.agg(aggs.head, aggs.tail: _*)
-        // zero surviving rows → the aggs are all null → NULL array, the
-        // `percentile` empty-input contract
-        .select(when(col("__p0").isNull, lit(null))
-          .otherwise(array(interp: _*)).as(s"${c}_pcts"))
-    }
-    parts.reduceLeft((a, b) => a.crossJoin(broadcast(b)))
+    } finally staged.unpersist(false)
   }
 
   /** Grouped approx twin of [[exactBy]] — the 100 TB default. */

@@ -29,22 +29,48 @@ object Normalize {
     * Greenwald–Khanna `approx_percentile` sketch (bounded memory, mergeable
     * — the 100 TB default, same switch as Profile's `exactDistinct`).
     */
+  /** Raw percentile doubles for `probs` of `valueCol` — the shared EAGER
+    * core of the wrappers below (round 16): `exact=true` runs the
+    * distributed grid jobs ([[graft.ext.Percentiles.exactGridValues]] —
+    * identical values to Spark's `percentile`, SketchSpec pin) and
+    * `exact=false` runs the mergeable `approx_percentile` sketch; either
+    * way the values come back to the driver (they are O(probs) scalars)
+    * and are embedded as LITERALS in the returned projection, so the fact
+    * table's plan carries no broadcast/crossJoin at all and no cached
+    * intermediate outlives the call. None ⇔ zero non-null values.
+    */
+  private def pctValues(df: DataFrame, valueCol: String, probs: Seq[Double],
+      exact: Boolean, maxGridCells: Long): Option[Seq[Double]] =
+    if (exact)
+      graft.ext.Percentiles.exactGridValues(df, valueCol, probs, maxGridCells)
+    else {
+      val r = graft.ext.Percentiles.approx(df, Seq(valueCol -> probs)).head()
+      if (r.isNullAt(0)) None else Some(r.getSeq[Double](0).toSeq)
+    }
+
+  /** 4dp-rounded literal columns for the percentile values: Spark's own
+    * `round` applied to the literal (constant-folded), so the rounding
+    * contract stays engine-exact — never a driver-side reimplementation.
+    */
+  private def roundedLits(vals: Option[Seq[Double]], n: Int): Seq[Column] =
+    vals match {
+      case Some(vs) => vs.map(v => round(lit(v), 4))
+      case None => Seq.fill(n)(lit(null).cast("double"))
+    }
+
   def clipBounds(df: DataFrame, valueCol: String, pLow: Double, pHigh: Double,
-      exact: Boolean = true, knownRows: Long = -1L): DataFrame = {
+      exact: Boolean = true, knownRows: Long = -1L,
+      maxGridCells: Long = 50000000L): DataFrame = {
     require(0.0 <= pLow && pLow < pHigh && pHigh <= 1.0,
       s"need 0 <= pLow < pHigh <= 1, got ($pLow, $pHigh)")
-    // exact=true routes through the GRID form (round 15): identical
-    // values to Percentiles.exact (SketchSpec pin) with the single-task
-    // state bounded by DISTINCT values instead of rows — knownRows is no
-    // longer consulted (kept for source compatibility)
-    val pcts =
-      if (exact)
-        graft.ext.Percentiles.exactGrid(df, Seq(valueCol -> Seq(pLow, pHigh)))
-      else
-        graft.ext.Percentiles.approx(df, Seq(valueCol -> Seq(pLow, pHigh)))
-    pcts.select(
-      round(element_at(col(s"${valueCol}_pcts"), 1), 4).as("lo"),
-      round(element_at(col(s"${valueCol}_pcts"), 2), 4).as("hi"))
+    // exact=true routes through the EAGER grid form (rounds 15/16):
+    // identical values to Percentiles.exact (SketchSpec pin), computed by
+    // the distributed prefix-sum grid at call time — knownRows is no
+    // longer consulted (kept for source compatibility; the scale contract
+    // is maxGridCells, the grid-size guard, exposed here since round 16)
+    val Seq(lo, hi) = roundedLits(
+      pctValues(df, valueCol, Seq(pLow, pHigh), exact, maxGridCells), 2)
+    df.sparkSession.range(1).select(lo.as("lo"), hi.as("hi"))
   }
 
   /** Winsorize `valueCol`: append `{valueCol}_w` = the value clipped into
@@ -55,13 +81,19 @@ object Normalize {
     */
   def winsorize(df: DataFrame, valueCol: String,
       pLow: Double = 0.01, pHigh: Double = 0.99,
-      exact: Boolean = true, knownRows: Long = -1L): DataFrame = {
-    val bounds = clipBounds(df, valueCol, pLow, pHigh, exact, knownRows)
-    df.crossJoin(broadcast(bounds))
-      .withColumn(s"${valueCol}_w",
-        when(col(valueCol).isNull, lit(null))
-          .otherwise(least(greatest(col(valueCol), col("lo")), col("hi"))))
-      .drop("lo", "hi")
+      exact: Boolean = true, knownRows: Long = -1L,
+      maxGridCells: Long = 50000000L): DataFrame = {
+    require(0.0 <= pLow && pLow < pHigh && pHigh <= 1.0,
+      s"need 0 <= pLow < pHigh <= 1, got ($pLow, $pHigh)")
+    // bounds as constant-folded literals (round 16): the fact table's plan
+    // is a pure codegen'd projection — the broadcast/BNLJ the 1-row bounds
+    // frame used to plan is gone (a non-null value implies non-null bounds,
+    // so the otherwise-branch never sees a null bound)
+    val Seq(lo, hi) = roundedLits(
+      pctValues(df, valueCol, Seq(pLow, pHigh), exact, maxGridCells), 2)
+    df.withColumn(s"${valueCol}_w",
+      when(col(valueCol).isNull, lit(null))
+        .otherwise(least(greatest(col(valueCol), lo), hi)))
   }
 
   /** Quantile bucketing (feature binning / stratification key): append
@@ -75,24 +107,19 @@ object Normalize {
     * buckets empty rather than failing. Null values → null bucket.
     */
   def quantileBuckets(df: DataFrame, valueCol: String, k: Int,
-      exact: Boolean = true, knownRows: Long = -1L): DataFrame = {
+      exact: Boolean = true, knownRows: Long = -1L,
+      maxGridCells: Long = 50000000L): DataFrame = {
     require(k >= 2, s"quantileBuckets needs k >= 2 buckets, got $k")
     val probs = (1 until k).map(_.toDouble / k)
-    // grid form — see clipBounds' note
-    val pcts =
-      if (exact) graft.ext.Percentiles.exactGrid(df, Seq(valueCol -> probs))
-      else graft.ext.Percentiles.approx(df, Seq(valueCol -> probs))
-    val cuts = pcts.select(
-      (1 until k).map(i =>
-        round(element_at(col(s"${valueCol}_pcts"), i), 4).as(s"__c$i")): _*)
-    val bucket = (1 until k)
-      .map(i => when(col(valueCol) >= col(s"__c$i"), 1).otherwise(0))
+    // cuts as constant-folded literals (round 16) — see winsorize's note
+    val cuts = roundedLits(
+      pctValues(df, valueCol, probs, exact, maxGridCells), k - 1)
+    val bucket = cuts
+      .map(c => when(col(valueCol) >= c, 1).otherwise(0))
       .reduce(_ + _)
-    df.crossJoin(broadcast(cuts))
-      .withColumn(s"${valueCol}_bucket",
-        when(col(valueCol).isNull, lit(null).cast("int"))
-          .otherwise(bucket.cast("int")))
-      .drop((1 until k).map(i => s"__c$i"): _*)
+    df.withColumn(s"${valueCol}_bucket",
+      when(col(valueCol).isNull, lit(null).cast("int"))
+        .otherwise(bucket.cast("int")))
   }
 
   /** DuckDB mirror of [[quantileBuckets]] — generated from the same
@@ -194,26 +221,25 @@ object Normalize {
     * sketch for the 100 TB path (same switch as [[winsorize]]).
     */
   def madOutliers(df: DataFrame, valueCol: String, k: Double = 3.0,
-      exact: Boolean = true, knownRows: Long = -1L): DataFrame = {
+      exact: Boolean = true, knownRows: Long = -1L,
+      maxGridCells: Long = 50000000L): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    // grid form — see clipBounds' note
-    val medF =
-      if (exact) graft.ext.Percentiles.exactGrid(df, Seq(valueCol -> Seq(0.5)))
-      else graft.ext.Percentiles.approx(df, Seq(valueCol -> Seq(0.5)))
-    val med = medF.select(
-      round(element_at(col(s"${valueCol}_pcts"), 1), 4).as("__med"))
-    val dev = df.crossJoin(broadcast(med))
+    // median and MAD as constant-folded literals (round 16): both
+    // percentile passes run eagerly, the deviation scan is a pure
+    // projection (no broadcast/BNLJ), and the final frame is ONE aggregate
+    // over it — same rows, same dtypes as the crossJoin form (min of a
+    // constant = the constant, and null on an empty scan)
+    val Seq(med) = roundedLits(
+      pctValues(df, valueCol, Seq(0.5), exact, maxGridCells), 1)
+    val dev = df
       .where(col(valueCol).isNotNull)
-      .select(col("__med"), abs(col(valueCol) - col("__med")).as("__dev"))
-    val madF =
-      if (exact) graft.ext.Percentiles.exactGrid(dev, Seq("__dev" -> Seq(0.5)))
-      else graft.ext.Percentiles.approx(dev, Seq("__dev" -> Seq(0.5)))
-    val mad = madF.select(round(element_at(col("__dev_pcts"), 1), 4).as("__mad"))
-    dev.crossJoin(broadcast(mad))
-      .agg(count(lit(1)).as("n"),
+      .select(med.as("__med"), abs(col(valueCol) - med).as("__dev"))
+    val Seq(mad) = roundedLits(
+      pctValues(dev, "__dev", Seq(0.5), exact, maxGridCells), 1)
+    dev.agg(count(lit(1)).as("n"),
         min(col("__med")).as("median"),
-        min(col("__mad")).as("mad"),
-        sum(when(col("__dev") > lit(k) * col("__mad"), 1L).otherwise(0L))
+        min(mad).as("mad"),
+        sum(when(col("__dev") > lit(k) * mad, 1L).otherwise(0L))
           .as("n_outliers"))
   }
 
