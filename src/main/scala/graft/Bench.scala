@@ -102,6 +102,15 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           failures(name) = failures.getOrElse(name, 0) + 1
       }
+      // measurement hygiene (round 16): several operators persist bounded
+      // intermediates with session lifetime (the graft-wide convention —
+      // Stats scaladoc says long-lived sessions clear between batches, and
+      // this loop is exactly that). Without this, run 2+ of a query — and
+      // any later query sharing a canonically-equal subplan — silently
+      // reads run 1's cache instead of the parquet inputs, which the
+      // optimization contract forbids. Clearing sits OUTSIDE the timed
+      // region: every timing now computes from source.
+      spark.catalog.clearCache()
     }
     val succeeded = names.filter { case (k, _) => timings.contains(k) }
     def jsonMapOf(m: collection.Map[String, Vector[Double]], f: Vector[Double] => Double): String =
@@ -110,15 +119,24 @@ object Bench {
       }.mkString("{", ",", "}")
     def jsonMap(f: Vector[Double] => Double): String =
       succeeded.map { case (k, _) => s"\"" + k + "\":" + f(timings(k)) }.mkString("{", ",", "}")
-    val qs = jsonMap(median)
-    val qsMin = jsonMap(_.min)
+    // stdout carries the CONTRACT line only, with medians rounded to ms —
+    // round-14's full-precision line with every per-query map attached
+    // overflowed the driver's capture tail and cost the round-over-round
+    // comparison (PERF_r15 prev_bench_ok: false). Everything else
+    // (full-precision medians, per-run minima, spill metrics) goes to the
+    // sidecar file below, which the driver ignores.
+    val qs = jsonMapOf(timings, median)
     val fails = failures.toSeq.sortBy(_._1)
       .map { case (k, n) => s"\"" + k + "\":" + n }.mkString("{", ",", "}")
     val total = succeeded.map { case (k, _) => median(timings(k)) }.sum
     val metricsJson = if (withMetrics)
       s""","spill_mb":${jsonMapOf(spills, _.max)},"peak_task_mem_mb":${jsonMapOf(peaks, _.max)}"""
     else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"queries_min":$qsMin,"failures":$fails$metricsJson,"sf":"$sfDir"}""")
+    val sidecar = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":${jsonMap(median)},"queries_min":${jsonMap(_.min)},"failures":$fails$metricsJson,"sf":"$sfDir"}"""
+    val sidecarPath = java.nio.file.Paths.get("bench_sidecar.json")
+    java.nio.file.Files.write(sidecarPath, sidecar.getBytes("UTF-8"))
+    System.err.println(s"[bench] full-precision medians + per-run minima: ${sidecarPath.toAbsolutePath}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failures":$fails,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

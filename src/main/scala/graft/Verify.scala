@@ -110,6 +110,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // session-lifetime caches (pinned bounded intermediates) would
+      // otherwise accumulate across all 151 dumps — the documented
+      // clear-between-batches convention, as in Bench (round 16)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

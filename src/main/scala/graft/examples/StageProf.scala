@@ -55,6 +55,10 @@ object StageProf {
         sys.error(s"unknown query: $name"))
       // warm run (codegen, footers, broadcast machinery)
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // match the bench's round-16 methodology: caches cleared between
+      // timings, so the measured run computes from source — without this,
+      // operators that persist intermediates profile their CACHED replay
+      spark.catalog.clearCache()
       rows.clear(); collect = true
       spark.sparkContext.setJobDescription(s"stageprof: $name")
       val t0 = System.nanoTime()

@@ -54,7 +54,7 @@ object Collocations {
       .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.Layout.pin)
 
     val cx = counts.where(col("w2").isNull).select(col("w1").as("w"), col("c"))
     val pairs = counts.where(col("w2").isNotNull && col("c") >= minCount)

@@ -817,14 +817,21 @@ object Dedup {
     * streams with ~KB arrays attached).
     */
   private def verifyExactJaccard(
-      pairs: DataFrame, sh: DataFrame, minJaccard: Double,
+      pairs0: DataFrame, sh: DataFrame, minJaccard: Double,
       cappedCands: Boolean): DataFrame = {
+    // pin (round 16): the candidate subtree is embedded THREE times below
+    // (both candIds legs + the scoring join) — unpinned, the whole
+    // candidate join re-ran per leg (StageProf: e94's witness join stages
+    // ×3–4 on a cold run). One eager materialization of the id pairs.
+    val pairs = graft.ops.Layout.pin(pairs0)
     val candIds0 = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id")))
       .distinct()
     val candIds = if (cappedCands) broadcast(candIds0) else candIds0
-    val candSh = sh.join(candIds, Seq("id"), "left_semi")
-      .select(col("id"), col("sh")).dropDuplicates("id")
+    // pin: BOTH attach joins embed candSh — unpinned, the corpus
+    // scan+shingle pass behind it ran twice (round 16, StageProf)
+    val candSh = graft.ops.Layout.pin(sh.join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), col("sh")).dropDuplicates("id"))
     val common = size(array_intersect(col("sh_a"), col("sh_b")))
     pairs
       .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
@@ -874,8 +881,10 @@ object Dedup {
     * all-pairs operator.
     */
   private def verifyContainment(
-      pairs: DataFrame, sh: DataFrame, minContainment: Double,
+      pairs0: DataFrame, sh: DataFrame, minContainment: Double,
       cappedCands: Boolean): DataFrame = {
+    // pin — see verifyExactJaccard: three embeds of the candidate subtree
+    val pairs = graft.ops.Layout.pin(pairs0)
     val candIds0 = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id")))
       .distinct()
@@ -886,8 +895,9 @@ object Dedup {
     // the plain semi-join (AQE promotes it when small) — a forced broadcast
     // of an unbounded id set is a driver-OOM risk (ADVICE r14).
     val candIds = if (cappedCands) broadcast(candIds0) else candIds0
-    val candSh = sh.join(candIds, Seq("id"), "left_semi")
-      .select(col("id"), col("sh")).dropDuplicates("id")
+    // pin — see verifyExactJaccard: both attach joins embed candSh
+    val candSh = graft.ops.Layout.pin(sh.join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), col("sh")).dropDuplicates("id"))
     val common = size(array_intersect(col("sh_a"), col("sh_b")))
     // shuffle-HASH both joins: sort-merge would sort the pair stream WITH
     // the ~1 KB shingle array attached by the first join — the round-14
@@ -1089,7 +1099,13 @@ object Dedup {
         // ContextCleaner before the join stage claims its own scratch
         System.gc()
         sh.sparkSession.read.parquet(s"$dir/entries")
-      case None => kept0
+      case None =>
+        // pin (round 16): the probe AND index legs both embed this subtree,
+        // so an unpersisted plan runs the df+rank window pipeline TWICE —
+        // StageProf measured the rank-window stage duplicated (2× 1.2 s of
+        // e94's cold pair generation). One eager materialization, cache
+        // released by the session convention.
+        graft.ops.Layout.pin(kept0)
     }
     val probe = kept
       .where(col("pos") <= col("n_sh") - pfAlpha(col("n_sh"), tNum) + e)

@@ -43,7 +43,7 @@ object Drift {
       .select(col(sourceCol).as("source"), explode(tk).as("w"))
       .groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.Layout.pin)
     val cct = cst.groupBy(col("w")).agg(sum(col("c")).as("ct"))
     val ns = cst.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
     val nc = cct.agg(sum(col("ct")).as("n_c"))
@@ -280,7 +280,7 @@ object Drift {
       .select(col(sourceCol).as("source"), explode(tk).as("w"))
       .groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.Layout.pin)
     val ns = cst.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val pairs = ns.select(col("source").as("source_a"), col("n").as("n_a"))
       .crossJoin(ns.select(col("source").as("source_b"), col("n").as("n_b")))
@@ -467,7 +467,7 @@ object Drift {
     val daily = events
       .groupBy(col(seriesCol).as("series"), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.Layout.pin)
     val spine = daily
       .groupBy(col("series"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
@@ -646,7 +646,7 @@ object Drift {
       .where(col(seriesCol).isin(seriesA, seriesB))
       .groupBy(to_date(col(tsCol)).as("day"), col(seriesCol).as("series"))
       .agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.Layout.pin)
     val spine = daily
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .where(col("d0").isNotNull)
@@ -822,7 +822,7 @@ object Drift {
     val vocab = docs
       .select(col(sourceCol).as("source"), explode(tk).as("w"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.Layout.pin)
     val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("v"))
     val inter = vocab.select(col("source").as("source_a"), col("w"))
       .join(vocab.select(col("source").as("source_b"), col("w")), Seq("w"))
@@ -976,7 +976,7 @@ object Drift {
       .select(col(sourceCol).as("source"), explode(tk).as("w"))
       .groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.Layout.pin)
     val ns = cst.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
     val ct = cst.groupBy(col("w")).agg(sum(col("c")).as("c_t"))
     val nTot = cst.agg(sum(col("c")).as("n_tot"))

@@ -2221,16 +2221,14 @@ object ExtQueries {
   // shingle sets (the e11 oracle pattern); the operator's posting-list
   // candidates + capped re-score must land on exactly the same pairs.
   // The e106/e107 corpus — documents plus a planted half-length excerpt per
-  // doc (doc_id + 200000) — and the scored containment pair table over it,
-  // SHARED between the two declarations: e107's clustering consumes the pair
-  // table e106 publishes instead of re-running the whole candidate join (the
-  // round-12 sf10 leg measured 174 s of e107's cost as pair generation
-  // already paid by e106 — the pipeline answer is one materialized pair
-  // table with two consumers, exactly what examples.Curate does with pin()).
-  // e106 always computes FRESH and replaces the cache entry (its bench
-  // timing stays honest); e107 reuses the latest published table, or
-  // computes its own when it runs alone. Entries are pair-count-sized
-  // (600 rows at sf0.01) localCheckpoints, keyed by (session, dir).
+  // doc (doc_id + 200000). Until round 16 the scored containment pair table
+  // was SHARED between the two declarations through a module-level memo
+  // (e107 consumed the table e106 published, so e107's bench timing
+  // excluded pair generation). Removed: the optimization contract requires
+  // every bench timing to compute from the parquet inputs, so e107 now pays
+  // its own pair generation (the real pipeline answer — one materialized
+  // pair table with two consumers — lives in examples.Curate's pin(), where
+  // it belongs; a benchmark of two separate queries is not a pipeline).
   private[graft] def containmentCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val toks = split(trim(col("text")), "\\s+")
@@ -2242,8 +2240,6 @@ object ExtQueries {
     graft.ops.Layout.repairScanParallelism(
       d.select(col("doc_id"), col("text")).unionAll(exc))
   }
-  private val containmentPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
   private def containmentPairsFresh(s: SparkSession, dir: String): DataFrame = {
     // rarest-prefix candidates under an audited bucket cap at every scale
     // (round 14): candidate volume is Σ prefix_df·df on prefix mass that
@@ -2259,12 +2255,8 @@ object ExtQueries {
     val pairs = Dedup.ngramContainmentPairs(containmentCorpus(s, dir),
         minContainment = 0.9, prefixDfCap = 2000)
       .localCheckpoint(true)
-    containmentPairsCache.put((System.identityHashCode(s), dir), pairs)
     pairs
   }
-  private def containmentPairsShared(s: SparkSession, dir: String): DataFrame =
-    Option(containmentPairsCache.get((System.identityHashCode(s), dir)))
-      .getOrElse(containmentPairsFresh(s, dir))
 
   private val e106 = Q(
     "e106_containment",
@@ -2314,10 +2306,9 @@ object ExtQueries {
     (s, dir) => {
       val corpus = containmentCorpus(s, dir)
         .withColumn("score", length(col("text")).cast("long"))
-      // consume the shared pair table (e106's published result when it ran
-      // in this session; computed fresh otherwise) — clustering + argmax
-      // keepers are this query's own work, pair generation is not
-      val pairs = containmentPairsShared(s, dir).select(col("id_a"), col("id_b"))
+      // pair generation is computed fresh (round 16 — no cross-query memo;
+      // see containmentCorpus's note), then clustering + argmax keepers
+      val pairs = containmentPairsFresh(s, dir).select(col("id_a"), col("id_b"))
       Dedup.nearDedupRowsKeepBest(corpus, pairs, "score")
         .select(col("doc_id"), col("score"))
         .orderBy(col("doc_id"))

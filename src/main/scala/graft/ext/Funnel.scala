@@ -147,7 +147,7 @@ object Funnel {
       tsCol: String = "ts", windowDays: Int = 7): DataFrame = {
     val du = events.select(to_date(col(tsCol)).as("d"), col(userCol).as("u"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.Layout.pin)
     // bounded (≤ days × users); consumed by the spine min/max, the dau
     // count, and the window fan-out — cache-lifetime convention as Drift
     val mm = du.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
@@ -223,7 +223,7 @@ object Funnel {
     val daySk = sketches
       .groupBy(col("d"))
       .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.Layout.pin)
     // |days| rows × one sketch blob; three consumers (spine, dau, fan-out) —
     // cache-lifetime convention as activeUsers
     val mm = daySk.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
@@ -539,7 +539,7 @@ object Funnel {
     val per = b.withColumn("run", sum(col("delta")).over(wLocal))
       .groupBy(col("bucket"))
       .agg(max(col("run")).as("max_local"), sum(col("delta")).as("net"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.Layout.pin)
     // |buckets| rows; two consumers (grid bounds + the spine join) —
     // cache-lifetime convention (see object scaladoc)
     val mm = per.agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
@@ -676,7 +676,7 @@ object Funnel {
       .where(col("__next").isNotNull)
       .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
       .agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.Layout.pin)
     val froms = pairs.groupBy(col("from_type"))
       .agg(sum(col("n")).as("n_from"))
     pairs.join(broadcast(froms), Seq("from_type"))
@@ -732,7 +732,7 @@ object Funnel {
     val baskets = events
       .select(col(userCol).as("u"), col(itemCol).as("item"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.Layout.pin)
     val nUsers = baskets.agg(count_distinct(col("u")).as("n_users"))
     val items = baskets.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
     val pairs = baskets.as("a")

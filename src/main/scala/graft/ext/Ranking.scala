@@ -162,7 +162,7 @@ object Ranking {
     val pairs = docs.select(col(idCol).as("doc_id"), explode(toks).as("term"))
     val tf = pairs.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.Layout.pin)
     // df and N derive from the persisted tf table — ONE corpus scan (every
     // doc has ≥1 token row: split yields [""] on empty text)
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -247,7 +247,7 @@ object Ranking {
     val toks = split(lower(trim(col(textCol))), "\\s+")
     val pairs = docs.select(col(idCol).as("doc_id"), explode(toks).as("term"))
     val tf = pairs.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.ops.Layout.pin)
     // dl, df, and (N, Σdl) all derive from tf — the corpus is scanned ONCE
     // (every doc has ≥1 token row: split yields [""] on empty text, so the
     // dl/stats reduction sees every doc)

@@ -277,9 +277,10 @@ object TrendSeasonForecaster {
     val daily0 = events
       .select(to_date(col(tsCol)).as("ds"))
       .groupBy(col("ds")).agg(count(lit(1)).as("y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bounded (one row per observed day); persisted because the spine
-    // min/max and the fill join both consume it (the e45 double-scan fix)
+      .transform(graft.ops.Layout.pin)
+    // bounded (one row per observed day); PINNED (persist + eager count,
+    // round 16) because the spine min/max and the fill join both consume
+    // it concurrently (the e45 double-scan fix + the cold-run dedup)
     val mm = daily0.agg(min(col("ds")).as("d0"), max(col("ds")).as("d1"))
     val spine = mm.select(
       explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("ds"))

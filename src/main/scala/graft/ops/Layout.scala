@@ -44,6 +44,23 @@ object Layout {
     * partitions >> cores and is left untouched — the check makes this a
     * no-op exactly where the repartition would be pure waste.
     */
+  /** Persist AND eagerly materialize a bounded intermediate consumed by
+    * several branches of one downstream job (round 16). `persist` alone
+    * does not protect a COLD run: the consumer branches' stages are
+    * scheduled concurrently, and every task that reaches a cache partition
+    * before it is stored recomputes the whole upstream — measured as
+    * 2–4× duplicate source scans/tokenizations on the drift/ranking/
+    * triangle families once the bench stopped carrying caches across runs.
+    * The one eager count guarantees exactly one upstream compute; the cache
+    * keeps the graft session-lifetime convention (the bench clears between
+    * timings, pipelines clear between batches).
+    */
+  def pin(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+
   def repairScanParallelism(df: DataFrame, target: Int = 0): DataFrame = {
     val t = if (target > 0) target
       else df.sparkSession.sparkContext.defaultParallelism

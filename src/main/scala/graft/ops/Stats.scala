@@ -452,7 +452,7 @@ object Stats {
       .where(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("obs"))
-      .persist()
+      .transform(Layout.pin)
     val n = cells.agg(coalesce(sum(col("obs")), lit(0L)).as("n"))
     val diag = cells.where(col("a") === col("b"))
       .agg(coalesce(sum(col("obs")), lit(0L)).as("d"))
@@ -781,7 +781,7 @@ object Stats {
       .where(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("obs"))
-      .persist()
+      .transform(Layout.pin)
     val aTot = cells.groupBy("a").agg(sum("obs").as("a_tot"))
     val bTot = cells.groupBy("b").agg(sum("obs").as("b_tot"))
     val n = cells.agg(sum("obs").as("n_tot"))
@@ -861,7 +861,7 @@ object Stats {
       .where(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("obs"))
-      .persist()
+      .transform(Layout.pin)
     val aTot = cells.groupBy("a").agg(sum("obs").as("a_tot"))
     val bTot = cells.groupBy("b").agg(sum("obs").as("b_tot"))
     val nt = cells.agg(sum("obs").as("n_tot"))

@@ -46,7 +46,7 @@ object Triangles {
         greatest(col(aCol), col(bCol)).as("hi"))
       .where(col("lo") =!= col("hi") && col("lo").isNotNull)
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Layout.pin)
     val deg = und.select(col("lo").as("id"))
       .unionAll(und.select(col("hi").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
@@ -57,7 +57,7 @@ object Triangles {
     val o = und.join(dl, "lo").join(dh, "hi")
       .select(when(fwd, col("lo")).otherwise(col("hi")).as("u"),
         when(fwd, col("hi")).otherwise(col("lo")).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Layout.pin)
     val e1 = o.select(col("u").as("t_u"), col("v").as("t_v"))
     val e2 = o.select(col("u").as("t_v"), col("v").as("t_w"))
     val e3 = o.select(col("u").as("t_u"), col("v").as("t_w"))
@@ -147,7 +147,7 @@ object Triangles {
         greatest(col(aCol), col(bCol)).as("hi"))
       .where(col("lo") =!= col("hi") && col("lo").isNotNull)
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Layout.pin)
     // consumers: deg, both wedge sides, the existing-edge anti-join —
     // cache-lifetime convention (see Drift's scaladoc)
     val deg = und.select(col("lo").as("id"))
